@@ -1,0 +1,34 @@
+"""Parquet source: the primary columnar input.
+
+Keep reads lazy and declarative — no schema inference passes, no
+caching by default — so Catalyst pushes filters and prunes columns
+into the scan (verify with .explain(): PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from umls2rdf_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load several tables; also registers each as a temp view so the
+    same plans can be written in SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
