@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from umls2rdf_spark.plans import tpch
+from umls2rdf_spark.plans import reference_demos, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -22,18 +22,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {
+    out: dict[str, QueryFn] = {
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
         "q5_local_supplier": tpch.q5_local_supplier,
         "order_priority_count": tpch.order_priority_count,
     }
+    out.update(reference_demos.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
         "q5_local_supplier": tpch.Q5_SQL,
         "order_priority_count": tpch.ORDER_PRIORITY_SQL,
     }
+    out.update(reference_demos.ORACLES)
+    return out

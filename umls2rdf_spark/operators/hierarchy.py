@@ -1,0 +1,143 @@
+"""Hierarchy operators: edge classification, tree edges, prefix
+hierarchies, root detection, transitive closure.
+
+Reference semantics:
+- CHD rels → rdfs:subClassOf, PAR skipped, bogus roots skiplisted
+  (toRDF at umls2rdf.py:427-452);
+- mesh_tree: DISTINCT parent/child code pairs via a 3-way
+  MRREL×MRCONSO×MRCONSO join (umls2rdf.py:201-217);
+- semantic-type tree: parent = string-prefix of the STN code
+  (generate_semantic_types at umls2rdf.py:153-189);
+- roots: concepts whose CUI appears under the SRC 'V-<ont>' atom
+  (umls2rdf.py:612-617, 692-713).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def classify_edges(
+    rels: DataFrame,
+    rel_col: str,
+    child_value: str = "CHD",
+    parent_value: str = "PAR",
+    skiplist: Sequence[str] = (),
+    target_col: str | None = None,
+    out_col: str = "edge_kind",
+) -> DataFrame:
+    """Tag each rel as hierarchy/other and drop PARs + skiplisted
+    targets (the ICD-10/SNOMED/HL7 bogus-root skips at
+    umls2rdf.py:438-446)."""
+    out = rels.where(F.col(rel_col) != parent_value)
+    if skiplist and target_col:
+        out = out.where(~F.col(target_col).isin(list(skiplist)))
+    return out.withColumn(
+        out_col,
+        F.when(F.col(rel_col) == child_value, F.lit("subclass")).otherwise(
+            F.lit("object")
+        ),
+    )
+
+
+def tree_edges(
+    rels: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    on_left: tuple[str, str],
+    on_right: tuple[str, str],
+    parent_out: Column,
+    child_out: Column,
+) -> DataFrame:
+    """mesh_tree shape: rels ⋈ left ⋈ right → DISTINCT (parent, child).
+
+    ``on_left``/``on_right`` are (rel_col, dim_col) join pairs. The
+    reference runs this as one MySQL query and builds a driver-side
+    defaultdict(set) (umls2rdf.py:201-217); here the distinct is a
+    shuffle and the edge set stays distributed.
+    """
+    joined = rels.join(
+        left, rels[on_left[0]] == left[on_left[1]], "inner"
+    ).join(right, rels[on_right[0]] == right[on_right[1]], "inner")
+    return joined.select(
+        parent_out.alias("parent"), child_out.alias("child")
+    ).distinct()
+
+
+def prefix_parent(code: Column, sep: str = ".") -> Column:
+    """STN-style parent derivation (umls2rdf.py:170-175): strip the
+    last dotted segment; single-segment codes fall back to dropping
+    their final character (``'B2' → 'B'``)."""
+    sep_lit = "\\" + sep if sep in ".$^*+?()[]{}|" else sep
+    return F.when(
+        code.contains(sep),
+        F.regexp_replace(code, f"{sep_lit}[^{sep_lit}]*$", ""),
+    ).otherwise(F.substring(code, 1, F.length(code) - 1))
+
+
+def prefix_hierarchy(
+    nodes: DataFrame, code_col: str, sep: str = "."
+) -> DataFrame:
+    """Self-join nodes on the computed parent prefix → (child, parent)
+    edges. One broadcast-able self-join on distinct codes; the
+    reference does a python dict of STN→TUI (umls2rdf.py:162-187)."""
+    child = nodes.select(F.col(code_col).alias("child")).distinct()
+    parent = nodes.select(F.col(code_col).alias("parent")).distinct()
+    child = child.withColumn("__parent_code", prefix_parent(F.col("child"), sep))
+    return (
+        child.join(parent, child["__parent_code"] == parent["parent"], "inner")
+        .where(F.col("child") != F.col("parent"))
+        .select("child", "parent")
+    )
+
+
+def detect_roots(
+    df: DataFrame, roots: DataFrame, on: tuple[str, str], flag_col: str = "is_root"
+) -> DataFrame:
+    """Broadcast semi-join root flag (cui_roots membership test at
+    umls2rdf.py:694-713) without losing non-root rows: a left join
+    against the distinct root keys."""
+    root_keys = roots.select(
+        F.col(on[1]).alias("__root_key"), F.lit(True).alias(flag_col)
+    ).distinct()
+    out = df.join(
+        F.broadcast(root_keys), df[on[0]] == F.col("__root_key"), "left"
+    )
+    return out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False))).drop(
+        "__root_key"
+    )
+
+
+def transitive_closure(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """All ancestor pairs of a DAG via iterative doubling joins.
+
+    Spark-first replacement for driver-side tree walks: each
+    iteration doubles reachable path length, so depth-d closure needs
+    ⌈log2 d⌉ joins, not d. Checkpoint-free; each frontier is
+    localCheckpoint'd to truncate lineage at scale.
+
+    ``edges``: (child, parent) → returns (child, ancestor) distinct.
+    """
+    closure = edges.select(
+        F.col("child"), F.col("parent").alias("ancestor")
+    ).distinct()
+    for _ in range(max_iters):
+        hop = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.ancestor") == F.col("b.child"),
+                "inner",
+            )
+            .select(F.col("a.child"), F.col("b.ancestor"))
+        )
+        new_closure = closure.union(hop).distinct().localCheckpoint(eager=True)
+        if new_closure.count() == closure.count():
+            return new_closure
+        closure = new_closure
+    return closure
