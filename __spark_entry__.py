@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from umls2rdf_spark.plans import reference_demos, tpch
+from umls2rdf_spark.plans import analytics_extra, llm_demos, reference_demos, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -29,6 +29,8 @@ def queries() -> dict[str, QueryFn]:
         "order_priority_count": tpch.order_priority_count,
     }
     out.update(reference_demos.QUERIES)
+    out.update(analytics_extra.QUERIES)
+    out.update(llm_demos.QUERIES)
     return out
 
 
@@ -40,4 +42,6 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_count": tpch.ORDER_PRIORITY_SQL,
     }
     out.update(reference_demos.ORACLES)
+    out.update(analytics_extra.ORACLES)
+    out.update(llm_demos.ORACLES)
     return out

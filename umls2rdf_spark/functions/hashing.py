@@ -1,0 +1,48 @@
+"""Engine-neutral stable hashing for dedup/similarity operators.
+
+Everything here must produce bit-identical values in Spark and any
+ANSI-SQL oracle (DuckDB), so nothing uses engine-native hash():
+the base primitive is md5 (identical everywhere) with a fixed-width
+hex prefix parsed to a 40-bit integer, and universal-hash
+permutations (a*h+b) mod p kept inside BIGINT range by construction
+(a,b < 2^20, h < 2^40 → a*h+b < 2^61 = no overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^61 - 1, Mersenne prime — modulus for the universal hash family.
+MERSENNE_61 = (1 << 61) - 1
+HASH_HEX_CHARS = 10  # 40 bits
+
+
+def stable_hash40(col: Column) -> Column:
+    """40-bit integer hash of a string: first 10 hex chars of md5.
+
+    SQL twin: ``CAST(('0x' || substr(md5(x), 1, 10)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_CHARS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def stable_hash40_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
+
+
+def perm_params(k: int) -> list[tuple[int, int, int]]:
+    """Deterministic (perm_id, a, b) universal-hash parameters,
+    a odd, both < 2^20 — same table is inlined into oracle SQL."""
+    out = []
+    for i in range(k):
+        a = (2 * i + 1) * 40503 % (1 << 20) | 1
+        b = (i * 997 + 131071) % (1 << 20)
+        out.append((i, a, b))
+    return out
+
+
+def perm_hash(h: Column, a: Column, b: Column) -> Column:
+    """(a*h + b) mod M61 — overflow-free in 64-bit by construction."""
+    return F.pmod(a * h + b, F.lit(MERSENNE_61))

@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale text corpora.
+
+All built on engine-neutral hashing (functions/hashing.py) so every
+variant has an exact SQL oracle. Scale notes per operator:
+
+- exact: one hash-groupBy; the md5 is computed map-side, the shuffle
+  carries (hash, id) only.
+- minhash LSH: explode shingles → k permutation mins per doc (one
+  shuffle on doc_id) → band signatures → self-join on (band, sig).
+  The band join is the only all-to-all and its key space is the
+  signature, so identical docs co-locate; bucket-size skew (a viral
+  duplicate cluster) is handled by AQE skew-join splitting.
+- simhash: per-bit weighted sums via conditional aggregation — a
+  single groupBy, no pairwise work at all.
+- n-gram jaccard: exact pair similarity within a blocking key; the
+  blocking key bounds the quadratic term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import (
+    perm_hash,
+    perm_params,
+    stable_hash40,
+)
+
+SIMHASH_BITS = 32
+
+
+def exact_dedupe_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    representative (min id) and copy count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty tokens from
+    trailing separators dropped — matches string_split + filter in
+    SQL oracles)."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # guard: sequence(0, negative) would count DOWN; short docs → []
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, perm_id, minhash) — k permutation minima per document.
+
+    Shingles explode map-side; the perm table is a k-row broadcast
+    cross join; the min-agg shuffles once on (id, perm_id).
+    """
+    spark = df.sparkSession
+    perms = spark.createDataFrame(
+        perm_params(num_perm), "perm_id int, a bigint, b bigint"
+    )
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    hashed = shingled.select(
+        F.col(id_col), stable_hash40(F.col("shingle")).alias("h")
+    )
+    return (
+        hashed.crossJoin(F.broadcast(perms))
+        .select(
+            F.col(id_col),
+            F.col("perm_id"),
+            perm_hash(F.col("h"), F.col("a"), F.col("b")).alias("ph"),
+        )
+        .groupBy(id_col, "perm_id")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 1
+) -> DataFrame:
+    """LSH banding: docs sharing any identical band signature become
+    candidate pairs (id_a < id_b, distinct)."""
+    banded = signatures.withColumn(
+        "band", (F.col("perm_id") / rows_per_band).cast("int")
+    )
+    band_sigs = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("perm_id", "minhash"))
+                ),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("band_sig")
+    )
+    a = band_sigs.select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    b = band_sigs.select(
+        F.col(id_col).alias("id_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document simhash fingerprint: sign of per-bit weighted sums
+    over token hashes, assembled into one integer.
+
+    One explode + one groupBy with ``bits`` conditional sums — stays
+    entirely in whole-stage codegen, no pairwise work.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    hashed = toks.select(F.col(id_col), stable_hash40(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct word sets, blocked by
+    ``block_col`` to bound the quadratic pair space."""
+    words = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("w"),
+    )
+    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = words.select("block", F.col(id_col).alias("id_a"), "w")
+    b = words.select("block", F.col(id_col).alias("id_b"), "w")
+    inter = (
+        a.join(b, ["block", "w"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,103 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (split/filter/size/md5/regexp) — the
+per-document cost is a handful of codegen'd string ops, so these run
+at scan speed on a 100 TB corpus. Double-valued ratios are divisions
+of exact integers → deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+LANG_ORDER = ["en", "es", "de"]
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (string_split parity)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def _hits(text: Column, words: list[str]) -> Column:
+    tok_arr = tokens(text)
+    return F.size(F.filter(tok_arr, lambda t: t.isin(*words)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-ratio language heuristic: argmax of per-language
+    stopword hits with a fixed preference order on ties."""
+    text = F.col(text_col)
+    hits = {lg: _hits(text, ws) for lg, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), F.lit("en")
+        )
+        .when(hits["es"] >= hits["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        hits["en"].cast("bigint").alias("hits_en"),
+        hits["es"].cast("bigint").alias("hits_es"),
+        hits["de"].cast("bigint").alias("hits_de"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length/stopword/alpha quality features + a combined score.
+
+    Score = stopword_ratio * 0.5 + min(n_tokens,50)/50 * 0.5 —
+    exact-integer inputs, deterministic double output.
+    """
+    text = F.col(text_col)
+    tok_arr = tokens(text)
+    n_tokens = F.size(tok_arr).cast("bigint")
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(F.filter(tok_arr, lambda t: t.isin(*all_stop))).cast(
+        "bigint"
+    )
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(n_tokens, F.lit(50)).cast("double") / F.lit(50.0)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (stop_ratio * 0.5 + len_score * 0.5).alias("quality"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX)).cast("bigint").alias(
+            "re_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized md5 fingerprint (lower + space-collapse + trim) —
+    the near-canonical exact-dup key; plus the raw-text md5."""
+    text = F.col(text_col)
+    normalized = F.trim(F.regexp_replace(F.lower(text), " +", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("norm_fp"),
+        F.md5(text).alias("raw_fp"),
+    )

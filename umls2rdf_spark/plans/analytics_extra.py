@@ -1,0 +1,140 @@
+"""SURVEY §2 B-block extras: window/top-k, time-bucketed aggregation,
+sessionization, as-of join — the event/stream-adjacent query surface
+(batch twins of the streaming module)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.operators.ranking import top1_per_group
+from umls2rdf_spark.operators.sessionize import asof_join, session_counts
+from umls2rdf_spark.sources.parquet import load_table
+
+
+# ── B4 top_customer_per_nation ──────────────────────────────────────
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    best = top1_per_group(
+        joined,
+        ["n_name"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    )
+    return best.select("n_name", "c_custkey", "c_acctbal")
+
+
+TOP_CUSTOMER_SQL = """
+SELECT n_name, c_custkey, c_acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+WHERE rn = 1
+"""
+
+
+# ── B6 events_windowed (batch twin of streaming windowed agg) ──────
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "total_value"
+        )
+    )
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ── B7 sessionize ───────────────────────────────────────────────────
+def sessionize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev, "user_id", "ts", "event_id")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM flagged
+GROUP BY user_id
+"""
+
+
+# ── B8 asof_join ────────────────────────────────────────────────────
+def asof_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = asof_join(
+        ev,
+        orders,
+        left_id="event_id",
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_date"),
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+       o_orderdate AS asof_date
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+               AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "top_customer_per_nation": top_customer_per_nation,
+    "events_windowed": events_windowed,
+    "sessionize": sessionize_demo,
+    "asof_join": asof_join_demo,
+}
+
+ORACLES = {
+    "top_customer_per_nation": TOP_CUSTOMER_SQL,
+    "events_windowed": EVENTS_WINDOWED_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+}
