@@ -7,7 +7,15 @@ from SURVEY.md §2 with its DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the package importable no matter where the driver process's
+# cwd is (this file is loaded by path; the package sits next to it).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 

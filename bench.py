@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count-materialized) after a
+warmup of the session; per-query wall time includes planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from umls2rdf_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: core aggregation/join plans + the heavy LLM-pipeline
+# operators — the queries whose scaling behavior matters most.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "order_priority_count",
+    "ranked_top1",
+    "bridge_join",
+    "triple_dedupe",
+    "turtle_export",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "events_windowed",
+    "sessionize",
+    "asof_join",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="umls2rdf-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM/session so the first measured query doesn't pay
+    # one-time init costs.
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,21 +45,29 @@ def exact_dedupe_groups(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty tokens from
-    trailing separators dropped — matches string_split + filter in
-    SQL oracles)."""
-    toks = F.filter(F.split(text, " "), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingled = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: word n-gram shingles per document.
+
+    The token array is projected first and the shingle transform is a
+    single SQL expression over plain array subscripts — building it
+    from Python-lambda HOFs re-evaluates the tokenization per element
+    and runs interpreted (≈4× slower measured). The size guard matters:
+    ``sequence(0, negative)`` counts DOWN in Spark.
+    """
+    tarr = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__t"),
     )
-    # guard: sequence(0, negative) would count DOWN; short docs → []
-    return F.when(F.size(toks) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
+    parts = ", ".join(f"__t[i+{j}]" for j in range(n))
+    expr = (
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(0, size(__t)-{n}), i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+    return tarr.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("shingle")
     )
 
 
@@ -75,9 +83,10 @@ def minhash_signatures(
     perms = spark.createDataFrame(
         perm_params(num_perm), "perm_id int, a bigint, b bigint"
     )
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # single-file local reads arrive as one partition; spread the
+    # shingling across the cluster before the heavy per-row work
+    shingled = shingle_rows(
+        df.repartition(F.col(id_col)), id_col, text_col, shingle_n
     ).distinct()
     hashed = shingled.select(
         F.col(id_col), stable_hash40(F.col("shingle")).alias("h")
@@ -136,7 +145,7 @@ def simhash(
     One explode + one groupBy with ``bits`` conditional sums — stays
     entirely in whole-stage codegen, no pairwise work.
     """
-    toks = df.select(
+    toks = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
@@ -167,7 +176,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct word sets, blocked by
     ``block_col`` to bound the quadratic pair space."""
-    words = df.select(
+    words = df.repartition(F.col(id_col)).select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         F.explode(

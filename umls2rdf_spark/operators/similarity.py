@@ -7,17 +7,57 @@ random-hyperplane sign bits so candidate generation is a bucket-local
 join — the 100 TB path where brute force against every corpus vector
 is off the table.
 
-Determinism: all dot products/norms are exact integer sums over
-quantized components (functions/vectors.py), so rankings are
-reproducible across engines and partitionings.
+Physical shape: pair joins carry the whole quantized vector array and
+compute dots with a sequential ``aggregate(zip_with(...))`` fold in
+codegen — 64× less shuffle traffic than exploding components, and the
+sequential integer fold is exact and order-independent, so results
+are reproducible across engines and partitionings.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from umls2rdf_spark.functions.vectors import explode_components, norm2_by_id
+from umls2rdf_spark.functions.vectors import quantize
+
+
+def _dot_expr(a: str, b: str, dim: int) -> Column:
+    """Exact integer dot product of two array<bigint> columns named
+    ``a``/``b``, as an unrolled subscript expression.
+
+    Spark's higher-order-function lambdas (aggregate/zip_with) fall
+    outside whole-stage codegen and evaluate interpreted — measured
+    ~10x slower on pair joins. An unrolled ``a[0]*b[0] + ...`` chain
+    stays in codegen.
+    """
+    return F.expr(" + ".join(f"{a}[{j}] * {b}[{j}]" for j in range(dim)))
+
+
+def _with_qvec(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    # Quantize BEFORE the exchange: the shuffle materializes qvec, so
+    # the unrolled subscript expressions downstream read a stored
+    # array. Projected the other way round, CollapseProject inlines
+    # the quantize transform into every qvec[j] subscript — O(dim²)
+    # re-evaluation per row (measured 4x-10x slowdowns).
+    # The repartition also spreads single-partition local reads.
+    materialized = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qvec")
+    ).repartition(F.col(id_col))
+    return materialized.withColumn("norm2", _dot_expr("qvec", "qvec", dim))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
+    )
 
 
 def cosine_topk(
@@ -26,63 +66,44 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, rank, cos_sim) with cos_sim
-    rounded to 6 dp; ties broken by neighbor id.
+    Broadcast-joins the query set against the corpus (one corpus
+    pass, no shuffle of the big side); (query_id, neighbor_id, rank,
+    cos_sim), ties broken by neighbor id.
     """
-    corpus = explode_components(vectors, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "pos", F.col("comp").alias("c_comp")
+    corpus = _with_qvec(vectors, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_vec"),
+        F.col("norm2").alias("c_norm2"),
     )
-    qcomp = explode_components(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), "pos", F.col("comp").alias("q_comp")
-    )
-    corpus_norms = norm2_by_id(
-        explode_components(vectors, id_col, vec_col), id_col
-    ).select(F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("c_norm2"))
-    query_norms = norm2_by_id(
-        explode_components(queries, id_col, vec_col), id_col
-    ).select(F.col(id_col).alias("query_id"), F.col("norm2").alias("q_norm2"))
-
-    dots = (
-        corpus.join(F.broadcast(qcomp), "pos")
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("c_comp") * F.col("q_comp")).alias("dot"))
+    qs = _with_qvec(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_vec"),
+        F.col("norm2").alias("q_norm2"),
     )
     scored = (
-        dots.join(F.broadcast(query_norms), "query_id")
-        .join(corpus_norms, "neighbor_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        corpus.join(
+            F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"), "inner"
+        )
         .select(
             "query_id",
             "neighbor_id",
             (
-                F.col("dot").cast("double")
+                _dot_expr("q_vec", "c_vec", dim).cast("double")
                 / F.sqrt((F.col("q_norm2") * F.col("c_norm2")).cast("double"))
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.col("cos").alias("cos_sim"),
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_bucket_expr(dim: int, planes: int):
     """Deterministic pseudo-random hyperplanes: component j of plane i
-    is ((i*2654435761 + j*40503) mod 1009) - 504 (integer, engine-
-    neutral). Returns a closure building the bucket id column from the
-    long (pos, comp) form via conditional sums."""
+    is ((i*2654435761 + j*40503) mod 1009) - 504 (integer,
+    engine-neutral)."""
     def coeff(i: int, j: int) -> int:
         return (i * 2654435761 + j * 40503) % 1009 - 504
 
@@ -94,28 +115,19 @@ def lsh_bucket_ids(
 ) -> DataFrame:
     """(id, bucket): sign-bit bucket from ``planes`` fixed hyperplanes.
 
-    One narrow pass per vector (no shuffle at all — the dot products
-    against constant hyperplanes are a map-side transform over the
-    quantized array).
+    Pure map-side: each plane's dot product is a fold against a
+    constant array — zero shuffles.
     """
     coeff = hyperplane_bucket_expr(dim, planes)
-    comps = explode_components(vectors, id_col, vec_col)
-    dot_exprs = [
-        F.sum(
-            F.col("comp")
-            * F.element_at(
-                F.array(*[F.lit(coeff(i, j)) for j in range(dim)]),
-                (F.col("pos") + 1).cast("int"),
-            )
-        ).alias(f"d{i}")
-        for i in range(planes)
-    ]
-    dots = comps.groupBy(id_col).agg(*dot_exprs)
+    qv = _with_qvec(vectors, id_col, vec_col, dim)
     bucket = None
     for i in range(planes):
-        bit = F.when(F.col(f"d{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        pdot = F.expr(
+            " + ".join(f"qvec[{j}] * ({coeff(i, j)})" for j in range(dim))
+        )
+        bit = F.when(pdot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return dots.select(F.col(id_col), bucket.alias("bucket"))
+    return qv.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def lsh_cosine_topk(
@@ -124,57 +136,99 @@ def lsh_cosine_topk(
     vec_col: str,
     k: int = 3,
     planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: brute force restricted to same-bucket pairs.
+    """Approximate top-k: cosine ranking restricted to same-bucket
+    pairs — the corpus-vs-corpus scale path.
 
-    The bucket join replaces the all-pairs product with ~2^planes
-    bucket-local joins — the scale path for corpus-vs-corpus search.
+    Implemented as mapInPandas (quantize + bucket, one vectorized
+    pass) → groupBy(bucket).applyInPandas (per-bucket int64 matmul +
+    top-k). Pure-relational formulations were measured first: a
+    zip_with/aggregate fold runs interpreted (HOFs are outside
+    whole-stage codegen) and a 64-term unrolled subscript sum blows
+    the JIT method limit — both ~10x slower than the Arrow/numpy
+    path. All math is exact int64 (quantized comps ≤ 2^10, dots ≤
+    2^27), so results still hash-match the SQL oracle bit-for-bit;
+    only the shuffled data is (id, qvec, norm2, bucket).
+
+    Skew note: a pathological bucket (all vectors on one side of
+    every plane) re-quadratizes; at scale, raise ``planes`` or split
+    oversized buckets with a salt on one side and union the salted
+    results.
     """
-    buckets = lsh_bucket_ids(vectors, id_col, vec_col, planes)
-    comps = explode_components(vectors, id_col, vec_col).join(
-        buckets, id_col
+    import numpy as np
+    import pandas as pd
+
+    coeff = hyperplane_bucket_expr(dim, planes)
+    plane_mat = np.array(
+        [[coeff(i, j) for j in range(dim)] for i in range(planes)],
+        dtype=np.int64,
     )
-    norms = norm2_by_id(
-        explode_components(vectors, id_col, vec_col), id_col
+    out_id = "query_id"
+
+    # NOTE: these closures must be fully self-contained (locals +
+    # numpy/pandas only). A reference to anything module-level in
+    # umls2rdf_spark makes cloudpickle serialize it BY REFERENCE and
+    # worker pythons that lack the repo on sys.path crash with
+    # ModuleNotFoundError.
+    def featurize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            # round half away from zero — matches Spark/DuckDB
+            # round(), NOT numpy's banker's rounding
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            norm2 = (q * q).sum(axis=1)
+            sign_dots = q @ plane_mat.T
+            bucket = ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "qvec": list(q),
+                    "norm2": norm2,
+                    "bucket": bucket.astype(np.int32),
+                }
+            )
+
+    feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
+    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+        featurize, schema=feat_schema
     )
-    a = comps.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), "pos",
-        F.col("comp").alias("q_comp"),
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {out_id: [], "neighbor_id": [], "rank": [], "cos_sim": []}
+            ).astype(
+                {out_id: "int64", "neighbor_id": "int64",
+                 "rank": "int32", "cos_sim": "float64"}
+            )
+        q = np.vstack(pdf["qvec"].values).astype(np.int64)
+        ids = pdf[id_col].values.astype(np.int64)
+        n2 = pdf["norm2"].values.astype(np.float64)
+        dots = q @ q.T  # exact int64
+        cos = dots / np.sqrt(np.outer(n2, n2))
+        np.fill_diagonal(cos, -np.inf)
+        rows = []
+        kk = min(k, n - 1)
+        for i in range(n):
+            order = np.lexsort((ids, -cos[i]))[:kk]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        out_id: ids[i],
+                        "neighbor_id": ids[order],
+                        "rank": np.arange(1, kk + 1, dtype=np.int32),
+                        "cos_sim": cos[i][order],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    out_schema = (
+        f"{out_id} long, neighbor_id long, rank int, cos_sim double"
     )
-    b = comps.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), "pos",
-        F.col("comp").alias("c_comp"),
-    )
-    dots = (
-        a.join(b, ["bucket", "pos"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("q_comp") * F.col("c_comp")).alias("dot"))
-    )
-    qn = norms.select(F.col(id_col).alias("query_id"), F.col("norm2").alias("qn"))
-    cn = norms.select(
-        F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("cn")
-    )
-    scored = (
-        dots.join(qn, "query_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                F.col("dot").cast("double")
-                / F.sqrt((F.col("qn") * F.col("cn")).cast("double"))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank",
-            F.col("cos").alias("cos_sim"),
-        )
-    )
+    return feat.groupBy("bucket").applyInPandas(bucket_topk, schema=out_schema)
