@@ -1,0 +1,98 @@
+"""Tests for the Structured Streaming plans and multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from umls2rdf_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    frame_sample,
+    image_features,
+)
+from umls2rdf_spark.plans.analytics_extra import events_windowed
+from umls2rdf_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    user_event_counts_stateful,
+    windowed_counts,
+)
+
+
+def test_streaming_windowed_counts_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    result = run_to_memory(
+        windowed_counts(stream), "windowed_counts_test", spark
+    )
+    got = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in result.collect()
+    }
+    expected = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in events_windowed(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_stateful_user_counts(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    q = (
+        user_event_counts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_counts_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.table("stateful_counts_test").collect()
+    }
+    from umls2rdf_spark.sources.parquet import load_table
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes " * 50, ("image/png", "unit")),
+        (2, b"RIFF fake wav bytes " * 400, ("audio/wav", "unit")),
+        (3, b"", ("image/png", "unit")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_stub(spark, media_df):
+    feats = {r["media_id"]: r for r in image_features(media_df).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert feats[1]["n_bytes"] == len(b"\x89PNG fake image bytes " * 50)
+    assert feats[3]["n_bytes"] == 0
+    # deterministic: same input bytes → same fake dimensions
+    again = {r["media_id"]: r for r in image_features(media_df).collect()}
+    assert feats[1]["width"] == again[1]["width"]
+    assert feats[1]["mean_luma"] == again[1]["mean_luma"]
+    assert 1 <= feats[1]["width"] <= 1920
+
+
+def test_frame_sample_stub(spark, media_df):
+    frames = frame_sample(media_df, every_n_bytes=1024, max_frames=4)
+    rows = frames.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 8000-byte audio blob → capped at 4 frames; tiny blobs → 1 frame
+    assert len(by_media[2]) == 4
+    assert len(by_media[3]) == 1
+    assert [r["frame_idx"] for r in sorted(by_media[2], key=lambda x: x["frame_idx"])] == [0, 1, 2, 3]

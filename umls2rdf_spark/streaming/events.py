@@ -1,0 +1,112 @@
+"""Structured Streaming over the events table.
+
+Batch twins live in plans/analytics_extra.py (events_windowed,
+sessionize) — same logical semantics, so the batch oracle checks also
+validate the streaming transformations. Streams read the same parquet
+with ``readStream`` + an explicit schema; watermarks bound state for
+late data; ``Trigger.AvailableNow`` drains everything for tests.
+
+Scale: windowed counts keep one state row per (window, event_type) —
+bounded by the watermark horizon; the stateful session counter keeps
+one state row per user and emits deltas per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events parquet (nanos ts → micros timestamp,
+    mirroring sources/parquet.load_table). The file-stream source
+    requires a directory, so we scan ``sf_dir`` with a glob filter."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of analytics_extra.events_windowed: tumbling
+    window counts + exact decimal value sums, late data bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def user_event_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count maintained in GroupState across micro-batches
+    (the 'custom stateful operator' surface of the engine)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long"
+    state_schema = "n long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n_new
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """Drain a (complete-mode-capable) streaming aggregation into an
+    in-memory table with AvailableNow and return the result — the
+    test/validation harness for streaming plans."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
