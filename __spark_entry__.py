@@ -19,7 +19,13 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from umls2rdf_spark.plans import analytics_extra, llm_demos, reference_demos, tpch
+from umls2rdf_spark.plans import (
+    analytics_extra,
+    llm_demos,
+    reference_demos,
+    tpch,
+    tpch_extra,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,6 +45,7 @@ def queries() -> dict[str, QueryFn]:
     out.update(reference_demos.QUERIES)
     out.update(analytics_extra.QUERIES)
     out.update(llm_demos.QUERIES)
+    out.update(tpch_extra.QUERIES)
     return out
 
 
@@ -52,4 +59,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(reference_demos.ORACLES)
     out.update(analytics_extra.ORACLES)
     out.update(llm_demos.ORACLES)
+    out.update(tpch_extra.ORACLES)
     return out

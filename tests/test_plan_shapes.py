@@ -1,0 +1,68 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must
+actually appear in the plans — pushed filters, pruned scans, broadcast
+joins for dims, no Python row UDFs in relational paths."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns read — projection reaches the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_filtered_scan_pushdown(spark):
+    plan = plan_of(spark, "filtered_scan")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_local_supplier")
+    # all four dims broadcast; only orders⋈lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of(spark, "order_priority_count")
+    assert "LeftSemi" in plan
+
+
+def test_no_python_row_udfs_in_relational_queries(spark):
+    # BatchEvalPython = row-at-a-time Python UDF — the slow path this
+    # engine bans from relational plans (ann_lsh_topk is exempt: it is
+    # deliberately Arrow-vectorized via mapInPandas/applyInPandas,
+    # which shows as ArrowEvalPython/FlatMapGroupsInPandas, not this).
+    for name in (
+        "q1_pricing_summary", "dedup_minhash", "dedup_simhash",
+        "turtle_export", "token_count", "sessionize",
+    ):
+        assert "BatchEvalPython" not in plan_of(spark, name), name
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = plan_of(spark, "sessionize")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema
+    assert "event_type" not in read_schema
