@@ -1,0 +1,122 @@
+"""Tests for the RRF source and the umls.conf-driven pipeline —
+the reference's __main__ / MySQL-staging surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from umls2rdf_spark.pipeline import (
+    ConfEntry,
+    load_umls_tables,
+    parse_conf,
+    run_pipeline,
+)
+from umls2rdf_spark.sources.rrf import read_rrf
+
+
+def test_parse_conf_reference_format():
+    text = """AIR,AI-RHEUM.ttl,load_on_codes
+#CPT,CPT.ttl,load_on_codes. #disabled
+HL7V3.0;HL7,HL7.ttl,load_on_cuis
+
+MSH;MESH,MESH.ttl,load_on_codes
+"""
+    entries = parse_conf(text)
+    assert entries[0] == ConfEntry("AIR", None, "AI-RHEUM.ttl", False)
+    assert entries[1] == ConfEntry("HL7V3.0", "HL7", "HL7.ttl", True)
+    assert entries[2] == ConfEntry("MSH", "MESH", "MESH.ttl", False)
+
+
+def _write_rrf(path: str, rows: list[list[str]], width: int) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            padded = r + [""] * (width - len(r))
+            f.write("|".join(padded) + "|\n")
+
+
+def _fixture_rrf_dir(tmp_path) -> str:
+    d = str(tmp_path / "rrf")
+    os.makedirs(d, exist_ok=True)
+    # MRCONSO: CUI LAT TS LUI STT SUI ISPREF AUI SAUI SCUI SDUI SAB
+    #          TTY CODE STR SRL SUPPRESS CVF (18)
+    _write_rrf(
+        os.path.join(d, "MRCONSO.RRF"),
+        [
+            ["C1", "ENG", "", "", "", "", "Y", "A1", "", "", "", "DEMO",
+             "PT", "K1", "Demo concept", "", "N", ""],
+            ["C2", "ENG", "", "", "", "", "Y", "A2", "", "", "", "DEMO",
+             "PT", "K2", "Other concept", "", "N", ""],
+        ],
+        18,
+    )
+    # MRREL: CUI1 AUI1 STYPE1 REL CUI2 AUI2 STYPE2 RELA ... (16)
+    _write_rrf(
+        os.path.join(d, "MRREL.RRF"),
+        [["C1", "A1", "", "CHD", "C2", "A2", "", "", "", "", "DEMO", "",
+          "", "", "N", ""]],
+        16,
+    )
+    _write_rrf(
+        os.path.join(d, "MRSTY.RRF"),
+        [["C1", "T001", "A", "Entity", "", ""],
+         ["C2", "T002", "A1", "Thing", "", ""]],
+        6,
+    )
+    # MRSAB row: RSAB at idx 3, SVER 6, IMETA 9, LAT 19, CURVER 21, SSN 23
+    sab = [""] * 25
+    sab[3], sab[6], sab[9], sab[19], sab[21], sab[23] = (
+        "DEMO", "demo-1", "2025AB", "ENG", "Y", "Demo Source",
+    )
+    _write_rrf(os.path.join(d, "MRSAB.RRF"), [sab], 25)
+    return d
+
+
+def test_read_rrf_drops_trailing_column(spark, tmp_path):
+    d = _fixture_rrf_dir(tmp_path)
+    df = read_rrf(spark, os.path.join(d, "MRCONSO.RRF"))
+    rows = {r["CUI"]: r for r in df.collect()}
+    assert set(rows) == {"C1", "C2"}
+    assert rows["C1"]["STR"] == "Demo concept"
+    assert rows["C1"]["SUPPRESS"] == "N"
+    assert len(df.columns) == 18  # phantom trailing column dropped
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    d = _fixture_rrf_dir(tmp_path)
+    tables = load_umls_tables(spark, d)
+    assert set(tables) == {"MRCONSO", "MRREL", "MRSTY", "MRSAB"}
+    out_dir = str(tmp_path / "out")
+    exported = run_pipeline(
+        tables, "DEMO,DEMO.ttl,load_on_codes\n", out_dir
+    )
+    assert list(exported) == ["DEMO"]
+
+    sem = "".join(
+        open(f).read()
+        for f in sorted(glob.glob(os.path.join(out_dir, "umls_semantictypes.ttl", "part-*")))
+    )
+    assert 'skos:prefLabel "Entity"@en' in sem
+    assert "rdfs:subClassOf owl:Thing ." in sem  # with_roots=True
+
+    demo = "".join(
+        open(f).read()
+        for f in sorted(glob.glob(os.path.join(out_dir, "DEMO.ttl", "part-*")))
+    )
+    # header from MRSAB, concept from MRCONSO, CHD from MRREL (K2→K1)
+    assert 'rdfs:label "Demo Source" ;' in demo
+    assert 'skos:prefLabel """Demo concept"""@en' in demo
+    assert (
+        "rdfs:subClassOf <http://purl.bioontology.org/ontology/DEMO/K1> ;"
+        in demo
+    )
+
+
+def test_run_pipeline_version_skip(spark, tmp_path):
+    d = _fixture_rrf_dir(tmp_path)
+    tables = load_umls_tables(spark, d)
+    exported = run_pipeline(
+        tables, "DEMO,DEMO.ttl,load_on_codes\n", str(tmp_path / "out2"),
+        umls_version="2024AA", only_current_version=True,
+    )
+    assert exported == {}

@@ -1,0 +1,127 @@
+"""Multi-ontology export pipeline — parity with the reference's
+__main__ (umls2rdf.py:828-896) and umls.conf format.
+
+The reference iterates umls.conf serially, loading each ontology into
+driver RAM; here each ontology export is an independent Spark job over
+the shared (cached) table scans. A user of the reference can point
+this at the same conf text and RRF/parquet inputs and get the same
+set of .ttl outputs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.rdf.ontology import (
+    mrsab_record,
+    semantic_types_lines,
+    write_ontology,
+)
+from umls2rdf_spark.rdf.turtle import PREFIXES
+from umls2rdf_spark.sources.rrf import read_rrf
+
+DEFAULT_BASE_URI = "http://purl.bioontology.org/ontology/"
+
+
+@dataclass(frozen=True)
+class ConfEntry:
+    """One umls.conf line: ``CODE[;ALT_URI_CODE],file.ttl,load_on_X``
+    (parsed exactly like umls2rdf.py:832-872)."""
+
+    umls_code: str
+    alt_uri_code: str | None
+    file_out: str
+    load_on_cuis: bool
+
+
+def parse_conf(text: str) -> list[ConfEntry]:
+    entries = []
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(",")
+        if len(parts) < 3:
+            continue
+        code, file_out, load_on = (p.strip() for p in parts[:3])
+        alt = None
+        if ";" in code:
+            code, alt = code.split(";", 1)
+        entries.append(
+            ConfEntry(code, alt, file_out, load_on == "load_on_cuis")
+        )
+    return entries
+
+
+def load_umls_tables(spark: SparkSession, rrf_dir: str) -> dict[str, DataFrame]:
+    """All 8 UMLS tables from a directory of .RRF files — the
+    replacement for the reference's MySQL staging (create_mysql_db.py
+    + LOAD DATA): Spark reads the pipe-delimited files directly as
+    splittable scans."""
+    names = "MRCONSO MRREL MRDEF MRSAT MRSTY MRRANK MRSAB MRDOC".split()
+    out = {}
+    for name in names:
+        path = os.path.join(rrf_dir, f"{name}.RRF")
+        if os.path.exists(path):
+            out[name] = read_rrf(spark, path, table=name)
+    return out
+
+
+def run_pipeline(
+    tables: dict[str, DataFrame],
+    conf_text: str,
+    output_dir: str,
+    umls_base_uri: str = DEFAULT_BASE_URI,
+    umls_version: str = "2025AB",
+    only_current_version: bool = False,
+) -> dict[str, str]:
+    """Export every configured ontology + the semantic-types file.
+
+    Mirrors __main__ (umls2rdf.py:828-896): semantic types document
+    first, then one .ttl per conf entry, honoring alt URI codes,
+    load_on_cuis, the MSH tree special case (inside write_ontology)
+    and the PROCESS_ONLY_CURRENT_UMLS_VERSION skip. Returns
+    {ont_code: output_path} for what was exported.
+    """
+    spark = tables["MRCONSO"].sparkSession
+    os.makedirs(output_dir, exist_ok=True)
+
+    if "MRSTY" in tables:
+        sem = semantic_types_lines(tables["MRSTY"], with_roots=True)
+        head = spark.createDataFrame(
+            [("0", PREFIXES)], "sort_key string, line string"
+        )
+        doc = head.unionByName(sem.select("sort_key", "line"))
+        sem_path = os.path.join(output_dir, "umls_semantictypes.ttl")
+        doc.orderBy("sort_key").select("line").write.mode("overwrite").text(
+            sem_path
+        )
+
+    exported: dict[str, str] = {}
+    for entry in parse_conf(conf_text):
+        rec = (
+            mrsab_record(tables["MRSAB"], entry.umls_code)
+            if "MRSAB" in tables
+            else None
+        )
+        if only_current_version and (
+            not rec or rec.get("IMETA") != umls_version
+        ):
+            continue
+        lat = (rec or {}).get("LAT") or "ENG"
+        ns = umls_base_uri + (entry.alt_uri_code or entry.umls_code)
+        out_path = os.path.join(output_dir, entry.file_out)
+        write_ontology(
+            tables,
+            entry.umls_code,
+            ns,
+            out_path,
+            lat=lat,
+            load_on_cuis=entry.load_on_cuis,
+            umls_version=umls_version,
+        )
+        exported[entry.umls_code] = out_path
+    return exported

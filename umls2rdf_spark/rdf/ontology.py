@@ -46,9 +46,12 @@ def filter_atoms(
     """MRCONSO scan for one ontology: SAB/LAT/SUPPRESS filters pushed
     to the source (load_tables at umls2rdf.py:598-605), plus the class
     key column (CODE or CUI, get_code at umls2rdf.py:142)."""
+    # case-insensitive LAT match: the reference lowercases MRSAB.LAT
+    # and relies on MySQL's case-insensitive collation
+    # (umls2rdf.py:594-599); Spark compares case-sensitively.
     atoms = mrconso.where(
         (F.col("SAB") == ont_code)
-        & (F.col("LAT") == lat)
+        & (F.lower(F.col("LAT")) == lat.lower())
         & (F.col("SUPPRESS") == "N")
     )
     code = F.col("CUI") if load_on_cuis else F.col("CODE")
