@@ -1,0 +1,143 @@
+"""Property-style tests: salting equivalence, escape parity with the
+reference implementation, closure soundness — each property checked
+over batches of generated inputs (one Spark action per batch)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.text import rdf_escape, turtle_literal
+from umls2rdf_spark.operators.hierarchy import transitive_closure
+from umls2rdf_spark.operators.skew import salted_agg, salted_join
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def reference_escape(s: str) -> str:
+    """escape() from umls2rdf.py:103 — the parity target."""
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_rdf_escape_matches_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r["e"] for r in df.select(rdf_escape(F.col("s")).alias("e")).collect()]
+    assert got == [reference_escape(t) for t in texts]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters=["\x00"]),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_turtle_literal_quoting(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r["lit"]
+        for r in df.select(
+            turtle_literal(F.col("s"), lang=F.lit("en")).alias("lit")
+        ).collect()
+    ]
+    for t, lit in zip(texts, got):
+        esc = reference_escape(t)
+        expected = (
+            f'"""{esc}"""@en' if "\n" in esc else f'"{esc}"@en'
+        )
+        assert lit == expected
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    rng = random.Random(7)
+    rows = [
+        # heavy skew: 80% of rows on key 0
+        (0 if rng.random() < 0.8 else rng.randrange(20), rng.randrange(1000))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k int, v long")
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            partial_aggs=[F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pn")],
+            merge_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+            salt_on="v",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [(rng.randrange(5), i) for i in range(2000)], "k int, fid long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "k int, label string"
+    )
+    plain = sorted(
+        (r["fid"], r["label"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["fid"], r["label"])
+        for r in salted_join(fact, dim, on="k", salt_factor=8).collect()
+    )
+    assert salted == plain
+
+
+def test_transitive_closure_sound_and_complete(spark):
+    rng = random.Random(13)
+    # random forest: parent(i) < i, ~60 nodes
+    edges = [(i, rng.randrange(i)) for i in range(1, 60) if rng.random() < 0.8]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        (r["child"], r["ancestor"]) for r in transitive_closure(df).collect()
+    }
+    # python reference closure
+    parents = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+    expected = set()
+    for c in parents:
+        frontier = set(parents[c])
+        seen = set()
+        while frontier:
+            n = frontier.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            expected.add((c, n))
+            frontier |= parents.get(n, set())
+    assert got == expected

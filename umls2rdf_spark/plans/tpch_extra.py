@@ -292,3 +292,40 @@ ORACLES = {
     "rollup_agg": ROLLUP_SQL,
     "transitive_closure": CLOSURE_SQL,
 }
+
+
+# ── salted aggregation (skew path; identical results to plain agg) ──
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (6-key, heavily skewed)
+    returnflag/linestatus space — bit-identical to the plain groupBy,
+    demonstrated through the same oracle gate."""
+    from umls2rdf_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        partial_aggs=[
+            F.sum(_dec("l_quantity")).alias("pq"),
+            F.count(F.lit(1)).alias("pn"),
+        ],
+        merge_aggs=[
+            F.sum("pq").cast("double").alias("sum_qty"),
+            F.sum("pn").cast("bigint").alias("n_rows"),
+        ],
+        salt_on="l_orderkey",
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+SKEW_SALTED_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+QUERIES["skew_salted_agg"] = skew_salted_agg
+ORACLES["skew_salted_agg"] = SKEW_SALTED_AGG_SQL
