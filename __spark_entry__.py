@@ -23,6 +23,7 @@ from umls2rdf_spark.plans import (
     analytics_extra,
     llm_demos,
     reference_demos,
+    surface_extra,
     tpch,
     tpch_extra,
 )
@@ -46,6 +47,7 @@ def queries() -> dict[str, QueryFn]:
     out.update(analytics_extra.QUERIES)
     out.update(llm_demos.QUERIES)
     out.update(tpch_extra.QUERIES)
+    out.update(surface_extra.QUERIES)
     return out
 
 
@@ -60,4 +62,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics_extra.ORACLES)
     out.update(llm_demos.ORACLES)
     out.update(tpch_extra.ORACLES)
+    out.update(surface_extra.ORACLES)
     return out

@@ -63,6 +63,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # one warmup run per query: first execution pays one-time
+        # plan-analysis/codegen-compile costs (~1s measured on a
+        # trivial 2-shuffle query); the steady-state run is what
+        # scales with data size.
+        fn(spark, SF_DIR).count()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
