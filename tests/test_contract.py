@@ -1,0 +1,29 @@
+"""Driver-contract consistency: every queries() entry has an oracle,
+every oracle has a query, and callables share the (spark, sf_dir)
+signature."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as entrymod
+
+
+def test_every_query_has_an_oracle():
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs, f"oracles without queries: {os_ - qs}"
+    missing = qs - os_
+    # only genuinely non-SQL-expressible ops may omit an oracle
+    assert missing == set(), f"queries without oracles: {missing}"
+
+
+def test_query_callable_signatures():
+    for name, fn in entrymod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name}: expected (spark, sf_dir)"
+
+
+def test_entry_uses_sf0001():
+    src = inspect.getsource(entrymod.entry)
+    assert "sf0.001" in src
