@@ -196,6 +196,17 @@ def lsh_cosine_topk(
     feat = vectors.repartition(F.col(id_col)).mapInPandas(
         featurize, schema=feat_schema
     )
+    return _grouped_topk(feat, id_col, k)
+
+
+def _grouped_topk(feat: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-group exact cosine top-k over a featurized frame
+    (id, qvec, norm2, bucket) — int64 matmul per group, deterministic
+    ordering (cos desc, neighbor id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    out_id = "query_id"
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -232,3 +243,62 @@ def lsh_cosine_topk(
         f"{out_id} long, neighbor_id long, rank int, cos_sim double"
     )
     return feat.groupBy("bucket").applyInPandas(bucket_topk, schema=out_schema)
+
+
+def ivf_centroid(cell: int, j: int) -> int:
+    """Deterministic pseudo-random centroid grid: component j of cell
+    centroid i — engine-neutral integers matching the quantized
+    embedding range (±~500)."""
+    return (cell * 48271 + j * 16807) % 1001 - 500
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN: assign each vector to its nearest fixed centroid
+    (exact integer squared-L2, ties to the lowest cell id), then exact
+    cosine top-k within the cell — the inverted-file counterpart of
+    the hyperplane LSH path. At scale the centroid table comes from a
+    training pass (k-means); here it's a deterministic grid so the
+    SQL oracle can reproduce assignments bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(
+        [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
+        dtype=np.int64,
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            norm2 = (q * q).sum(axis=1)
+            # exact int64 squared distances to every centroid;
+            # argmin returns the FIRST minimum = lowest cell id,
+            # matching the oracle's (dist, cell) ordering
+            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "qvec": list(q),
+                    "norm2": norm2,
+                    "bucket": cell.astype(np.int32),
+                }
+            )
+
+    feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
+    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+        featurize, schema=feat_schema
+    )
+    return _grouped_topk(feat, id_col, k)

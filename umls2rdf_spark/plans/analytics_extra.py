@@ -138,3 +138,78 @@ ORACLES = {
     "sessionize": SESSIONIZE_SQL,
     "asof_join": ASOF_JOIN_SQL,
 }
+
+
+# ── B22 session_window_agg (native gap-merged session windows) ──────
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) aggregates via Spark's native
+    session_window (30-minute gap) — the built-in form of the
+    lag/cumsum sessionization above; oracle derives the same sessions
+    with window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+sessions AS (
+  SELECT user_id, tsu,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, MIN(tsu) AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+# ── B23 json_extract (semi-structured props column) ────────────────
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the JSON props column and aggregate
+    — get_json_object stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["session_window_agg"] = session_window_agg
+ORACLES["session_window_agg"] = SESSION_WINDOW_SQL
+QUERIES["json_extract"] = json_extract
+ORACLES["json_extract"] = JSON_EXTRACT_SQL

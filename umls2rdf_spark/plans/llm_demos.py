@@ -383,3 +383,71 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
 }
+
+
+# ── C6b ann_ivf_topk ────────────────────────────────────────────────
+from umls2rdf_spark.operators.similarity import ivf_centroid, ivf_cosine_topk
+
+_IVF_CELLS = 8
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, "vec_id", "embedding", k=_LSH_K, cells=_IVF_CELLS
+    )
+
+
+_CENT_VALUES = ", ".join(
+    f"({i}, {j + 1}, {ivf_centroid(i, j)})"
+    for i in range(_IVF_CELLS)
+    for j in range(_DIM)
+)
+ANN_IVF_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+comps AS (
+  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM qv),
+norms AS (SELECT vec_id, SUM(comp * comp) AS norm2 FROM comps GROUP BY 1),
+cents(cell_id, pos, c) AS (VALUES {_CENT_VALUES}),
+dists AS (
+  SELECT v.vec_id, ct.cell_id,
+         SUM((v.comp - ct.c) * (v.comp - ct.c)) AS d2
+  FROM comps v JOIN cents ct ON ct.pos = v.pos
+  GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cell_id) AS rn
+    FROM dists)
+  WHERE rn = 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         SUM(a.comp * b.comp) AS dot
+  FROM (SELECT c.*, s.cell_id FROM comps c JOIN assigned s USING (vec_id)) a
+  JOIN (SELECT c.*, s.cell_id FROM comps c JOIN assigned s USING (vec_id)) b
+    ON a.cell_id = b.cell_id AND a.pos = b.pos AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(qn.norm2 * cn.norm2 AS DOUBLE)) AS cos
+  FROM dots
+  JOIN norms qn ON qn.vec_id = query_id
+  JOIN norms cn ON cn.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cos AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {_LSH_K}
+"""
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
+ORACLES["ann_ivf_topk"] = ANN_IVF_SQL
