@@ -120,3 +120,25 @@ def test_run_pipeline_version_skip(spark, tmp_path):
         umls_version="2024AA", only_current_version=True,
     )
     assert exported == {}
+
+
+def test_validate_turtle_export(spark, tmp_path):
+    """checkOutputSyntax.sh counterpart: the exported document passes
+    the structural validator; a corrupted document does not."""
+    from umls2rdf_spark.rdf.validate import validate_turtle
+
+    d = _fixture_rrf_dir(tmp_path)
+    tables = load_umls_tables(spark, d)
+    out_dir = str(tmp_path / "vout")
+    run_pipeline(tables, "DEMO,DEMO.ttl,load_on_codes\n", out_dir)
+    report = validate_turtle(spark, os.path.join(out_dir, "DEMO.ttl"))
+    assert report["ok"], report
+    assert report["n_blocks"] >= 3  # ontology header + 2 classes
+
+    # corrupt: strip terminators and unbalance a triple quote
+    bad = str(tmp_path / "bad.ttl")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-0.txt"), "w") as f:
+        f.write('<http://x> a owl:Class ;\n\tskos:prefLabel """broken\n')
+    report = validate_turtle(spark, bad)
+    assert not report["ok"]
