@@ -66,3 +66,42 @@ def test_events_scan_prunes_columns(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" not in read_schema
     assert "event_type" not in read_schema
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """§6 made executable: co-bucketed tables join without a shuffle."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.bucketing import drop_table, write_bucketed
+    from umls2rdf_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "li_bucketed",
+        str(tmp_path / "li"), ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "orders_bucketed",
+        str(tmp_path / "ord"), ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing is what avoids the
+        # shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table(spark, "li_bucketed")
+        drop_table(spark, "orders_bucketed")

@@ -211,3 +211,58 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    candidate-pair graph via min-label propagation.
+
+    Each node starts labeled with itself; every iteration takes the
+    min over direct neighbors, so convergence needs diameter
+    iterations (near-dup clusters are shallow). Frontiers are
+    localCheckpoint'd to truncate lineage; the per-iteration work is
+    one join + one aggregation on the edge list — the
+    small-star/large-star shape used for web-scale CC.
+
+    Returns (node, label) for EVERY node in ``all_nodes`` (singletons
+    label themselves).
+    """
+    nodes = all_nodes.select(F.col(node_col).alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b), F.col(id_a)))
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

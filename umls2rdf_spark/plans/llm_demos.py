@@ -451,3 +451,63 @@ WHERE rank <= {_LSH_K}
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
 ORACLES["ann_ivf_topk"] = ANN_IVF_SQL
+
+
+# ── C15 dedup_clusters (pairs → connected components) ──────────────
+from umls2rdf_spark.operators.dedup import connected_components
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: minhash candidate pairs closed into
+    connected components; every document gets a cluster id (min doc_id
+    of its component)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=_NUM_PERM)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
+    labels = connected_components(
+        pairs, docs.select(F.col("doc_id")), node_col="doc_id"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE filtered AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM documents),
+indexed AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 2, 0))) AS i
+  FROM filtered),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         f[i] || ' ' || f[i+1] || ' ' || f[i+2] AS shingle
+  FROM indexed),
+hashed AS (
+  SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
+perms(perm_id, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  FROM hashed CROSS JOIN perms
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig
+  FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
