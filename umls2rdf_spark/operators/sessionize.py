@@ -80,3 +80,61 @@ def asof_join(
     return joined.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Scale path for the as-of join: cogroup both sides on the key
+    (one shuffle each) and run pandas merge_asof per key group — no
+    range-join pair explosion, so cost is O(n log n) per key instead
+    of O(left×right).
+
+    Tie semantics match asof_join/the SQL oracle: latest right_ts,
+    then LOWEST right_tiebreak (achieved by sorting the right side by
+    (ts asc, tiebreak desc) — merge_asof takes the last match).
+
+    Output: all left columns + the requested right columns.
+    """
+    import pandas as pd
+
+    left_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    )
+    right_schema = {f.name: f for f in right.schema.fields}
+    right_fields = ", ".join(
+        f"{c} {right_schema[c].dataType.simpleString()}" for c in right_cols
+    )
+    out_schema = f"{left_fields}, {right_fields}"
+    l_ts, r_ts, r_tb = left_ts, right_ts, right_tiebreak
+    l_cols = [f.name for f in left.schema.fields]
+    r_cols = list(right_cols)
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=l_cols + r_cols)
+        if len(rpdf) == 0:
+            return pd.DataFrame(columns=l_cols + r_cols)
+        ls = lpdf.sort_values(l_ts, kind="mergesort")
+        rs = rpdf.sort_values(
+            [r_ts, r_tb], ascending=[True, False], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            ls, rs[[r_ts, r_tb] + [c for c in r_cols if c not in (r_ts, r_tb)]],
+            left_on=l_ts, right_on=r_ts, direction="backward",
+        )
+        merged = merged.dropna(subset=[r_ts])
+        return merged[l_cols + r_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema=out_schema)
+    )
