@@ -96,3 +96,24 @@ def test_frame_sample_stub(spark, media_df):
     assert len(by_media[2]) == 4
     assert len(by_media[3]) == 1
     assert [r["frame_idx"] for r in sorted(by_media[2], key=lambda x: x["frame_idx"])] == [0, 1, 2, 3]
+
+
+def test_streaming_dedup(spark):
+    from umls2rdf_spark.streaming.events import streaming_dedup
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup_test")
+    from umls2rdf_spark.sources.parquet import load_table
+
+    n_src = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_src  # source has unique event_ids
+    assert got.select("event_id").distinct().count() == n_src

@@ -288,11 +288,6 @@ def term_blocks(
             ).alias("rel_segs")
         )
     )
-    # distinct object-property fragments (for write_properties)
-    obj_fragments = (
-        rels.where(emit_obj).select(_fragment().alias("fragment")).distinct()
-    )
-
     # ── tree parents (MSH mesh tree, umls2rdf.py:423-426) ──────────
     if tree is not None:
         tree_segments = (
@@ -356,10 +351,8 @@ def term_blocks(
                 ).alias("att_segs")
             )
         )
-        atn_values = atts.select("ATN").distinct()
     else:
         att_segments = None
-        atn_values = None
 
     # ── semantic types: CUIs + TUIs per code (umls2rdf.py:477-488) ──
     cuis = atoms.groupBy("code").agg(
@@ -486,7 +479,6 @@ def term_blocks(
         sty_lines,
         F.lit(" .\n\n"),
     )
-    del obj_fragments, atn_values  # see used_properties()
     return base.select("code", block.alias("ttl"))
 
 

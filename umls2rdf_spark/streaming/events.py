@@ -110,3 +110,13 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the
+    event id — the streaming twin of the batch dedup operators; state
+    per id is evicted once the watermark passes, so memory is bounded
+    by the dedup horizon instead of the stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
