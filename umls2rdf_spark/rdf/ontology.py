@@ -98,6 +98,11 @@ def pref_labels(
             .select(
                 F.col("TTY"), F.col("RANK").cast("int").alias("tty_rank")
             )
+            # guard: a duplicated (SAB, TTY) rank row must not fan out
+            # the atom side through the join (the reference indexes
+            # rank_by_tty[tty][0], i.e. first row wins)
+            .groupBy("TTY")
+            .agg(F.max("tty_rank").alias("tty_rank"))
         )
         ranked = atoms.join(F.broadcast(rank_dim), on="TTY", how="left")
         order = [
