@@ -67,14 +67,25 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_stop = F.size(F.filter(tok_arr, lambda t: t.isin(*all_stop))).cast(
         "bigint"
     )
+    n_chars = F.length(text).cast("bigint")
+    # punctuation = whatever survives stripping [a-z0-9 ] from the
+    # lowered text (exact integer count, engine-neutral)
+    n_punct = F.length(
+        F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    ).cast("bigint")
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(
         F.lit(0.0)
     )
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
     len_score = F.least(n_tokens, F.lit(50)).cast("double") / F.lit(50.0)
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
         (stop_ratio * 0.5 + len_score * 0.5).alias("quality"),
     )
 

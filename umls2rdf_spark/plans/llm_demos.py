@@ -315,9 +315,15 @@ m AS (
   SELECT doc_id,
          CAST(len(f) AS BIGINT) AS n_tokens,
          CAST(len(list_filter(f, x -> list_contains({_ALL_STOP}, x)))
-              AS BIGINT) AS n_stopwords
-  FROM t)
-SELECT doc_id, n_tokens, n_stopwords,
+              AS BIGINT) AS n_stopwords,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM t JOIN documents USING (doc_id))
+SELECT doc_id, n_tokens, n_stopwords, n_punct,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS punct_ratio,
        (CASE WHEN n_tokens > 0
              THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              ELSE 0.0 END) * 0.5

@@ -329,3 +329,31 @@ ORDER BY l_returnflag, l_linestatus
 
 QUERIES["skew_salted_agg"] = skew_salted_agg
 ORACLES["skew_salted_agg"] = SKEW_SALTED_AGG_SQL
+
+
+# ── cube grouping sets ──────────────────────────────────────────────
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set
+    combinations with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+QUERIES["cube_agg"] = cube_agg
+ORACLES["cube_agg"] = CUBE_SQL
