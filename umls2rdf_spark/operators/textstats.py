@@ -112,3 +112,24 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(normalized).alias("norm_fp"),
         F.md5(text).alias("raw_fp"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by stable hash of the
+    id — reproducible across runs, engines, partitionings and data
+    order (the property random() splits lack). SQL twin uses the same
+    md5-prefix bucket."""
+    from umls2rdf_spark.functions.hashing import stable_hash40
+
+    bucket = F.pmod(stable_hash40(F.col(id_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -517,3 +517,34 @@ SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
+
+
+# ── C16 split_assign (reproducible train/val/test split) ───────────
+from umls2rdf_spark.operators.textstats import split_assign
+
+
+def split_assign_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = split_assign(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    ).orderBy("split")
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT CASE WHEN {stable_hash40_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+            THEN 'train'
+            WHEN {stable_hash40_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+            THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["split_assign"] = split_assign_demo
+ORACLES["split_assign"] = SPLIT_ASSIGN_SQL
