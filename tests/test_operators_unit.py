@@ -89,3 +89,33 @@ def test_lsh_candidates_are_actually_similar(spark):
     # the testdata's 31-word vocab puts baseline pair similarity near
     # 0.63 — assert a material absolute lift, not a ratio
     assert avg_candidates > avg_all + 0.05, (avg_candidates, avg_all)
+
+
+def test_url_term_matches_urllib_quote(spark):
+    """url_term must be byte-identical to the reference's
+    urllib.parse.quote(code) with safe='/' (get_url_term,
+    umls2rdf.py:124) across the full reserved set and non-ASCII."""
+    import urllib.parse
+
+    from umls2rdf_spark.functions.text import url_term
+
+    codes = [
+        "GO:0008150",            # colon (common in OBO-style codes)
+        "a,b(c)d+e&f;g'h=i@j",   # quote()'s reserved punctuation
+        "x y%z",                 # space + literal percent
+        "D012345",               # plain code, untouched
+        "a/b",                   # '/' is safe in quote()
+        "tilde~star*",           # '~' safe, '*' escaped
+        'q"<>#{}|^`',            # previously-covered set still right
+        "café 中文",  # UTF-8 multibyte
+        "%2F",                   # literal percent-sequence, no collision
+    ]
+    df = spark.createDataFrame([(c,) for c in codes], "code string")
+    got = {
+        r["code"]: r["uri"]
+        for r in df.select(
+            "code", url_term("http://ex.org/NS", F.col("code")).alias("uri")
+        ).collect()
+    }
+    for c in codes:
+        assert got[c] == "http://ex.org/NS/" + urllib.parse.quote(c), c

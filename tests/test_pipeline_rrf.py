@@ -104,6 +104,10 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         for f in sorted(glob.glob(os.path.join(out_dir, "DEMO.ttl", "part-*")))
     )
     # header from MRSAB, concept from MRCONSO, CHD from MRREL (K2→K1)
+    # ontology IRI carries the trailing slash (get_umls_url, umls2rdf.py:94)
+    assert "<http://purl.bioontology.org/ontology/DEMO/>" in demo
+    # hasSTY is always declared (write_properties, umls2rdf.py:801-811)
+    assert "umls:hasSTY a owl:ObjectProperty ;" in demo
     assert 'rdfs:label "Demo Source" ;' in demo
     assert 'skos:prefLabel """Demo concept"""@en' in demo
     assert (

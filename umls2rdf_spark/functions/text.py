@@ -45,26 +45,22 @@ def url_term(ns: Column | str, code: Column) -> Column:
     """``get_url_term`` (umls2rdf.py:124): join namespace and
     percent-quoted code with exactly one '/'.
 
-    Quoting covers the reserved set urllib.parse.quote escapes that
-    actually occurs in UMLS codes (space, %, quotes, <>, #) — chained
-    constant replaces, still codegen-friendly.
+    Quoting matches ``urllib.parse.quote(code)`` (safe='/') byte-for-
+    byte, including ':', ',', parens, '=', '@' and UTF-8 non-ASCII:
+    ``url_encode`` produces application/x-www-form-urlencoded (UTF-8,
+    uppercase hex); the four fixups map that onto quote()'s RFC-3986
+    behavior ('+' means space there; '*' must be escaped; '~' and '/'
+    must not). Literal '%', '~' or '/' in the input cannot collide
+    with the fixup patterns because url_encode has already escaped
+    them ('%' → '%25', so an input "%2F" arrives here as "%252F").
+    All JVM-side, codegen-friendly.
     """
     ns_col = F.lit(ns) if isinstance(ns, str) else ns
-    quoted = code
-    for ch, repl in [
-        ("%", "%25"),  # must be first
-        (" ", "%20"),
-        ('"', "%22"),
-        ("<", "%3C"),
-        (">", "%3E"),
-        ("#", "%23"),
-        ("{", "%7B"),
-        ("}", "%7D"),
-        ("|", "%7C"),
-        ("^", "%5E"),
-        ("`", "%60"),
-    ]:
-        quoted = F.replace(quoted, F.lit(ch), F.lit(repl))
+    quoted = F.url_encode(code)
+    quoted = F.replace(quoted, F.lit("+"), F.lit("%20"))
+    quoted = F.replace(quoted, F.lit("*"), F.lit("%2A"))
+    quoted = F.replace(quoted, F.lit("%7E"), F.lit("~"))
+    quoted = F.replace(quoted, F.lit("%2F"), F.lit("/"))
     sep = F.when(ns_col.endswith("/"), F.lit("")).otherwise(F.lit("/"))
     return F.concat(ns_col, sep, quoted)
 

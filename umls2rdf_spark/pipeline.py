@@ -112,7 +112,10 @@ def run_pipeline(
         ):
             continue
         lat = (rec or {}).get("LAT") or "ENG"
-        ns = umls_base_uri + (entry.alt_uri_code or entry.umls_code)
+        # get_umls_url (umls2rdf.py:94) returns '<base><code>/' — the
+        # trailing slash is part of the ontology resource IRI emitted
+        # in the document header.
+        ns = umls_base_uri + (entry.alt_uri_code or entry.umls_code) + "/"
         out_path = os.path.join(output_dir, entry.file_out)
         write_ontology(
             tables,

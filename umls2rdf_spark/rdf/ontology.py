@@ -39,6 +39,16 @@ BOGUS_PARENTS = ("ICD-10-CM", "138875005", "V-HL7V3.0", "C1553931")
 
 _OWL_THING_SUB = "\trdfs:subClassOf owl:Thing ;\n"
 
+# write_properties always declares hasSTY before the MRDOC-derived
+# properties (umls2rdf.py:801-811); template is toRDFWithDesc
+# (umls2rdf.py:501-508) byte-for-byte, including its "    \t" indent.
+HASSTY_PROPERTY_BLOCK = (
+    "umls:hasSTY a owl:ObjectProperty ;\n"
+    '    \trdfs:label """Semantic type UMLS property""";\n'
+    '    \trdfs:comment """Semantic type UMLS property""" .\n'
+    "    \n"
+)
+
 
 def filter_atoms(
     mrconso: DataFrame, ont_code: str, lat: str, load_on_cuis: bool
@@ -312,8 +322,12 @@ def term_blocks(
     mrsat = tables.get("MRSAT")
     if mrsat is not None:
         attkey = "CUI" if load_on_cuis else "CODE"
+        # the reference filters CODE IS NOT NULL even when keying by
+        # CUI (mrsat_filt at umls2rdf.py:643); the key column is
+        # additionally non-null/non-empty so rows land on a class.
         atts = mrsat.where(
             (F.col("SAB") == ont_code)
+            & F.col("CODE").isNotNull()
             & F.col(attkey).isNotNull()
             & (F.col(attkey) != "")
             & (F.col("ATN") != "AQ")
@@ -605,6 +619,7 @@ def used_properties(
     atns = (
         mrsat.where(
             (F.col("SAB") == ont_code)
+            & F.col("CODE").isNotNull()  # umls2rdf.py:643, both modes
             & F.col(attkey).isNotNull()
             & (F.col(attkey) != "")
             & (F.col("ATN") != "AQ")
@@ -705,6 +720,13 @@ def write_ontology(
         hierarchy=hierarchy, tree=tree,
     ).select(F.concat(F.lit("1:"), F.col("code")).alias("sort"), "ttl")
     parts = [head_df, blocks]
+    # hasSTY ObjectProperty declaration first in the property section
+    # (write_properties, umls2rdf.py:801-811): sort key "2" < "2:…".
+    parts.append(
+        spark.createDataFrame(
+            [("2", HASSTY_PROPERTY_BLOCK)], "sort string, ttl string"
+        )
+    )
     if "MRDOC" in tables:
         props = used_properties(
             tables, ont_code, lat=lat, load_on_cuis=load_on_cuis,
