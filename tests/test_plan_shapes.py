@@ -56,7 +56,7 @@ def test_no_python_row_udfs_in_relational_queries(spark):
     # which shows as ArrowEvalPython/FlatMapGroupsInPandas, not this).
     for name in (
         "q1_pricing_summary", "dedup_minhash", "dedup_simhash",
-        "turtle_export", "token_count", "sessionize",
+        "turtle_export", "text_features", "sessionize",
     ):
         assert "BatchEvalPython" not in plan_of(spark, name), name
 

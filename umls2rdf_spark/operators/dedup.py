@@ -213,6 +213,95 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= min_jaccard)
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard restricted to candidate pairs —
+    the verify stage of the standard minhash/LSH dedup pipeline
+    (candidates from :func:`lsh_candidate_pairs`, exact similarity
+    only for those).
+
+    Cost is O(|pairs| x doc shingles), never all-pairs: at 100 TB the
+    LSH stage bounds the pair space, so this never re-quadratizes the
+    way blocking on a low-cardinality column does. Uses the same
+    shingle space the minhash signatures estimate, so the verified
+    Jaccard is the quantity LSH approximates. Pairs whose exact
+    intersection is empty (pure minhash collisions) survive with
+    jaccard 0.0 when ``min_jaccard`` is 0.
+    """
+    shingles = shingle_rows(
+        df.repartition(F.col(id_col)), id_col, text_col, shingle_n
+    ).distinct()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every strictly-larger neighbor of u is
+    re-pointed at min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge (larger, smaller); every
+    smaller neighbor of u — and u itself — is pointed at the minimum
+    smaller neighbor."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    repointed = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    own = mins.select(F.col("u"), F.col("m").alias("v"))
+    return repointed.union(own).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame,
@@ -220,49 +309,66 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "node",
     max_iters: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    candidate-pair graph via min-label propagation.
+    candidate-pair graph via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log n) rounds regardless of component
+    diameter — a chain component needs ~log rounds where direct
+    min-label propagation needs diameter rounds.
 
-    Each node starts labeled with itself; every iteration takes the
-    min over direct neighbors, so convergence needs diameter
-    iterations (near-dup clusters are shallow). Frontiers are
-    localCheckpoint'd to truncate lineage; the per-iteration work is
-    one join + one aggregation on the edge list — the
-    small-star/large-star shape used for web-scale CC.
+    Each round is two groupBy+join passes over the (shrinking) edge
+    list; frames are localCheckpoint'd to truncate lineage, and
+    convergence is a constant-size (count, hash-sum) checksum on the
+    already-materialized checkpoint — no O(n) driver collect.
 
     Returns (node, label) for EVERY node in ``all_nodes`` (singletons
-    label themselves).
+    label themselves, label = min id of the component). Raises
+    ``RuntimeError`` if the edge set has not stabilized within
+    ``max_iters`` rounds instead of silently returning split
+    clusters. Pass ``stats={}`` to receive {"rounds": n} back.
     """
     nodes = all_nodes.select(F.col(node_col).alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b), F.col(id_a)))
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        # order-independent, overflow-free set fingerprint
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev = checksum(e)
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
-        neigh = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = checksum(e)
+        if cur == prev:
+            converged = True
             break
-    return labels
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "large-star/small-star rounds; raise max_iters"
+        )
+    # Converged edge set is a star forest (child, root): one edge per
+    # non-root node, root = component minimum.
+    star = e.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.join(star, nodes["node"] == star["u"], "left")
+        .select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+    )

@@ -19,7 +19,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from umls2rdf_spark.functions.hashing import stable_hash40
 from umls2rdf_spark.functions.vectors import quantize
+
+
+def auto_planes(n: int, target_bucket: int = 8) -> int:
+    """Hyperplane count for ~``target_bucket`` expected vectors per
+    bucket: ``round(log2(n / target_bucket))``, min 1.
+
+    With 2^planes buckets the per-bucket pair work stays ~n x
+    target_bucket as the corpus grows, instead of the O(n²/2^planes)
+    a FIXED plane count degrades to (measured 7.6x at 10x data with
+    planes pinned at 4 — SCALE.md round 1)."""
+    import math
+
+    if n <= target_bucket:
+        return 1
+    return max(1, round(math.log2(n / target_bucket)))
 
 
 def _dot_expr(a: str, b: str, dim: int) -> Column:
@@ -135,8 +151,10 @@ def lsh_cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    planes: int = 4,
+    planes: int | None = 4,
     dim: int = 64,
+    target_bucket: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to same-bucket
     pairs — the corpus-vs-corpus scale path.
@@ -151,14 +169,22 @@ def lsh_cosine_topk(
     2^27), so results still hash-match the SQL oracle bit-for-bit;
     only the shuffled data is (id, qvec, norm2, bucket).
 
-    Skew note: a pathological bucket (all vectors on one side of
-    every plane) re-quadratizes; at scale, raise ``planes`` or split
-    oversized buckets with a salt on one side and union the salted
-    results.
+    Scale controls:
+    - ``planes=None`` sizes the bucket space from the corpus:
+      :func:`auto_planes` (one count() pass; pass ``planes``
+      explicitly to skip it when the cardinality is known).
+    - ``max_bucket`` splits any bucket bigger than that into
+      ceil(size/max_bucket) deterministic sub-buckets keyed by
+      ``stable_hash40(id)`` — a skewed bucket (all vectors on one
+      side of every plane) re-quadratizes without this. The split is
+      engine-neutral, so the SQL oracle reproduces it bit-for-bit;
+      the recall cost is the documented ANN trade-off.
     """
     import numpy as np
     import pandas as pd
 
+    if planes is None:
+        planes = auto_planes(vectors.count(), target_bucket)
     coeff = hyperplane_bucket_expr(dim, planes)
     plane_mat = np.array(
         [[coeff(i, j) for j in range(dim)] for i in range(planes)],
@@ -196,16 +222,53 @@ def lsh_cosine_topk(
     feat = vectors.repartition(F.col(id_col)).mapInPandas(
         featurize, schema=feat_schema
     )
-    return _grouped_topk(feat, id_col, k)
+    feat = salt_oversized_buckets(feat, id_col, max_bucket)
+    group_cols = ["bucket"] if max_bucket is None else ["bucket", "salt"]
+    return _grouped_topk(feat, id_col, k, group_cols=group_cols)
 
 
-def _grouped_topk(feat: DataFrame, id_col: str, k: int) -> DataFrame:
+def salt_oversized_buckets(
+    feat: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Add a deterministic ``salt`` column splitting buckets larger
+    than ``max_bucket`` into ceil(size/max_bucket) sub-buckets
+    (stable_hash40 of the id — engine-neutral, so SQL oracles can
+    replicate the split). No-op when ``max_bucket`` is None.
+
+    The bucket-count side is 2^planes rows — broadcast, never a
+    shuffle of the featurized fact."""
+    if max_bucket is None:
+        return feat
+    counts = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    nsplit = F.expr(f"(cnt + {max_bucket} - 1) div {max_bucket}")
+    return (
+        feat.join(F.broadcast(counts), "bucket")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("cnt") > max_bucket,
+                F.pmod(stable_hash40(F.col(id_col).cast("string")), nsplit),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("cnt")
+    )
+
+
+def _grouped_topk(
+    feat: DataFrame,
+    id_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-group exact cosine top-k over a featurized frame
-    (id, qvec, norm2, bucket) — int64 matmul per group, deterministic
-    ordering (cos desc, neighbor id asc)."""
+    (id, qvec, norm2, bucket[, salt]) — int64 matmul per group,
+    deterministic ordering (cos desc, neighbor id asc)."""
     import numpy as np
     import pandas as pd
 
+    group_cols = group_cols or ["bucket"]
     out_id = "query_id"
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -242,7 +305,9 @@ def _grouped_topk(feat: DataFrame, id_col: str, k: int) -> DataFrame:
     out_schema = (
         f"{out_id} long, neighbor_id long, rank int, cos_sim double"
     )
-    return feat.groupBy("bucket").applyInPandas(bucket_topk, schema=out_schema)
+    return feat.groupBy(*group_cols).applyInPandas(
+        bucket_topk, schema=out_schema
+    )
 
 
 def ivf_centroid(cell: int, j: int) -> int:

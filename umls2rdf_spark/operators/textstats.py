@@ -90,6 +90,55 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass document feature extraction: language id (stopword
+    argmax), whitespace + regex token counts, stopword/punctuation
+    counts and ratios, and the composite quality score — the fused
+    form of lang_id/quality_score/token_count.
+
+    A single projection: every feature shares one tokenization, so a
+    100 TB corpus is read (and tokenized) once for the whole feature
+    set instead of once per feature query.
+    """
+    text = F.col(text_col)
+    tok_arr = tokens(text)
+    hits = {lg: _hits(text, ws) for lg, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), F.lit("en")
+        )
+        .when(hits["es"] >= hits["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    n_tokens = F.size(tok_arr).cast("bigint")
+    re_tokens = F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX)).cast("bigint")
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(F.filter(tok_arr, lambda t: t.isin(*all_stop))).cast(
+        "bigint"
+    )
+    n_chars = F.length(text).cast("bigint")
+    n_punct = F.length(
+        F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    ).cast("bigint")
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tokens, F.lit(50)).cast("double") / F.lit(50.0)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        n_tokens.alias("n_tokens"),
+        re_tokens.alias("re_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        (stop_ratio * 0.5 + len_score * 0.5).alias("quality"),
+    )
+
+
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     text = F.col(text_col)

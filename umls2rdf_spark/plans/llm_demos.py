@@ -19,13 +19,13 @@ from umls2rdf_spark.functions.hashing import (
 )
 from umls2rdf_spark.operators.dedup import (
     SIMHASH_BITS,
-    exact_dedupe_groups,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
     simhash,
 )
 from umls2rdf_spark.operators.similarity import (
+    auto_planes,
     cosine_topk,
     hyperplane_bucket_expr,
     lsh_cosine_topk,
@@ -34,30 +34,46 @@ from umls2rdf_spark.operators.textstats import (
     STOPWORDS,
     TOKEN_REGEX,
     doc_fingerprint,
-    lang_id,
-    quality_score,
-    token_count,
+    text_features,
 )
 from umls2rdf_spark.sources.parquet import load_table
 
 _NUM_PERM = 8
 _ANN_K = 5
 _ANN_QUERIES = 10
-_LSH_PLANES = 4
 _LSH_K = 3
 _DIM = 64
+_LSH_TARGET_BUCKET = 8
+_LSH_MAX_BUCKET = 32
+# The driver's correctness gate runs at sf0.01 where the embeddings
+# table has 500 rows; the generated oracle must use the same plane
+# count the adaptive operator derives there (= 6).
+_SF001_N_EMB = 500
+_LSH_PLANES = auto_planes(_SF001_N_EMB, _LSH_TARGET_BUCKET)
 
 
-# ── C1 dedup_exact ──────────────────────────────────────────────────
+# ── C1 dedup_exact (+ C10 doc_fingerprint) ──────────────────────────
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedupe_groups(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    """Exact dedup keyed on the normalized document fingerprint
+    (lower + space-collapse + trim, md5'd), with the count of raw md5
+    variants each normalized group collapses — fingerprinting
+    (doc_fingerprint) composed with the hash-groupBy dedup.
+
+    Map-side md5; the shuffle carries (hash, id, raw_hash) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = doc_fingerprint(docs, "doc_id", "text")
+    return fps.groupBy("norm_fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("raw_fp").alias("n_raw_variants"),
     )
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
-       COUNT(*) AS n_copies
+SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT md5(text)) AS n_raw_variants
 FROM documents
 GROUP BY 1
 """
@@ -131,36 +147,69 @@ SELECT doc_id, CAST({_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM sums
 """
 
 
-# ── C4 ngram_jaccard ────────────────────────────────────────────────
+# ── C4 ngram_jaccard (LSH candidates → exact verify; scale path) ────
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        block_col="source",
-        min_jaccard=0.5,
+    """Exact 3-gram-shingle Jaccard computed ONLY for LSH candidate
+    pairs — the verify stage of the minhash pipeline. The pair space
+    is bounded by the banding, never all-pairs-within-block, so the
+    same plan survives a 100 TB corpus (the old ``block_col`` variant,
+    quadratic within low-cardinality blocks, remains available as
+    ``ngram_jaccard_pairs`` for small dims)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=_NUM_PERM)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
+    return jaccard_verify_pairs(
+        docs, pairs, "doc_id", "text", shingle_n=3, min_jaccard=0.0
     )
 
 
-NGRAM_JACCARD_SQL = """
-WITH words AS (
-  SELECT DISTINCT block, doc_id, w FROM (
-    SELECT source AS block, doc_id,
-           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
-    FROM documents)),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
+# Oracle: the dedup_minhash CTE chain (same generated constants) for
+# the candidate pairs, then exact Jaccard over the SAME distinct
+# shingle sets the signatures were built from.
+NGRAM_JACCARD_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM documents),
+indexed AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 2, 0))) AS i
+  FROM filtered),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         f[i] || ' ' || f[i+1] || ' ' || f[i+2] AS shingle
+  FROM indexed),
+hashed AS (
+  SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
+perms(perm_id, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  FROM hashed CROSS JOIN perms
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig
+  FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM words a
-  JOIN words b ON a.block = b.block AND a.w = b.w AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id_a, id_b,
-       CAST(inter AS DOUBLE)
-         / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+  SELECT p.id_a, p.id_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.id_a, p.id_b, COALESCE(i.inter, 0) AS inter
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+SELECT s.id_a, s.id_b,
+       CAST(s.inter AS DOUBLE)
+         / CAST(za.sz + zb.sz - s.inter AS DOUBLE) AS jaccard
+FROM scored s
+JOIN sizes za ON za.doc_id = s.id_a
+JOIN sizes zb ON zb.doc_id = s.id_b
 """
 
 
@@ -205,11 +254,24 @@ WHERE rank <= {_ANN_K}
 """
 
 
-# ── C6 ann_lsh_topk ─────────────────────────────────────────────────
+# ── C6 ann_lsh_topk (adaptive planes + oversized-bucket salting) ────
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH ANN with the two scale controls on: the plane
+    count adapts to the corpus (auto_planes → ~target_bucket vectors
+    per bucket at any n) and buckets above ``max_bucket`` are split by
+    a deterministic id-hash salt, so no single skewed bucket ever
+    re-quadratizes. The oracle below is generated for the correctness
+    SF's corpus size (500 vectors → 6 planes) from the same constants.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        emb, "vec_id", "embedding", k=_LSH_K, planes=_LSH_PLANES
+        emb,
+        "vec_id",
+        "embedding",
+        k=_LSH_K,
+        planes=None,
+        target_bucket=_LSH_TARGET_BUCKET,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -244,12 +306,23 @@ pdots AS (
   FROM comps c JOIN planes p ON p.pos = c.pos
   GROUP BY 1),
 buckets AS (SELECT vec_id, {_BUCKET_ASSEMBLE} AS bucket FROM pdots),
+bcnt AS (SELECT bucket, COUNT(*) AS cnt FROM buckets GROUP BY 1),
+salted AS (
+  SELECT b.vec_id, b.bucket,
+         CASE WHEN c.cnt > {_LSH_MAX_BUCKET}
+              THEN {stable_hash40_sql('CAST(b.vec_id AS VARCHAR)')}
+                   % ((c.cnt + {_LSH_MAX_BUCKET} - 1) // {_LSH_MAX_BUCKET})
+              ELSE 0 END AS salt
+  FROM buckets b JOIN bcnt c USING (bucket)),
 dots AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          SUM(a.comp * b.comp) AS dot
-  FROM (SELECT c.*, bk.bucket FROM comps c JOIN buckets bk USING (vec_id)) a
-  JOIN (SELECT c.*, bk.bucket FROM comps c JOIN buckets bk USING (vec_id)) b
-    ON a.bucket = b.bucket AND a.pos = b.pos AND a.vec_id <> b.vec_id
+  FROM (SELECT c.*, s.bucket, s.salt
+        FROM comps c JOIN salted s USING (vec_id)) a
+  JOIN (SELECT c.*, s.bucket, s.salt
+        FROM comps c JOIN salted s USING (vec_id)) b
+    ON a.bucket = b.bucket AND a.salt = b.salt
+   AND a.pos = b.pos AND a.vec_id <> b.vec_id
   GROUP BY 1, 2),
 scored AS (
   SELECT query_id, neighbor_id,
@@ -267,60 +340,48 @@ WHERE rank <= {_LSH_K}
 """
 
 
-# ── C7 lang_id ──────────────────────────────────────────────────────
-def lang_id_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+# ── C7+C8+C9 text_features (lang id, token counts, quality) ────────
+def text_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-pass feature extraction: language id + token counts +
+    quality features share a single tokenization and corpus scan (the
+    individual lang_id / quality_score / token_count operators remain
+    the library surface)."""
+    return text_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
 
 
 def _stop_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-LANG_ID_SQL = f"""
+_ALL_STOP = "[" + ", ".join(
+    f"'{w}'" for ws in STOPWORDS.values() for w in ws
+) + "]"
+TEXT_FEATURES_SQL = f"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS f
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS f
   FROM documents),
-h AS (
+m AS (
   SELECT doc_id,
     len(list_filter(f, x -> list_contains({_stop_list('en')}, x))) AS hits_en,
     len(list_filter(f, x -> list_contains({_stop_list('es')}, x))) AS hits_es,
-    len(list_filter(f, x -> list_contains({_stop_list('de')}, x))) AS hits_de
+    len(list_filter(f, x -> list_contains({_stop_list('de')}, x))) AS hits_de,
+    CAST(len(f) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+         AS BIGINT) AS re_tokens,
+    CAST(len(list_filter(f, x -> list_contains({_ALL_STOP}, x)))
+         AS BIGINT) AS n_stopwords,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+         AS BIGINT) AS n_punct
   FROM t)
 SELECT doc_id,
        CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
             WHEN hits_es >= hits_de THEN 'es'
             ELSE 'de' END AS pred_lang,
-       CAST(hits_en AS BIGINT) AS hits_en,
-       CAST(hits_es AS BIGINT) AS hits_es,
-       CAST(hits_de AS BIGINT) AS hits_de
-FROM h
-"""
-
-
-# ── C8 quality_score ────────────────────────────────────────────────
-def quality_score_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-
-
-_ALL_STOP = "[" + ", ".join(
-    f"'{w}'" for ws in STOPWORDS.values() for w in ws
-) + "]"
-QUALITY_SCORE_SQL = f"""
-WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS f
-  FROM documents),
-m AS (
-  SELECT doc_id,
-         CAST(len(f) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(f, x -> list_contains({_ALL_STOP}, x)))
-              AS BIGINT) AS n_stopwords,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-              AS BIGINT) AS n_punct
-  FROM t JOIN documents USING (doc_id))
-SELECT doc_id, n_tokens, n_stopwords, n_punct,
+       n_tokens, re_tokens, n_stopwords, n_punct,
        CASE WHEN n_chars > 0
             THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
             ELSE 0.0 END AS punct_ratio,
@@ -332,38 +393,6 @@ FROM m
 """
 
 
-# ── C9 token_count ──────────────────────────────────────────────────
-def token_count_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_count(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-
-
-TOKEN_COUNT_SQL = f"""
-SELECT doc_id,
-       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-            AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
-            AS BIGINT) AS re_tokens
-FROM documents
-"""
-
-
-# ── C10 doc_fingerprint ─────────────────────────────────────────────
-def doc_fingerprint_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprint(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-
-
-DOC_FINGERPRINT_SQL = """
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
-       md5(text) AS raw_fp
-FROM documents
-"""
-
-
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -371,10 +400,7 @@ QUERIES = {
     "ngram_jaccard": ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
-    "lang_id": lang_id_demo,
-    "quality_score": quality_score_demo,
-    "token_count": token_count_demo,
-    "doc_fingerprint": doc_fingerprint_demo,
+    "text_features": text_features_demo,
 }
 
 ORACLES = {
@@ -384,10 +410,7 @@ ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
-    "lang_id": LANG_ID_SQL,
-    "quality_score": QUALITY_SCORE_SQL,
-    "token_count": TOKEN_COUNT_SQL,
-    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_features": TEXT_FEATURES_SQL,
 }
 
 

@@ -1,5 +1,12 @@
-"""Remaining relational surface: anti-joins, set operations, distinct
-aggregates, engine-neutral histograms, exact percentiles."""
+"""Remaining relational surface: set operations + anti-join,
+engine-neutral histograms with distinct aggregates, exact percentiles.
+
+The driver's correctness harness checks the FIRST 50 ``queries()``
+entries, so sibling capabilities are demonstrated in one composed
+plan each (set_ops = intersect/exceptAll/left_anti; histogram =
+integer bucketing + multi-column COUNT DISTINCT) rather than one
+query per capability — every SURVEY §2 row keeps a driver-verified
+demo without exceeding the harness budget."""
 
 from __future__ import annotations
 
@@ -9,33 +16,18 @@ from pyspark.sql import functions as F
 from umls2rdf_spark.sources.parquet import load_table
 
 
-# ── NOT EXISTS anti-join ────────────────────────────────────────────
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no urgent orders — left_anti join."""
-    cust = load_table(spark, sf_dir, "customer")
-    urgent = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-    )
-
-
-ANTI_JOIN_SQL = """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders
-  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-"""
-
-
-# ── set operations ──────────────────────────────────────────────────
+# ── set operations + NOT EXISTS anti-join ───────────────────────────
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers active in 1996 INTERSECT 1998, minus 1995 buyers —
-    intersect/except composition."""
+    """Customers active in 1996 INTERSECT 1998, minus 1995 buyers,
+    who additionally have no urgent order — intersect / exceptAll /
+    left_semi / left_anti in one plan (SURVEY B17 + B18).
+
+    At scale: the year-slice legs are distinct custkey sets (small
+    relative to orders), so INTERSECT/EXCEPT shuffle only key columns;
+    the final semi/anti joins stream the customer dim once.
+    """
     orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
 
     def active(year: int) -> DataFrame:
         return orders.where(
@@ -43,7 +35,13 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
         ).select(F.col("o_custkey").alias("custkey")).distinct()
 
-    return active(1996).intersect(active(1998)).exceptAll(active(1995))
+    keep = active(1996).intersect(active(1998)).exceptAll(active(1995))
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(keep, cust.c_custkey == keep.custkey, "left_semi")
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
 
 
 SET_OPS_SQL = """
@@ -55,49 +53,39 @@ y98 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
           AND o_orderdate < TIMESTAMP '1999-01-01'),
 y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1996-01-01')
-SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y98
-EXCEPT SELECT custkey FROM y95
+          AND o_orderdate < TIMESTAMP '1996-01-01'),
+keep AS (
+  SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y98
+  EXCEPT SELECT custkey FROM y95)
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT custkey FROM keep)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
-# ── distinct aggregates ─────────────────────────────────────────────
-def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-DISTINCT_AGG_SQL = """
-SELECT l_returnflag,
-       COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT l_suppkey) AS n_supps,
-       COUNT(*) AS n_lines
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
-# ── histogram (engine-neutral integer bucketing) ────────────────────
+# ── histogram + multi-column distinct aggregates ────────────────────
 def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """o_totalprice histogram in 50k-wide buckets: bucket index is
-    exact integer math (floor division of a 2-decimal fixed-point),
-    so edges are engine-independent."""
+    """o_totalprice histogram in 50k-wide buckets with per-bucket
+    COUNT(DISTINCT ...) on two columns (SURVEY B19 + B20).
+
+    Bucket index is exact integer math (floor division of a 2-decimal
+    fixed-point), so edges are engine-independent; the multi-distinct
+    agg exercises Spark's expand-based distinct aggregation.
+    """
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     bucket = F.floor(cents / F.lit(5_000_000)).cast("bigint")
     return (
         orders.withColumn("bucket", bucket)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
         .orderBy("bucket")
     )
 
@@ -105,7 +93,9 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 HISTOGRAM_SQL = """
 SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                   / 5000000) AS BIGINT) AS bucket,
-       COUNT(*) AS n_orders
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
 FROM orders
 GROUP BY 1
 ORDER BY 1
@@ -139,17 +129,13 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
-    "anti_join": anti_join,
     "set_ops": set_ops,
-    "distinct_agg": distinct_agg,
     "histogram": histogram,
     "percentiles": percentiles,
 }
 
 ORACLES = {
-    "anti_join": ANTI_JOIN_SQL,
     "set_ops": SET_OPS_SQL,
-    "distinct_agg": DISTINCT_AGG_SQL,
     "histogram": HISTOGRAM_SQL,
     "percentiles": PERCENTILES_SQL,
 }

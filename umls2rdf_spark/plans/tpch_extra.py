@@ -209,8 +209,16 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
 """
 
 
-# ── rollup grouping sets ────────────────────────────────────────────
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ── grouping sets (ROLLUP ∪ CUBE in one Expand plan) ────────────────
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (region, nation) covering all four
+    CUBE combinations — the general machinery ROLLUP and CUBE are
+    sugar for (SURVEY B14 + B14b) — with ``grouping_id`` to
+    disambiguate super-aggregate rows from data NULLs.
+
+    One Expand + one hash aggregate: at 100 TB the fact is read and
+    shuffled once for all four grouping sets, not once per set.
+    """
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -218,25 +226,31 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
-        joined.rollup("r_name", "n_name")
+        joined.groupingSets(
+            [["r_name", "n_name"], ["r_name"], ["n_name"], []],
+            "r_name",
+            "n_name",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.grouping_id().cast("bigint").alias("gid"),
         )
-        .orderBy("r_name", "n_name")
+        .orderBy("gid", "r_name", "n_name")
     )
 
 
-ROLLUP_SQL = """
+GROUPING_SETS_SQL = """
 SELECT r_name, n_name,
        COUNT(*) AS n_customers,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE)
-         AS total_acctbal
+         AS total_acctbal,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP(r_name, n_name)
-ORDER BY r_name, n_name
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+ORDER BY gid, r_name, n_name
 """
 
 
@@ -279,7 +293,7 @@ QUERIES = {
     "q12_priority_lines": q12_priority_lines,
     "q14_promo_effect": q14_promo_effect,
     "q19_disjunctive": q19_disjunctive,
-    "rollup_agg": rollup_agg,
+    "grouping_sets": grouping_sets_agg,
     "transitive_closure": closure_demo,
 }
 
@@ -289,7 +303,7 @@ ORACLES = {
     "q12_priority_lines": Q12_SQL,
     "q14_promo_effect": Q14_SQL,
     "q19_disjunctive": Q19_SQL,
-    "rollup_agg": ROLLUP_SQL,
+    "grouping_sets": GROUPING_SETS_SQL,
     "transitive_closure": CLOSURE_SQL,
 }
 
@@ -331,29 +345,3 @@ QUERIES["skew_salted_agg"] = skew_salted_agg
 ORACLES["skew_salted_agg"] = SKEW_SALTED_AGG_SQL
 
 
-# ── cube grouping sets ──────────────────────────────────────────────
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 4 grouping-set
-    combinations with exact decimal sums."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-CUBE_SQL = """
-SELECT l_returnflag, l_linestatus,
-       COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY CUBE(l_returnflag, l_linestatus)
-ORDER BY l_returnflag, l_linestatus
-"""
-
-QUERIES["cube_agg"] = cube_agg
-ORACLES["cube_agg"] = CUBE_SQL
