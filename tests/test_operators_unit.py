@@ -158,3 +158,29 @@ def test_connected_components_singletons_and_two_clusters(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 42: 42}
+
+
+def test_asof_auto_paths_agree(spark):
+    """The dispatcher's two physical paths (range-join+window vs
+    bucket-cogroup merge_asof) must return identical rows; pair_budget
+    forces each branch."""
+    from umls2rdf_spark.operators.sessionize import asof_join_auto
+    from umls2rdf_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    kw = dict(
+        left_id="event_id", left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    window_path = asof_join_auto(ev, orders, pair_budget=1 << 60, **kw)
+    merge_path = asof_join_auto(ev, orders, pair_budget=0, **kw)
+    assert window_path.columns == merge_path.columns
+    w = {tuple(r) for r in window_path.collect()}
+    m = {tuple(r) for r in merge_path.collect()}
+    assert w == m

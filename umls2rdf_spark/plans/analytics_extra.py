@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.operators.ranking import top1_per_group
-from umls2rdf_spark.operators.sessionize import asof_join, session_counts
+from umls2rdf_spark.operators.sessionize import asof_join_auto, session_counts
 from umls2rdf_spark.sources.parquet import load_table
 
 
@@ -89,11 +89,19 @@ GROUP BY user_id
 """
 
 
-# ── B8 asof_join ────────────────────────────────────────────────────
+# ── B8 asof_join (adaptive dispatch) ────────────────────────────────
 def asof_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = asof_join(
+    """Adaptive as-of join: the dispatcher estimates join fan-out and
+    picks the window path (small pair counts — stays in codegen) or
+    the bucket-cogroup merge path (scale). Identical results either
+    way; asof_join_merge below pins the merge path for the bench."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join_auto(
         ev,
         orders,
         left_id="event_id",
@@ -102,6 +110,7 @@ def asof_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
     )
     return joined.select(
         "event_id",
@@ -217,14 +226,18 @@ ORACLES["json_extract"] = JSON_EXTRACT_SQL
 
 # ── B24 asof_join_merge (cogroup merge_asof scale path) ────────────
 def asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as-of semantics as asof_join, via cogroup+merge_asof —
-    O(n log n) per key instead of the range-join pair explosion
-    (measured 3x faster at 10x scale, identical results; the window
-    variant wins below ~100k events). Shares the oracle."""
+    """Same as-of semantics as asof_join, via bucket-cogroup +
+    vectorized merge_asof(by=key) — O(n log n) per bucket instead of
+    the range-join pair explosion, identical results, shared oracle.
+    Both sides pre-projected: only the needed columns cross Arrow."""
     from umls2rdf_spark.operators.sessionize import asof_join_cogroup
 
-    ev = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
     joined = asof_join_cogroup(
         ev, orders,
         left_key="user_id", right_key="o_custkey",
