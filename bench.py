@@ -6,6 +6,10 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count-materialized) after a
 warmup of the session; per-query wall time includes planning.
+
+After printing the JSON line (stdout contract for the driver), a
+regression report against the newest BENCH_r*.json in the repo goes
+to STDERR: any query >1.5x slower than last round is flagged.
 """
 
 from __future__ import annotations
@@ -68,6 +72,57 @@ def main() -> None:
             }
         )
     )
+    report_regressions(timings)
+
+
+def _latest_bench() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json next to this file, parsed."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not paths:
+        return None
+    with open(paths[-1]) as fh:
+        data = json.load(fh)
+    prev = data.get("parsed") or {}
+    if not prev.get("queries"):
+        return None
+    return os.path.basename(paths[-1]), prev
+
+
+def report_regressions(
+    timings: dict[str, float], threshold: float = 1.5
+) -> None:
+    """Per-query diff vs the previous round's bench — >threshold
+    slower (and >0.2s absolute, to ignore sub-100ms jitter) is
+    flagged. Stderr only: stdout stays the one-line JSON contract."""
+    ref = _latest_bench()
+    if ref is None:
+        print("bench-diff: no previous BENCH_r*.json", file=sys.stderr)
+        return
+    name, prev = ref
+    pq = prev["queries"]
+    flagged, improved = [], []
+    for q, t in sorted(timings.items()):
+        if q not in pq:
+            continue
+        if t > pq[q] * threshold and t - pq[q] > 0.2:
+            flagged.append(f"  REGRESSION {q}: {pq[q]:.2f}s -> {t:.2f}s")
+        elif pq[q] > t * threshold and pq[q] - t > 0.2:
+            improved.append(f"  improved {q}: {pq[q]:.2f}s -> {t:.2f}s")
+    total_prev = prev.get("value")
+    total_now = round(sum(timings.values()), 3)
+    print(
+        f"bench-diff vs {name}: total {total_prev}s -> {total_now}s; "
+        f"{len(flagged)} regression(s), {len(improved)} improvement(s)",
+        file=sys.stderr,
+    )
+    for line in flagged + improved:
+        print(line, file=sys.stderr)
 
 
 if __name__ == "__main__":

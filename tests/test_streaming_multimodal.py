@@ -117,3 +117,49 @@ def test_streaming_dedup(spark):
     n_src = load_table(spark, SF_DIR, "events").count()
     assert got.count() == n_src  # source has unique event_ids
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_resize_images_with_shim(spark, media_df):
+    """The real resize path (decode → resize → re-encode, Arrow both
+    ways) driven through Spark with a PIL-compatible shim — the
+    classes are defined in-function so cloudpickle ships them by
+    value to the workers."""
+
+    class FakeImg:
+        def __init__(self, b):
+            self.b = b
+
+        def resize(self, size):
+            self.size = size
+            return self
+
+        def save(self, buf, format):
+            tag = f"RESIZED:{format}:{self.size[0]}x{self.size[1]}:"
+            buf.write(tag.encode() + self.b[:8])
+
+    class FakeImageModule:
+        @staticmethod
+        def open(bio):
+            return FakeImg(bio.read())
+
+    from umls2rdf_spark.operators.multimodal import resize_images
+
+    out = resize_images(media_df, 64, 32, image_module=FakeImageModule)
+    rows = {r["media_id"]: bytes(r["content"]) for r in out.collect()}
+    assert len(rows) == media_df.count()
+    for mid, blob in rows.items():
+        assert blob.startswith(b"RESIZED:PNG:64x32:"), (mid, blob)
+
+
+def test_resize_images_without_pil_raises(spark, media_df):
+    """PIL absent and no shim → the Spark task must surface
+    NotImplementedError, not fake a resize."""
+    import pytest
+
+    from umls2rdf_spark.operators.multimodal import _try_pil, resize_images
+
+    if _try_pil() is not None:
+        pytest.skip("PIL present in this environment")
+    out = resize_images(media_df, 8, 8)
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+        out.collect()

@@ -111,23 +111,62 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation requires PIL; without it this
-    raises at plan-execution time with a clear message (the Spark
-    plumbing — signature, schema, batching — is the tested part)."""
-    if _try_pil() is None:
-        def fail(_batches):
-            raise NotImplementedError(
-                "resize_images requires PIL, which is not available in "
-                "this environment; see image_features for the stubbed "
-                "decode pattern"
-            )
-            yield  # pragma: no cover
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fmt: str = "PNG",
+    image_module=None,
+) -> DataFrame:
+    """Decode → resize → re-encode an image binary column, Arrow-
+    batched via mapInPandas. Uses PIL imported ON THE WORKER when
+    available; without it the task raises ``NotImplementedError`` at
+    plan-execution time with a clear message (never silently fakes a
+    resize — unlike feature extraction, the output here IS the
+    decoded media).
 
-        return df.mapInPandas(
-            fail, schema="media_id long, content binary"
-        )
-    raise NotImplementedError("real PIL resize path not implemented yet")
+    ``image_module`` injects a PIL-compatible shim (``.open(buf)`` →
+    object with ``.resize((w,h))`` and ``.save(buf, format=...)``) so
+    the full Spark path — Arrow in, resize loop, binary column out —
+    is unit-testable in PIL-less environments.
+    """
+    df = df.repartition(F.col("media_id"))
+
+    def resize(batches):
+        import io
+
+        import pandas as pd
+
+        Image = image_module
+        if Image is None:
+            try:
+                from PIL import Image  # type: ignore[no-redef]
+            except Exception:
+                Image = None
+        for pdf in batches:
+            if Image is None:
+                raise NotImplementedError(
+                    "resize_images requires PIL (or an image_module "
+                    "shim), which is not available in this environment; "
+                    "see image_features for the stubbed decode pattern"
+                )
+            ids, blobs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                img = Image.open(io.BytesIO(b))
+                resized = img.resize((width, height))
+                buf = io.BytesIO()
+                resized.save(buf, format=fmt)
+                ids.append(mid)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "content": blobs,
+                }
+            )
+
+    return df.mapInPandas(resize, schema="media_id long, content binary")
 
 
 def frame_sample(

@@ -691,6 +691,7 @@ def write_ontology(
     load_on_cuis: bool = False,
     include_semantic_types: bool = True,
     umls_version: str = "2025AB",
+    ordered: bool = True,
 ) -> None:
     """Full document export (write_into at umls2rdf.py:745-789):
     prefixes + ontology header + class blocks + property declarations
@@ -698,7 +699,15 @@ def write_ontology(
     streaming writes, no driver collect, so a 100 TB export writes at
     cluster width. Blocks are ordered by code (the reference emits in
     dict-insertion order, which is DB-scan order — not reproducible;
-    RDF semantics are order-free)."""
+    RDF semantics are order-free).
+
+    ``ordered=True`` (default) totally orders the document — stable
+    byte-identical output, but a full range-partitioning Exchange
+    purely for cosmetics. ``ordered=False`` is the scale mode: blocks
+    are sorted only WITHIN partitions (no Sort Exchange at all), each
+    part file is still internally tidy and the triple SET is
+    identical; use it for 100 TB exports where a global sort of the
+    document text would dominate the job."""
     from umls2rdf_spark.rdf.turtle import PREFIXES
 
     spark = tables["MRCONSO"].sparkSession
@@ -747,7 +756,19 @@ def write_ontology(
     doc = parts[0]
     for p in parts[1:]:
         doc = doc.unionByName(p)
-    doc.orderBy("sort").select("ttl").write.mode("overwrite").text(output_dir)
+    assemble_document(doc, ordered).write.mode("overwrite").text(output_dir)
+
+
+def assemble_document(doc: DataFrame, ordered: bool) -> DataFrame:
+    """Final ordering stage of the export, factored out so plan
+    audits can assert the scale mode introduces NO Sort Exchange
+    (sortWithinPartitions = in-partition sort only; the ordered mode
+    pays a rangepartitioning Exchange for byte-stable output)."""
+    if ordered:
+        doc = doc.orderBy("sort")
+    else:
+        doc = doc.sortWithinPartitions("sort")
+    return doc.select("ttl")
 
 
 def _empty_like(ref_df: DataFrame, cols: str) -> DataFrame:
