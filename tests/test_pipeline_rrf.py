@@ -280,3 +280,39 @@ def test_scale_mode_export_no_global_sort(spark, tmp_path):
         r["value"] for r in spark.read.text(p).collect() if r["value"]
     )
     assert read(out_o) == read(out_s)
+
+
+def test_stage_release_roundtrip(spark, tmp_path):
+    """download_umls.py counterpart: zip a fixture release (nested
+    <ver>/META like real UMLS zips), stage it, load tables, and run
+    the pipeline off the staged dir — acquisition → staging → export
+    end-to-end with integrity check."""
+    import hashlib
+    import zipfile
+
+    import pytest
+
+    from umls2rdf_spark.sources.release import stage_release, verify_md5
+
+    rrf = _fixture_rrf_dir(tmp_path)
+    zpath = str(tmp_path / "umls-2025AB-full.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name in os.listdir(rrf):
+            zf.write(os.path.join(rrf, name), f"2025AB/META/{name}")
+    md5 = hashlib.md5(open(zpath, "rb").read()).hexdigest()
+
+    work = str(tmp_path / "stage")
+    staged = stage_release(zpath, work, expected_md5=md5)
+    assert staged.endswith(os.path.join("2025AB", "META"))
+    tables = load_umls_tables(spark, staged)
+    out = run_pipeline(
+        tables, "DEMO,DEMO.ttl,load_on_codes\n", str(tmp_path / "rel_out")
+    )
+    assert list(out) == ["DEMO"]
+
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        verify_md5(zpath, "0" * 32)
+    with pytest.raises(ValueError, match="unsupported"):
+        from umls2rdf_spark.sources.release import fetch_release
+
+        fetch_release("ftp://x/y.zip", work)

@@ -105,3 +105,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_table(spark, "li_bucketed")
         drop_table(spark, "orders_bucketed")
+
+
+def test_set_ops_uses_semi_and_anti_joins(spark):
+    """The composed set_ops demo must realize NOT EXISTS as a
+    LeftAnti and the keep-set membership as a LeftSemi — never a
+    materialized IN-list or cross product."""
+    plan = plan_of(spark, "set_ops")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """All four grouping sets come from ONE Expand — the fact is read
+    and shuffled once, never a Union of one aggregate per set."""
+    plan = plan_of(spark, "grouping_sets")
+    # formatted mode lists each node in the tree and again in the
+    # details section → exactly one Expand node = 2 mentions
+    assert plan.count("Expand") == 2, plan
+    assert "Union" not in plan, plan
+
+
+def test_ann_lsh_salting_broadcasts_bucket_counts(spark):
+    """Oversized-bucket salting joins the 2^planes-row count table as
+    a broadcast — the featurized fact is never shuffled for it."""
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_asof_merge_is_cogrouped_pandas_not_row_udf(spark):
+    plan = plan_of(spark, "asof_join_merge")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
