@@ -184,3 +184,53 @@ def test_asof_auto_paths_agree(spark):
     w = {tuple(r) for r in window_path.collect()}
     m = {tuple(r) for r in merge_path.collect()}
     assert w == m
+
+
+def test_text_features_matches_individual_ops(spark):
+    """The fused text_features projection (the driver demo) must agree
+    column-for-column with the individual lang_id / quality_score /
+    token_count library operators it composes."""
+    from umls2rdf_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        text_features,
+        token_count,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    fused = {
+        r["doc_id"]: r
+        for r in text_features(docs, "doc_id", "text").collect()
+    }
+    for r in lang_id(docs, "doc_id", "text").collect():
+        assert fused[r["doc_id"]]["pred_lang"] == r["pred_lang"]
+    for r in quality_score(docs, "doc_id", "text").collect():
+        f = fused[r["doc_id"]]
+        assert f["n_tokens"] == r["n_tokens"]
+        assert f["n_stopwords"] == r["n_stopwords"]
+        assert f["punct_ratio"] == r["punct_ratio"]
+        assert f["quality"] == r["quality"]
+    for r in token_count(docs, "doc_id", "text").collect():
+        f = fused[r["doc_id"]]
+        assert f["n_tokens"] == r["ws_tokens"]
+        assert f["re_tokens"] == r["re_tokens"]
+
+
+def test_exact_dedupe_groups_consistent_with_fingerprint(spark):
+    """Raw-md5 dedup groups partition the corpus, and their hash key
+    space is exactly doc_fingerprint's raw_fp column."""
+    from umls2rdf_spark.operators.dedup import exact_dedupe_groups
+    from umls2rdf_spark.operators.textstats import doc_fingerprint
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    groups = exact_dedupe_groups(docs, "doc_id", "text")
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+    fps = (
+        doc_fingerprint(docs, "doc_id", "text")
+        .select(F.col("raw_fp").alias("text_hash"))
+        .distinct()
+    )
+    assert groups.join(fps, "text_hash", "left_anti").count() == 0
+    assert fps.join(groups, "text_hash", "left_anti").count() == 0

@@ -163,3 +163,17 @@ def test_resize_images_without_pil_raises(spark, media_df):
     out = resize_images(media_df, 8, 8)
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         out.collect()
+
+
+def test_audio_features_stub(spark, media_df):
+    from umls2rdf_spark.operators.multimodal import audio_features
+
+    feats = {r["media_id"]: r for r in audio_features(media_df).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert feats[2]["n_bytes"] == len(b"RIFF fake wav bytes " * 400)
+    assert feats[2]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert 0.0 <= feats[2]["rms"] <= 1.0
+    # deterministic fake: same bytes → same features
+    again = {r["media_id"]: r for r in audio_features(media_df).collect()}
+    assert feats[2]["sample_rate"] == again[2]["sample_rate"]
+    assert feats[2]["rms"] == again[2]["rms"]

@@ -12,8 +12,12 @@ variant has an exact SQL oracle. Scale notes per operator:
   duplicate cluster) is handled by AQE skew-join splitting.
 - simhash: per-bit weighted sums via conditional aggregation — a
   single groupBy, no pairwise work at all.
-- n-gram jaccard: exact pair similarity within a blocking key; the
-  blocking key bounds the quadratic term.
+- jaccard verify: exact similarity ONLY for LSH candidate pairs
+  (the standard minhash pipeline's verify stage) — cost bounded by
+  the banding, never all-pairs. The block-keyed all-pairs variant
+  (ngram_jaccard_pairs) remains for small dimension tables.
+- connected components: alternating large-star/small-star — O(log n)
+  rounds independent of component diameter.
 """
 
 from __future__ import annotations
