@@ -234,3 +234,43 @@ def test_exact_dedupe_groups_consistent_with_fingerprint(spark):
     )
     assert groups.join(fps, "text_hash", "left_anti").count() == 0
     assert fps.join(groups, "text_hash", "left_anti").count() == 0
+
+
+def test_scrub_text(spark):
+    from umls2rdf_spark.operators.textstats import scrub_text
+
+    rows = [
+        (1, "mail me at bob.smith+x@example.org please"),
+        (2, "see https://example.com/a?b=c#d for details"),
+        (3, "call +1 (415) 555-0199 today"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["text"]
+        for r in scrub_text(df, "text").collect()
+    }
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "see <URL> for details"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == rows[3][1]
+    # plan stays JVM-side
+    plan = scrub_text(df, "text")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_ratio(spark):
+    from umls2rdf_spark.operators.textstats import repetition_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam"),      # 4 bigrams, 1 distinct
+        (2, "all words here are different"),  # 4 bigrams, 4 distinct
+        (3, "x"),                             # too short: 0 bigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in repetition_ratio(df, "id", "text").collect()}
+    assert got[1]["rep_ratio"] == 0.75
+    assert got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["rep_ratio"] == 0.0
