@@ -274,3 +274,36 @@ def test_repetition_ratio(spark):
     assert got[1]["rep_ratio"] == 0.75
     assert got[2]["rep_ratio"] == 0.0
     assert got[3]["n_grams"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_train_ivf_centroids_deterministic_and_improves(spark):
+    """The IVF k-means training pass (exact integer Lloyd's) must be
+    reproducible run-to-run and reduce within-cell squared error vs
+    the untrained grid init."""
+    import numpy as np
+
+    from umls2rdf_spark.operators.similarity import (
+        ivf_centroid,
+        train_ivf_centroids,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    trained = train_ivf_centroids(emb, "vec_id", "embedding", cells=8, iters=3)
+    assert trained == train_ivf_centroids(
+        emb, "vec_id", "embedding", cells=8, iters=3
+    )
+
+    V = np.vstack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    Y = V * 1000
+    q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+
+    def sse(cent):
+        c = np.array(cent, dtype=np.int64)
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    grid = [[ivf_centroid(i, j) for j in range(64)] for i in range(8)]
+    assert sse(trained) < sse(grid), (sse(trained), sse(grid))

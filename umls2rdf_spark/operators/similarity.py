@@ -317,6 +317,87 @@ def ivf_centroid(cell: int, j: int) -> int:
     return (cell * 48271 + j * 16807) % 1001 - 500
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> list[list[int]]:
+    """Distributed Lloyd's k-means over the quantized vectors — the
+    IVF training pass. Fully deterministic so a trained index is
+    reproducible (and oracle-expressible) anywhere:
+
+    - init: the grid centroids (:func:`ivf_centroid`), the same seed
+      the untrained path uses;
+    - assign: exact int64 squared-L2, ties to the lowest cell id;
+    - update: per-cell component-wise integer mean (exact int sums,
+      floor division) — independent of partitioning and row order.
+
+    Each iteration is one Spark job: assignment + partial int sums
+    per partition (mapInPandas), a ``cells``-row collect, and a
+    driver-side division. The per-iteration shuffle is cells x dim
+    integers per partition — nothing scales with n. Empty cells keep
+    their previous centroid. Returns a plain int matrix usable as
+    ``ivf_cosine_topk(centroids=...)`` or to generate oracle SQL.
+    """
+    import numpy as np
+
+    cent = np.array(
+        [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
+        dtype=np.int64,
+    )
+    quant = vectors.repartition(F.col(id_col))
+    for _ in range(iters):
+        cmat = cent.copy()
+
+        def partials(batches):
+            import pandas as pd_
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf[vec_col].values).astype(np.float64)
+                Y = V * 1000
+                q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+                d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                cell = d2.argmin(axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    sel = q[cell == c]
+                    rows.append(
+                        (int(c), [int(x) for x in sel.sum(axis=0)], len(sel))
+                    )
+                yield pd_.DataFrame(
+                    rows, columns=["cell", "sums", "cnt"]
+                )
+
+        agg = (
+            quant.mapInPandas(
+                partials, schema="cell int, sums array<long>, cnt long"
+            )
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("sums").getItem(j)).alias(f"s{j}")
+                        for j in range(dim)
+                    ]
+                ).alias("sums"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for row in agg:
+            c, sums, cnt = row["cell"], row["sums"], row["cnt"]
+            if cnt > 0:
+                new_cent[c] = np.array(sums, dtype=np.int64) // cnt
+        cent = new_cent
+    return [[int(x) for x in row] for row in cent]
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     id_col: str,
@@ -324,21 +405,25 @@ def ivf_cosine_topk(
     k: int = 3,
     cells: int = 8,
     dim: int = 64,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: assign each vector to its nearest fixed centroid
+    """IVF-style ANN: assign each vector to its nearest centroid
     (exact integer squared-L2, ties to the lowest cell id), then exact
     cosine top-k within the cell — the inverted-file counterpart of
-    the hyperplane LSH path. At scale the centroid table comes from a
-    training pass (k-means); here it's a deterministic grid so the
-    SQL oracle can reproduce assignments bit-for-bit.
+    the hyperplane LSH path. ``centroids`` takes a trained matrix
+    from :func:`train_ivf_centroids`; default is the deterministic
+    grid, which the demo keeps so its SQL oracle stays a fixed text.
     """
     import numpy as np
     import pandas as pd
 
-    cent = np.array(
-        [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
-        dtype=np.int64,
-    )
+    if centroids is not None:
+        cent = np.array(centroids, dtype=np.int64)
+    else:
+        cent = np.array(
+            [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
+            dtype=np.int64,
+        )
 
     def featurize(batches):
         for pdf in batches:
