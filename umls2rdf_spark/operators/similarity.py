@@ -317,6 +317,91 @@ def ivf_centroid(cell: int, j: int) -> int:
     return (cell * 48271 + j * 16807) % 1001 - 500
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    planes: int | None = None,
+    dim: int = 64,
+    target_bucket: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    whose exact quantized cosine is >= ``min_cos``, candidates bounded
+    by the same adaptive hyperplane bucketing (+ optional salting) as
+    :func:`lsh_cosine_topk` — the dedup-flavored output shape (pair
+    list to feed connected components) rather than per-query top-k.
+    All math exact int64, so a SQL oracle reproduces it bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if planes is None:
+        planes = auto_planes(vectors.count(), target_bucket)
+    coeff = hyperplane_bucket_expr(dim, planes)
+    plane_mat = np.array(
+        [[coeff(i, j) for j in range(dim)] for i in range(planes)],
+        dtype=np.int64,
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            norm2 = (q * q).sum(axis=1)
+            sign_dots = q @ plane_mat.T
+            bucket = ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "qvec": list(q),
+                    "norm2": norm2,
+                    "bucket": bucket.astype(np.int32),
+                }
+            )
+
+    feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
+    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+        featurize, schema=feat_schema
+    )
+    feat = salt_oversized_buckets(feat, id_col, max_bucket)
+    group_cols = ["bucket"] if max_bucket is None else ["bucket", "salt"]
+    threshold = float(min_cos)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos_sim": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        if n < 2:
+            return empty
+        q = np.vstack(pdf["qvec"].values).astype(np.int64)
+        ids = pdf[id_col].values.astype(np.int64)
+        order = np.argsort(ids)
+        q, ids = q[order], ids[order]
+        n2 = pdf["norm2"].values.astype(np.float64)[order]
+        cos = (q @ q.T) / np.sqrt(np.outer(n2, n2))
+        iu = np.triu_indices(n, k=1)
+        keep = cos[iu] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "cos_sim": cos[iu][keep],
+            }
+        )
+
+    return feat.groupBy(*group_cols).applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     id_col: str,

@@ -288,7 +288,10 @@ _PLANE_DOTS = ",\n         ".join(
     f"SUM(CASE WHEN p.plane_id = {i} THEN c.comp * p.coeff ELSE 0 END) AS d{i}"
     for i in range(_LSH_PLANES)
 )
-ANN_LSH_SQL = f"""
+# CTE prefix shared by the two LSH-bucketed oracles (top-k ANN and
+# near-dup pairs): quantize, component-explode, norms, plane dots,
+# bucket assembly, bucket counts, deterministic salting.
+_LSH_CTE_PREFIX = f"""
 WITH qv AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -313,7 +316,9 @@ salted AS (
               THEN {stable_hash40_sql('CAST(b.vec_id AS VARCHAR)')}
                    % ((c.cnt + {_LSH_MAX_BUCKET} - 1) // {_LSH_MAX_BUCKET})
               ELSE 0 END AS salt
-  FROM buckets b JOIN bcnt c USING (bucket)),
+  FROM buckets b JOIN bcnt c USING (bucket))"""
+
+ANN_LSH_SQL = f"""{_LSH_CTE_PREFIX},
 dots AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          SUM(a.comp * b.comp) AS dot
@@ -337,6 +342,53 @@ FROM (SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= {_LSH_K}
+"""
+
+
+# ── C2b dedup_embedding (cosine near-dup pairs over LSH buckets) ────
+_NEAR_DUP_MIN_COS = 0.3  # synthetic embeddings top out near 0.42;
+# production near-dup thresholds (~0.95) are the same knob.
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, exact
+    quantized cosine >= threshold) from the same adaptive+salted
+    hyperplane buckets as ann_lsh_topk — the dedup-shaped output (a
+    pair list ready for connected components) as opposed to per-query
+    top-k."""
+    from umls2rdf_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        min_cos=_NEAR_DUP_MIN_COS,
+        planes=None,
+        target_bucket=_LSH_TARGET_BUCKET,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""{_LSH_CTE_PREFIX},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(a.comp * b.comp) AS dot
+  FROM (SELECT c.*, s.bucket, s.salt
+        FROM comps c JOIN salted s USING (vec_id)) a
+  JOIN (SELECT c.*, s.bucket, s.salt
+        FROM comps c JOIN salted s USING (vec_id)) b
+    ON a.bucket = b.bucket AND a.salt = b.salt
+   AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE)
+         / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE))
+      >= {_NEAR_DUP_MIN_COS}
 """
 
 
@@ -397,6 +449,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
     "ngram_jaccard": ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -407,6 +460,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,

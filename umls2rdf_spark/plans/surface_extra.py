@@ -66,18 +66,22 @@ WHERE c_custkey IN (SELECT custkey FROM keep)
 """
 
 
-# ── histogram + multi-column distinct aggregates ────────────────────
+# ── histogram + distinct aggregates + exact percentiles ─────────────
 def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """o_totalprice histogram in 50k-wide buckets with per-bucket
-    COUNT(DISTINCT ...) on two columns (SURVEY B19 + B20).
+    COUNT(DISTINCT ...) on two columns and exact interpolated
+    median/p90 price (SURVEY B19 + B20 + B21).
 
     Bucket index is exact integer math (floor division of a 2-decimal
     fixed-point), so edges are engine-independent; the multi-distinct
-    agg exercises Spark's expand-based distinct aggregation.
+    agg exercises Spark's expand-based distinct aggregation; Spark
+    percentile() and DuckDB quantile_cont() share the linear
+    interpolation definition over exact 2-decimal inputs.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     bucket = F.floor(cents / F.lit(5_000_000)).cast("bigint")
+    price = F.col("o_totalprice").cast("double")
     return (
         orders.withColumn("bucket", bucket)
         .groupBy("bucket")
@@ -85,6 +89,8 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_custs"),
             F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.percentile(price, F.lit(0.5)).alias("median_price"),
+            F.percentile(price, F.lit(0.9)).alias("p90_price"),
         )
         .orderBy("bucket")
     )
@@ -95,47 +101,21 @@ SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                   / 5000000) AS BIGINT) AS bucket,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_custs,
-       COUNT(DISTINCT o_orderpriority) AS n_prios
+       COUNT(DISTINCT o_orderpriority) AS n_prios,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_price,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_price
 FROM orders
 GROUP BY 1
 ORDER BY 1
 """
 
 
-# ── exact percentiles ───────────────────────────────────────────────
-def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median/p90 of quantity per returnflag —
-    Spark percentile() and DuckDB quantile_cont() share the linear
-    interpolation definition; inputs are exact 2-decimal values."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
-            F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("p90_qty"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-PERCENTILES_SQL = """
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.5) AS median_qty,
-       quantile_cont(l_quantity, 0.9) AS p90_qty
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
 QUERIES = {
     "set_ops": set_ops,
     "histogram": histogram,
-    "percentiles": percentiles,
 }
 
 ORACLES = {
     "set_ops": SET_OPS_SQL,
     "histogram": HISTOGRAM_SQL,
-    "percentiles": PERCENTILES_SQL,
 }
