@@ -307,3 +307,70 @@ def test_train_ivf_centroids_deterministic_and_improves(spark):
 
     grid = [[ivf_centroid(i, j) for j in range(64)] for i in range(8)]
     assert sse(trained) < sse(grid), (sse(trained), sse(grid))
+
+
+def test_chunk_documents(spark):
+    from umls2rdf_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "id long, text string"
+    )
+    out = chunk_documents(df, "id", "text", chunk_tokens=4, overlap=1)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 3 over 10 tokens: starts 0,3,6,9
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short doc"]
+    assert by_doc[3][0]["n_tokens"] == 0  # empty doc -> one empty chunk
+
+
+def test_decontaminate(spark):
+    from umls2rdf_spark.operators.corpus import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    flagged = decontaminate(
+        corpus, bench, "doc_id", "text", "bench_id", "text",
+        shingle_n=5, min_shared=2,
+    )
+    rows = flagged.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert rows[0]["bench_id"] == 100 and rows[0]["n_shared"] >= 2
+    # anti-join drop pattern
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_stratified_sample_deterministic(spark):
+    from umls2rdf_spark.operators.corpus import stratified_sample
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    s1 = stratified_sample(docs, "source", "doc_id", {"src1": 0.5, "src2": 0.1})
+    s2 = stratified_sample(
+        docs.repartition(7), "source", "doc_id", {"src1": 0.5, "src2": 0.1}
+    )
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # partition-invariant
+    kept = {r["source"] for r in s1.select("source").distinct().collect()}
+    assert kept <= {"src1", "src2"}  # absent strata dropped
+    n_web_all = docs.where("source = 'src1'").count()
+    n_web_kept = s1.where("source = 'src1'").count()
+    if n_web_all >= 20:
+        assert 0.3 * n_web_all < n_web_kept < 0.7 * n_web_all

@@ -1,0 +1,134 @@
+"""Corpus-preparation operators for training-data pipelines:
+document chunking, benchmark decontamination, deterministic
+stratified sampling.
+
+All pure Catalyst expressions / joins — no UDFs — so they run at
+scan/shuffle speed on a 100 TB corpus. Determinism rule (same as
+split_assign): anything sampling-like keys off stable_hash40 of the
+id, never random(), so results are reproducible across runs,
+engines, partitionings and data order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import stable_hash40
+from umls2rdf_spark.operators.dedup import shingle_rows
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization step for long-context training data.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens), one row per
+    window; stride = chunk_tokens - overlap; the final partial window
+    is kept (a document shorter than one chunk yields one row).
+    Array slicing happens map-side on the already-split token array —
+    the explode multiplies rows, never re-tokenizes.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_t = df.select(F.col(id_col), toks.alias("__t"))
+    # window start offsets: 0, stride, 2*stride, ... < size (always
+    # at least one window, even for empty docs)
+    starts = F.expr(
+        f"sequence(0, greatest(size(__t) - 1, 0), {stride})"
+    )
+    exploded = with_t.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        F.col("__t"),
+    )
+    # keep windows that start within the document, except the
+    # degenerate repeat when the last stride lands exactly at size
+    window = F.slice(F.col("__t"), F.col("start") + 1, chunk_tokens)
+    return (
+        exploded.where(
+            (F.col("start") == 0) | (F.col("start") < F.size("__t"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.concat_ws(" ", window).alias("chunk_text"),
+            F.size(window).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing at
+    least ``min_shared`` distinct word ``shingle_n``-grams with any
+    benchmark document (the published n-gram-overlap procedure used
+    for LLM training sets; 8-13-gram overlap is the common range).
+
+    Shape: shingle both sides (map-side explode), inner join on the
+    shingle — the benchmark side is tiny relative to the corpus, so
+    at scale Catalyst broadcasts it and the corpus is never shuffled.
+    Returns (id, bench_id, n_shared) for flagged pairs; anti-join the
+    corpus against it to drop contaminated documents.
+    """
+    cs = shingle_rows(
+        corpus.repartition(F.col(id_col)), id_col, text_col, shingle_n
+    ).distinct()
+    bs = (
+        shingle_rows(benchmark, bench_id_col, bench_text_col, shingle_n)
+        .distinct()
+        .withColumnRenamed(bench_id_col, "bench_id")
+    )
+    shared = (
+        cs.join(bs, "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return shared
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float] | float,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``stable_hash40(id) mod precision < fraction * precision`` for
+    its stratum — reproducible anywhere (``df.sampleBy`` is seeded
+    but partition-order-sensitive), and consistent across tables
+    (the same id always samples the same way).
+
+    ``fractions``: one float for all strata, or {stratum: fraction}
+    (strata absent from the dict are dropped).
+    """
+    bucket = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.lit(precision)
+    )
+    if isinstance(fractions, dict):
+        cut = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == value
+            lim = F.lit(int(frac * precision))
+            cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+        cut = cut.otherwise(F.lit(0))
+    else:
+        cut = F.lit(int(float(fractions) * precision))
+    return df.where(bucket < cut)
