@@ -138,3 +138,24 @@ def test_asof_merge_is_cogrouped_pandas_not_row_udf(spark):
     plan = plan_of(spark, "asof_join_merge")
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — a sort-merge join
+    here would shuffle the entire corpus shingle set at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.corpus import decontaminate
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    flagged = decontaminate(
+        docs, bench, "doc_id", "text", "bench_id", "text", shingle_n=5
+    )
+    plan = flagged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BroadcastHashJoin" in plan, plan

@@ -81,8 +81,10 @@ def decontaminate(
     for LLM training sets; 8-13-gram overlap is the common range).
 
     Shape: shingle both sides (map-side explode), inner join on the
-    shingle — the benchmark side is tiny relative to the corpus, so
-    at scale Catalyst broadcasts it and the corpus is never shuffled.
+    shingle with the benchmark side broadcast-hinted — post-explode
+    stats are unknown to Catalyst, and a sort-merge join would
+    shuffle the ENTIRE corpus shingle set; the hint pins the plan
+    that never moves the corpus.
     Returns (id, bench_id, n_shared) for flagged pairs; anti-join the
     corpus against it to drop contaminated documents.
     """
@@ -95,7 +97,7 @@ def decontaminate(
         .withColumnRenamed(bench_id_col, "bench_id")
     )
     shared = (
-        cs.join(bs, "shingle")
+        cs.join(F.broadcast(bs), "shingle")
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
