@@ -76,18 +76,30 @@ def shingle_rows(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, perm_id, minhash) — k permutation minima per document.
 
     Shingles explode map-side; the perm table is a k-row broadcast
     cross join; the min-agg shuffles once on (id, perm_id).
+    ``shingles`` accepts a precomputed (id, shingle) frame (ideally
+    persisted) so pipelines that also verify candidates share one
+    shingling pass instead of recomputing the explode per consumer.
     """
     # single-file local reads arrive as one partition; spread the
     # shingling across the cluster before the heavy per-row work
-    shingled = shingle_rows(
-        df.repartition(F.col(id_col)), id_col, text_col, shingle_n
-    ).distinct()
+    shingled = (
+        shingles
+        if shingles is not None
+        else shingle_rows(
+            df.repartition(F.col(id_col)), id_col, text_col, shingle_n
+        ).distinct()
+    )
     hashed = shingled.select(
         F.col(id_col), stable_hash40(F.col("shingle")).alias("h")
     )
@@ -224,6 +236,7 @@ def jaccard_verify_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard restricted to candidate pairs —
     the verify stage of the standard minhash/LSH dedup pipeline
@@ -238,9 +251,10 @@ def jaccard_verify_pairs(
     intersection is empty (pure minhash collisions) survive with
     jaccard 0.0 when ``min_jaccard`` is 0.
     """
-    shingles = shingle_rows(
-        df.repartition(F.col(id_col)), id_col, text_col, shingle_n
-    ).distinct()
+    if shingles is None:
+        shingles = shingle_rows(
+            df.repartition(F.col(id_col)), id_col, text_col, shingle_n
+        ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")

