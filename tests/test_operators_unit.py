@@ -374,3 +374,37 @@ def test_stratified_sample_deterministic(spark):
     n_web_kept = s1.where("source = 'src1'").count()
     if n_web_all >= 20:
         assert 0.3 * n_web_all < n_web_kept < 0.7 * n_web_all
+
+
+def test_corpus_pipeline_composition(spark):
+    """The corpus-prep operators compose into the standard training
+    pipeline: scrub → features → dedup-drop → stratified sample →
+    chunk. Checks the shapes and that each stage only narrows."""
+    from umls2rdf_spark.operators.corpus import (
+        chunk_documents,
+        stratified_sample,
+    )
+    from umls2rdf_spark.operators.dedup import exact_dedupe_groups
+    from umls2rdf_spark.operators.textstats import scrub_text, text_features
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    clean = scrub_text(docs, "text")
+    feats = text_features(clean, "doc_id", "text")
+    keep_ids = feats.where(F.col("quality") > 0.2).select("doc_id")
+    kept = clean.join(keep_ids, "doc_id", "left_semi")
+
+    reps = exact_dedupe_groups(kept, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = kept.join(reps, "doc_id", "left_semi")
+
+    sampled = stratified_sample(deduped, "source", "doc_id", 0.8)
+    chunks = chunk_documents(sampled, "doc_id", "text", 16, 4)
+
+    n_kept, n_dedup, n_samp = kept.count(), deduped.count(), sampled.count()
+    assert n0 >= n_kept >= n_dedup >= n_samp > 0
+    assert chunks.count() >= n_samp
+    assert chunks.columns == ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
