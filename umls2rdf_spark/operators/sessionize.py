@@ -110,12 +110,12 @@ def asof_join_auto(
     + ``right_cols``.
     """
     n_left = left.count()
-    n_right = right.count()
-    n_keys = max(
-        right.agg(F.approx_count_distinct(right_key).alias("k"))
-        .collect()[0]["k"],
-        1,
-    )
+    # one job for both right-side stats (count + approx distinct)
+    stats = right.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(right_key).alias("k"),
+    ).collect()[0]
+    n_right, n_keys = stats["n"], max(stats["k"], 1)
     est_pairs = n_left * (n_right / n_keys)
     l_cols = [f.name for f in left.schema.fields]
     if est_pairs <= pair_budget:
