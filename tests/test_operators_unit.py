@@ -215,6 +215,12 @@ def test_text_features_matches_individual_ops(spark):
         f = fused[r["doc_id"]]
         assert f["n_tokens"] == r["ws_tokens"]
         assert f["re_tokens"] == r["re_tokens"]
+    from umls2rdf_spark.operators.textstats import repetition_ratio
+
+    for r in repetition_ratio(docs, "doc_id", "text", n=2).collect():
+        f = fused[r["doc_id"]]
+        assert f["n_grams"] == r["n_grams"]
+        assert f["rep_ratio"] == r["rep_ratio"]
 
 
 def test_exact_dedupe_groups_consistent_with_fingerprint(spark):

@@ -135,7 +135,29 @@ def test_ann_lsh_salting_broadcasts_bucket_counts(spark):
 
 
 def test_asof_merge_is_cogrouped_pandas_not_row_udf(spark):
-    plan = plan_of(spark, "asof_join_merge")
+    """The merge_asof scale path (no longer its own queries() key —
+    asof_join auto-dispatches to it) stays a cogrouped-pandas plan."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.sessionize import asof_join_cogroup
+    from umls2rdf_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join_cogroup(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
 

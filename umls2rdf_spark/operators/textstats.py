@@ -93,8 +93,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass document feature extraction: language id (stopword
     argmax), whitespace + regex token counts, stopword/punctuation
-    counts and ratios, and the composite quality score — the fused
-    form of lang_id/quality_score/token_count.
+    counts and ratios, the composite quality score, and the bigram
+    repetition ratio — the fused form of lang_id/quality_score/
+    token_count/repetition_ratio.
 
     A single projection: every feature shares one tokenization, so a
     100 TB corpus is read (and tokenized) once for the whole feature
@@ -127,7 +128,21 @@ def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
     len_score = F.least(n_tokens, F.lit(50)).cast("double") / F.lit(50.0)
-    return df.select(
+    # bigram repetition ratio (same expression as repetition_ratio
+    # with n=2) — rides the shared tokenization, zero extra shuffle
+    with_t = df.withColumn("__t", tok_arr)
+    grams = F.expr(
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(0, size(__t)-2), "
+        "i -> concat_ws(' ', __t[i], __t[i+1])) "
+        "ELSE array() END"
+    )
+    g_total = F.size(grams).cast("double")
+    g_distinct = F.size(F.array_distinct(grams)).cast("double")
+    rep_ratio = F.when(
+        g_total > 0, (g_total - g_distinct) / g_total
+    ).otherwise(F.lit(0.0))
+    return with_t.select(
         F.col(id_col),
         pred.alias("pred_lang"),
         n_tokens.alias("n_tokens"),
@@ -136,6 +151,8 @@ def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_punct.alias("n_punct"),
         punct_ratio.alias("punct_ratio"),
         (stop_ratio * 0.5 + len_score * 0.5).alias("quality"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        rep_ratio.alias("rep_ratio"),
     )
 
 

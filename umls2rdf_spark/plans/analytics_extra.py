@@ -224,33 +224,10 @@ QUERIES["json_extract"] = json_extract
 ORACLES["json_extract"] = JSON_EXTRACT_SQL
 
 
-# ── B24 asof_join_merge (cogroup merge_asof scale path) ────────────
-def asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as-of semantics as asof_join, via bucket-cogroup +
-    vectorized merge_asof(by=key) — O(n log n) per bucket instead of
-    the range-join pair explosion, identical results, shared oracle.
-    Both sides pre-projected: only the needed columns cross Arrow."""
-    from umls2rdf_spark.operators.sessionize import asof_join_cogroup
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_orderkey"
-    )
-    joined = asof_join_cogroup(
-        ev, orders,
-        left_key="user_id", right_key="o_custkey",
-        left_ts="ts", right_ts="o_orderdate",
-        right_tiebreak="o_orderkey",
-        right_cols=["o_orderkey", "o_orderdate"],
-    )
-    return joined.select(
-        "event_id", "user_id",
-        F.col("o_orderkey").alias("asof_orderkey"),
-        F.col("o_orderdate").alias("asof_date"),
-    )
-
-
-QUERIES["asof_join_merge"] = asof_join_merge
-ORACLES["asof_join_merge"] = ASOF_JOIN_SQL
+# B8b (cogroup merge_asof scale path) is no longer a separate
+# queries() key: it produced rows identical to asof_join against the
+# identical oracle (CORRECTNESS_r02), so the auto-dispatched asof_join
+# demo above carries both SURVEY rows and the freed slot funds the
+# corpus_prep demo (plans/llm_demos.py). The merge path itself stays
+# covered by tests/test_operators_unit.py (window-vs-merge equality)
+# and dispatchable via asof_join_auto / asof_join_cogroup.

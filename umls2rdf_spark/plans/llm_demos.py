@@ -414,11 +414,12 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE))
 """
 
 
-# ── C7+C8+C9 text_features (lang id, token counts, quality) ────────
+# ── C7+C8+C9+C16 text_features (lang id, tokens, quality, rep) ─────
 def text_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused one-pass feature extraction: language id + token counts +
-    quality features share a single tokenization and corpus scan (the
-    individual lang_id / quality_score / token_count operators remain
+    quality features + bigram repetition ratio share a single
+    tokenization and corpus scan (the individual lang_id /
+    quality_score / token_count / repetition_ratio operators remain
     the library surface)."""
     return text_features(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
@@ -449,7 +450,11 @@ m AS (
          AS BIGINT) AS n_stopwords,
     CAST(length(text) AS BIGINT) AS n_chars,
     CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-         AS BIGINT) AS n_punct
+         AS BIGINT) AS n_punct,
+    CASE WHEN len(f) >= 2
+         THEN list_transform(generate_series(1, len(f) - 1),
+                             i -> f[i] || ' ' || f[i+1])
+         ELSE [] END AS grams
   FROM t)
 SELECT doc_id,
        CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
@@ -462,7 +467,13 @@ SELECT doc_id,
        (CASE WHEN n_tokens > 0
              THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              ELSE 0.0 END) * 0.5
-       + CAST(least(n_tokens, 50) AS DOUBLE) / 50.0 * 0.5 AS quality
+       + CAST(least(n_tokens, 50) AS DOUBLE) / 50.0 * 0.5 AS quality,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CASE WHEN len(grams) > 0
+            THEN (CAST(len(grams) AS DOUBLE)
+                  - CAST(len(list_distinct(grams)) AS DOUBLE))
+                 / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
 FROM m
 """
 
@@ -647,3 +658,152 @@ ORDER BY 1
 
 QUERIES["split_assign"] = split_assign_demo
 ORACLES["split_assign"] = SPLIT_ASSIGN_SQL
+
+
+# ── C15+C17+C18+C19 corpus_prep (scrub → decontaminate → sample →
+#    chunk, the composed training-data preparation pipeline) ─────────
+from umls2rdf_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    stratified_sample,
+)
+from umls2rdf_spark.operators.textstats import SCRUB_PATTERNS, scrub_text
+
+# A deterministic PII-bearing suffix appended to every 10th document
+# before scrubbing: the synthetic corpus contains no emails/URLs/
+# phones, so without this the scrub stage would be a hash-invisible
+# no-op. With it, the scrubbed placeholders flow into the shingles,
+# the sample and the chunks — any scrub deviation breaks the hash.
+_PII_SUFFIX = (
+    " contact jane.doe+test@example-mail.com or"
+    " https://example.com/a/b?q=1 or call +1 (415) 555-0199 now"
+)
+_CORPUS_BENCH_MOD = 25      # every 25th doc doubles as the benchmark
+_CORPUS_SHINGLE_N = 4       # 4-gram overlap → ~7% of sf0.01 flagged
+_CORPUS_CHUNK_TOKENS = 32
+_CORPUS_CHUNK_OVERLAP = 8
+# Per-stratum keep fractions exercising the dict path (alternating
+# 0.8/0.4 over the 20 synthetic sources).
+_CORPUS_FRACTIONS = {f"src{i}": (0.8 if i % 2 == 0 else 0.4) for i in range(20)}
+_SAMPLE_PRECISION = 1_000_000
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-preparation pipeline over ``documents``:
+
+    1. PII scrub (`scrub_text` — codegen regexp_replace chain),
+    2. benchmark decontamination (`decontaminate` — 4-gram overlap vs
+       the every-25th-doc 'benchmark' slice, contaminated docs
+       anti-joined away),
+    3. deterministic stratified sampling (`stratified_sample` — per-
+       source keep fractions keyed on stable_hash40(doc_id)),
+    4. overlapping token-window chunking (`chunk_documents`).
+
+    Returns the chunk rows (doc_id, chunk_idx, chunk_text, n_tokens)
+    — every stage's output feeds the next, so the driver hash check
+    verifies all four operators at once.
+
+    Scale shape: scrub and chunk are map-side; decontaminate
+    broadcast-joins the (small) benchmark shingle set so the corpus
+    never shuffles; sampling is a map-side hash cut. The only wide
+    stage is the flagged-id distinct (tiny).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    clean = scrub_text(aug, "text")
+    bench = clean.where(
+        F.col("doc_id") % _CORPUS_BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    flagged = decontaminate(
+        clean, bench, "doc_id", "text", "bench_id", "text",
+        shingle_n=_CORPUS_SHINGLE_N,
+    )
+    drop = (
+        flagged.where(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    kept = clean.join(drop, "doc_id", "left_anti")
+    sampled = stratified_sample(
+        kept, "source", "doc_id", _CORPUS_FRACTIONS,
+        precision=_SAMPLE_PRECISION,
+    )
+    return chunk_documents(
+        sampled, "doc_id", "text",
+        chunk_tokens=_CORPUS_CHUNK_TOKENS, overlap=_CORPUS_CHUNK_OVERLAP,
+    )
+
+
+def _scrub_sql(expr: str) -> str:
+    """DuckDB twin of scrub_text: the same ordered regexp chain with
+    the global flag (Spark regexp_replace is replace-all)."""
+    for _name, pat, repl in SCRUB_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_SHINGLE_CAT = " || ' ' || ".join(
+    f"f[i+{j}]" for j in range(_CORPUS_SHINGLE_N)
+)
+_FRACTION_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {int(frac * _SAMPLE_PRECISION)}"
+    for s, frac in _CORPUS_FRACTIONS.items()
+)
+_STRIDE = _CORPUS_CHUNK_TOKENS - _CORPUS_CHUNK_OVERLAP
+CORPUS_PREP_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 10 = 0 THEN '{_PII_SUFFIX}'
+                      ELSE '' END AS text
+  FROM documents),
+clean AS (
+  SELECT doc_id, source, {_scrub_sql('text')} AS text FROM aug),
+tok AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM clean),
+idx AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1,
+            greatest(len(f) - {_CORPUS_SHINGLE_N - 1}, 0))) AS i
+  FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_CAT} AS shingle FROM idx),
+bench AS (
+  SELECT doc_id AS bench_id, shingle FROM sh
+  WHERE doc_id % {_CORPUS_BENCH_MOD} = 0),
+dropped AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id <> b.bench_id),
+sampled AS (
+  SELECT t.doc_id, t.f
+  FROM tok t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM dropped)
+    AND {stable_hash40_sql('CAST(t.doc_id AS VARCHAR)')}
+        % {_SAMPLE_PRECISION}
+        < CASE {_FRACTION_CASE} ELSE 0 END),
+starts AS (
+  SELECT doc_id, f,
+         unnest(generate_series(0, greatest(len(f) - 1, 0),
+                                {_STRIDE})) AS s
+  FROM sampled),
+chunks AS (
+  SELECT doc_id, CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
+         list_slice(f, s + 1, s + {_CORPUS_CHUNK_TOKENS}) AS w
+  FROM starts
+  WHERE s = 0 OR s < len(f))
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(w, ' ') AS chunk_text,
+       CAST(len(w) AS BIGINT) AS n_tokens
+FROM chunks
+"""
+
+QUERIES["corpus_prep"] = corpus_prep
+ORACLES["corpus_prep"] = CORPUS_PREP_SQL
