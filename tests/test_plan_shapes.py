@@ -126,6 +126,16 @@ def test_grouping_sets_single_expand(spark):
     assert "Union" not in plan, plan
 
 
+def test_histogram_has_no_percentile_buffer_agg(spark):
+    """Exact quantiles come from per-VALUE counts + a cumulative-sum
+    window (memory bounded by the cents domain), never Spark's
+    percentile() aggregate, which buffers every group value in
+    executor memory — an OOM on a billion-row bucket."""
+    plan = plan_of(spark, "histogram")
+    assert "percentile" not in plan.lower(), plan
+    assert "Window" in plan, plan
+
+
 def test_ann_lsh_salting_broadcasts_bucket_counts(spark):
     """Oversized-bucket salting joins the 2^planes-row count table as
     a broadcast — the featurized fact is never shuffled for it."""

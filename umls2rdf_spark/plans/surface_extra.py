@@ -10,7 +10,7 @@ demo without exceeding the harness budget."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.sources.parquet import load_table
@@ -81,19 +81,71 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     bucket = F.floor(cents / F.lit(5_000_000)).cast("bigint")
-    price = F.col("o_totalprice").cast("double")
-    return (
+
+    base = (
         orders.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_custs"),
             F.countDistinct("o_orderpriority").alias("n_prios"),
-            F.percentile(price, F.lit(0.5)).alias("median_price"),
-            F.percentile(price, F.lit(0.9)).alias("p90_price"),
         )
-        .orderBy("bucket")
     )
+
+    # Counting-based exact quantile: Spark's percentile() buffers every
+    # group value in executor memory (OOM on a billion-row bucket); over
+    # a 2-decimal fixed-point domain the same exact interpolated result
+    # comes from per-VALUE counts — bounded by the 5M-cent bucket width,
+    # not the row count, at any data scale.
+    counts = (
+        orders.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_ord = Window.partitionBy("bucket").orderBy("cents")
+    w_all = Window.partitionBy("bucket")
+    e = counts.select(
+        "bucket",
+        "cents",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("prev"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    aggs, posts = [], []
+    for p, out in ((0.5, "median_price"), (0.9, "p90_price")):
+        # 0-indexed fractional rank h = (n-1)*p; the sorted value at
+        # position i is the cents row whose cumulative range covers i.
+        h = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo, hi = F.floor(h), F.ceil(h)
+        tag = out.split("_")[0]
+        aggs += [
+            F.max(h).alias(f"h_{tag}"),
+            F.max(
+                F.when((F.col("prev") <= lo) & (lo < F.col("cum")), F.col("cents"))
+            ).alias(f"vlo_{tag}"),
+            F.max(
+                F.when((F.col("prev") <= hi) & (hi < F.col("cum")), F.col("cents"))
+            ).alias(f"vhi_{tag}"),
+        ]
+        hc = F.col(f"h_{tag}")
+        # exact double prices: cents<=10^12 is double-exact and /100.0
+        # is correctly rounded, so this equals double(decimal(12,2))
+        plo = F.col(f"vlo_{tag}").cast("double") / F.lit(100.0)
+        phi = F.col(f"vhi_{tag}").cast("double") / F.lit(100.0)
+        # weighted interpolation form shared by Spark percentile() and
+        # DuckDB quantile_cont: (ceil-h)*lower + (h-floor)*higher
+        posts.append(
+            F.when(F.floor(hc) == F.ceil(hc), plo)
+            .otherwise(
+                (F.ceil(hc).cast("double") - hc) * plo
+                + (hc - F.floor(hc).cast("double")) * phi
+            )
+            .alias(out)
+        )
+
+    quant = e.groupBy("bucket").agg(*aggs).select("bucket", *posts)
+    return base.join(quant, "bucket").orderBy("bucket")
 
 
 HISTOGRAM_SQL = """
