@@ -282,8 +282,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count adapts to the corpus (auto_planes → ~target_bucket vectors
     per bucket at any n) and buckets above ``max_bucket`` are split by
     a deterministic id-hash salt, so no single skewed bucket ever
-    re-quadratizes. The oracle below is generated for the correctness
-    SF's corpus size (500 vectors → 6 planes) from the same constants.
+    re-quadratizes. The demo pins planes=_LSH_PLANES — the value
+    auto_planes derives for the correctness SF's 500-vector corpus —
+    so the operator and the generated oracle below can never disagree
+    on the bucket space, whatever table the harness runs against
+    (production callers pass planes=None for the adaptive path).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
@@ -291,7 +294,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=_LSH_K,
-        planes=None,
+        planes=_LSH_PLANES,
         target_bucket=_LSH_TARGET_BUCKET,
         max_bucket=_LSH_MAX_BUCKET,
     )
@@ -381,12 +384,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # planes pinned to the oracle-generation constant; see ann_lsh_topk
     return cosine_near_dup_pairs(
         emb,
         "vec_id",
         "embedding",
         min_cos=_NEAR_DUP_MIN_COS,
-        planes=None,
+        planes=_LSH_PLANES,
         target_bucket=_LSH_TARGET_BUCKET,
         max_bucket=_LSH_MAX_BUCKET,
     )
@@ -501,23 +505,76 @@ ORACLES = {
 }
 
 
-# ── C6b ann_ivf_topk ────────────────────────────────────────────────
-from umls2rdf_spark.operators.similarity import ivf_centroid, ivf_cosine_topk
+# ── C6b ann_ivf_topk (trained inverted file) ───────────────────────
+from umls2rdf_spark.operators.similarity import (
+    ivf_centroid,
+    ivf_cosine_topk,
+    train_ivf_centroids,
+)
 
 _IVF_CELLS = 8
+_IVF_ITERS = 3
+_SF001_EMB_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _trained_centroids_sf001() -> list[list[int]]:
+    """Local replica of train_ivf_centroids over the correctness-SF
+    embeddings, for oracle generation (no SparkSession at import
+    time). Every step is exact integer arithmetic with deterministic
+    tie-breaks — grid init, sign*floor(|x*1000|+.5) quantization,
+    int64 squared-L2 argmin (first minimum = lowest cell), per-cell
+    int-sum // count update — so the distributed trainer and this
+    replica cannot diverge, independent of row order or partitioning.
+    """
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{_SF001_EMB_PARQUET}'"
+    ).fetchall()
+    con.close()
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    Y = V * 1000
+    q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+    cent = np.array(
+        [[ivf_centroid(i, j) for j in range(_DIM)] for i in range(_IVF_CELLS)],
+        dtype=np.int64,
+    )
+    for _ in range(_IVF_ITERS):
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        new = cent.copy()
+        for c in range(_IVF_CELLS):
+            sel = q[cell == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) // len(sel)
+        cent = new
+    return [[int(x) for x in row] for row in cent]
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the TRAINED inverted file: a deterministic
+    distributed Lloyd's pass (train_ivf_centroids — grid init, exact
+    int arithmetic) fits the cell centroids to the corpus, then exact
+    cosine top-k within each cell. The oracle's centroid VALUES come
+    from a local exact-arithmetic replica of the same training loop,
+    so the driver hash check covers the k-means path end-to-end."""
     emb = load_table(spark, sf_dir, "embeddings")
+    trained = train_ivf_centroids(
+        emb, "vec_id", "embedding",
+        cells=_IVF_CELLS, iters=_IVF_ITERS, dim=_DIM,
+    )
     return ivf_cosine_topk(
-        emb, "vec_id", "embedding", k=_LSH_K, cells=_IVF_CELLS
+        emb, "vec_id", "embedding",
+        k=_LSH_K, cells=_IVF_CELLS, centroids=trained,
     )
 
 
 _CENT_VALUES = ", ".join(
-    f"({i}, {j + 1}, {ivf_centroid(i, j)})"
-    for i in range(_IVF_CELLS)
-    for j in range(_DIM)
+    f"({i}, {j + 1}, {c})"
+    for i, row in enumerate(_trained_centroids_sf001())
+    for j, c in enumerate(row)
 )
 ANN_IVF_SQL = f"""
 WITH qv AS (
