@@ -184,6 +184,57 @@ def test_asof_auto_paths_agree(spark):
     w = {tuple(r) for r in window_path.collect()}
     m = {tuple(r) for r in merge_path.collect()}
     assert w == m
+    # caller-provided stats skip every estimation job and must not
+    # change the result
+    hinted = asof_join_auto(
+        ev, orders, n_left=10_000, right_stats=(1500, 1500, 25), **kw
+    )
+    assert {tuple(r) for r in hinted.collect()} == w
+
+
+def test_asof_dispatch_estimation(spark):
+    """Dispatch inputs: n_left comes from parquet footers for a pure
+    scan/projection (no Spark job), falls back for filtered plans;
+    the fan-out bound uses max-rows-per-key so a skewed right side
+    (hot key holding most rows) crosses the budget that the old
+    mean-based estimate slipped under."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.sessionize import _scan_only_row_count
+    from umls2rdf_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    assert _scan_only_row_count(ev) == ev.count()
+    assert _scan_only_row_count(ev.where(F.col("event_id") > 5)) is None
+
+    # skewed right side: 200 keys, one hot key holds 1000 of 1199
+    # rows -> mean ~6/key. With n_left=100 and budget 5000 the old
+    # mean-based estimate (100*6=600) stayed on the window path; the
+    # max-bound (100*1000=100k) must dispatch to the merge path.
+    from umls2rdf_spark.operators.sessionize import asof_join_auto
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 200).alias("k"),
+        F.col("id").cast("double").alias("ts"),
+    )
+    right = spark.range(1_199).select(
+        (F.when(F.col("id") < 1_000, 0).otherwise(F.col("id") - 999))
+        .alias("rk"),
+        (F.col("id") % 97).cast("double").alias("rts"),
+        F.col("id").alias("tb"),
+    )
+    out = asof_join_auto(
+        left, right, left_id="lid", left_key="k", right_key="rk",
+        left_ts="ts", right_ts="rts", right_tiebreak="tb",
+        right_cols=["tb", "rts"], pair_budget=5_000,
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
 
 
 def test_text_features_matches_individual_ops(spark):

@@ -82,6 +82,39 @@ def asof_join(
     ).drop("__rn")
 
 
+def _scan_only_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet footer metadata when the frame is
+    a pure scan/projection — no Spark job, no data read. Returns None
+    (caller falls back to count()) when the plan filters, joins or
+    aggregates (footers would over-count) or the source isn't parquet
+    files."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if not node:
+            continue
+        if not (node.startswith("Project") or node.startswith("Relation")):
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        files = df.inputFiles()
+        if not files:
+            return None
+        for uri in files:
+            if not uri.endswith(".parquet"):
+                return None
+            path = uri.removeprefix("file://").removeprefix("file:")
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def asof_join_auto(
     left: DataFrame,
     right: DataFrame,
@@ -93,30 +126,53 @@ def asof_join_auto(
     right_tiebreak: str,
     right_cols: list[str],
     pair_budget: int = 5_000_000,
+    n_left: int | None = None,
+    right_stats: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Adaptive as-of join: picks the range-join+window path or the
     bucket-cogroup merge_asof path by estimated join fan-out.
 
-    The window path materializes ~n_left x (n_right / n_keys) joined
-    pairs before the top-1 filter — cheapest when that product is
-    small (it stays in whole-stage codegen, no Arrow transfer). The
-    merge path is O(n log n) per bucket but pays fixed Arrow+pandas
-    overhead, so it wins once the pair estimate crosses
-    ``pair_budget`` (~5M pairs measured break-even on local[32]).
-    Estimation = two count() jobs + one approx_count_distinct — cheap
-    against either path's cost at the sizes where the choice matters.
+    The window path materializes the joined pairs before the top-1
+    filter — cheapest when that stays small (whole-stage codegen, no
+    Arrow transfer). The merge path is O(n log n) per bucket but pays
+    fixed Arrow+pandas overhead, so it wins once the pair bound
+    crosses ``pair_budget`` (~5M pairs measured break-even on
+    local[32]).
+
+    Dispatch uses the UPPER bound n_left x max(right rows per key) —
+    a mean-based estimate stays under budget on a skewed right side
+    (one hot key holding most rows) while the window path explodes
+    quadratically on exactly that key; the max-bound flees to the
+    merge path instead. With a uniform right side max ~= mean, so the
+    uniform behavior is unchanged.
+
+    Estimation cost: n_left comes from parquet footer metadata when
+    the left plan is a pure scan/projection (no job, no data read —
+    the common case), falling back to count(); the right-side stats
+    are ONE job whose shuffle carries one row per key per partition
+    (map-side combine). Callers that already know the sizes pass
+    ``n_left`` and/or ``right_stats=(n_right, n_keys, max_per_key)``
+    and no estimation job runs at all.
 
     Both paths return identical rows (same oracle): all left columns
     + ``right_cols``.
     """
-    n_left = left.count()
-    # one job for both right-side stats (count + approx distinct)
-    stats = right.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(right_key).alias("k"),
-    ).collect()[0]
-    n_right, n_keys = stats["n"], max(stats["k"], 1)
-    est_pairs = n_left * (n_right / n_keys)
+    if n_left is None:
+        n_left = _scan_only_row_count(left)
+    if n_left is None:
+        n_left = left.count()
+    if right_stats is None:
+        per_key = right.groupBy(right_key).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        row = per_key.agg(
+            F.sum("__cnt").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.max("__cnt").alias("mx"),
+        ).collect()[0]
+        right_stats = (row["n"], max(row["k"], 1), row["mx"])
+    n_right, n_keys, max_per_key = right_stats
+    est_pairs = n_left * max_per_key
     l_cols = [f.name for f in left.schema.fields]
     if est_pairs <= pair_budget:
         joined = asof_join(
