@@ -228,6 +228,7 @@ def test_streaming_enrichment_matches_batch(spark):
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     from umls2rdf_spark.sources.parquet import load_table
     from umls2rdf_spark.streaming.events import (
+        make_idempotent_batch_writer,
         read_events_stream,
         run_foreach_batch_to_parquet,
     )
@@ -244,3 +245,78 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert sunk.count() == ev.count()
     assert sunk.select(F.sum("event_id")).collect()[0][0] == \
         ev.select(F.sum("event_id")).collect()[0][0]
+
+    # at-least-once replay: re-delivering an already-written batch id
+    # (restart after write, before checkpoint commit) must not
+    # duplicate rows — the epoch-keyed overwrite rewrites in place
+    ids = sorted(
+        r["batch_id"] for r in sunk.select("batch_id").distinct().collect()
+    )
+    writer = make_idempotent_batch_writer(out)
+    # materialize before the overwrite — a lazy self-read would race
+    # the delete; a real replay re-delivers the source micro-batch
+    replayed_rows = spark.read.parquet(f"{out}/batch_id={ids[0]}").collect()
+    writer(spark.createDataFrame(replayed_rows), ids[0])
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_streaming_dedup_with_duplicates_matches_batch(spark, tmp_path):
+    """streaming_dedup over an at-least-once (duplicated) source must
+    equal the batch twin's dropDuplicates on the same input — the
+    oracle for the streaming dedup state logic."""
+    import duckdb
+
+    from umls2rdf_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        dedup_events_batch,
+        streaming_dedup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    dup_dir = str(tmp_path / "dupsrc")
+    # every 20th event delivered twice; one file -> one micro-batch,
+    # so no row is watermark-late and the dedup applies to all of it
+    raw.union(raw.where(F.col("event_id") % 20 == 0)).coalesce(1) \
+        .write.parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(dup_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_dup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup_dup_test")
+
+    batch_src = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(dup_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    twin = dedup_events_batch(batch_src)
+    assert got.count() == twin.count()
+    g = {r["event_id"] for r in got.select("event_id").collect()}
+    t = {r["event_id"] for r in twin.select("event_id").collect()}
+    assert g == t
+
+    # independent oracle: DuckDB distinct ids over the same files
+    con = duckdb.connect()
+    oracle = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT event_id FROM '{dup_dir}/*.parquet'"
+        ).fetchall()
+    }
+    con.close()
+    assert g == oracle

@@ -122,6 +122,15 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of streaming_dedup: one surviving row per event_id.
+    Within the watermark horizon the streaming form applies exactly
+    these semantics, so an equivalence test between the two (same
+    duplicated input) is the oracle for the streaming dedup state
+    logic."""
+    return events.dropDuplicates(["event_id"])
+
+
 def enriched_windowed_value(
     events: DataFrame,
     customers: DataFrame,
@@ -153,20 +162,36 @@ def enriched_windowed_value(
     )
 
 
+def make_idempotent_batch_writer(out_dir: str):
+    """foreachBatch writer that overwrites a ``batch_id=N``
+    subdirectory per epoch. foreachBatch is at-least-once: after a
+    restart that wrote a batch but crashed before the checkpoint
+    committed, the SAME batch id is replayed — a blind append would
+    duplicate its rows, the keyed overwrite rewrites the same
+    directory instead. Readers get exactly-once by reading ``out_dir``
+    (batch_id becomes a partition column)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
 def run_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
-    """foreachBatch sink: append each micro-batch to a parquet
+    """foreachBatch sink: write each micro-batch to a parquet
     directory — the pattern for sinks Structured Streaming lacks
     natively (JDBC upserts, multi-table writes). AvailableNow drains
-    the source; exactly-once comes from the checkpointed batch id
-    (idempotent re-write of the same epoch on restart)."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
+    the source; exactly-once for readers comes from the checkpointed
+    batch id keying an idempotent per-epoch overwrite
+    (:func:`make_idempotent_batch_writer`)."""
     q = (
-        stream_df.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream.foreachBatch(
+            make_idempotent_batch_writer(out_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
