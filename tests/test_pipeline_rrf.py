@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from umls2rdf_spark.pipeline import (
     ConfEntry,
     load_umls_tables,
@@ -227,6 +229,50 @@ def test_strict_validator_catches_balanced_garbage(spark, tmp_path):
     strict = strict_validate_turtle(spark, bad)
     assert not strict["ok"], strict
     assert "junk" in (strict["sample_errors"] or "")
+
+
+def test_rdflib_branch_with_injected_module():
+    """The rdflib strict tier's dispatch logic, driven with a stand-in
+    module (the container has no rdflib): a parse success returns no
+    errors, a parse failure is reported with the rdflib: prefix, and
+    removal of the module falls back to the built-in scanner."""
+    import sys
+    import types
+
+    from umls2rdf_spark.rdf.validate import _rdflib_or_scanner
+
+    class FakeGraph:
+        def parse(self, data=None, format=None):
+            if "junk" in data:
+                raise ValueError("bad literal near 'junk'")
+
+    fake = types.ModuleType("rdflib")
+    fake.Graph = FakeGraph
+    sys.modules["rdflib"] = fake
+    try:
+        assert _rdflib_or_scanner('<http://x> a "ok" .', "t.ttl") == []
+        errs = _rdflib_or_scanner('<http://x> a "b"junk .', "t.ttl")
+        assert errs and "rdflib:" in errs[0] and "junk" in errs[0]
+    finally:
+        del sys.modules["rdflib"]
+    # without the module the scanner tier takes over
+    errs = _rdflib_or_scanner('<http://x> skos:prefLabel "b"junk .', "t.ttl")
+    assert errs and "rdflib" not in errs[0]
+
+
+def test_rdflib_strict_tier_real_library(spark, tmp_path):
+    """Runs ONLY where rdflib is installed (deployment: pip install
+    rdflib enables the full-W3C-grammar tier; this container gates it
+    out). Mirrors the balanced-garbage case through the real parser."""
+    pytest.importorskip("rdflib")
+    from umls2rdf_spark.rdf.validate import strict_validate_turtle
+
+    bad = str(tmp_path / "real_rdflib_bad.ttl")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-0.txt"), "w") as f:
+        f.write('<http://x> <http://p> "broken"junk .\n')
+    report = strict_validate_turtle(spark, bad)
+    assert not report["ok"], report
 
 
 def test_strict_validator_passes_real_export(spark, tmp_path):

@@ -48,13 +48,17 @@ def _try_pil():
         return None
 
 
-def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def image_features(
+    df: DataFrame, batch_hint: int = 1024, image_module=None
+) -> DataFrame:
     """Decode + feature-extract an image binary column via mapInPandas.
 
-    With PIL present: real decode (width/height/mean luminance).
-    Without (this container): a deterministic fake — dimensions and
-    luma derived from the content hash — keeping schema, batching and
-    determinism identical so the full pipeline is testable.
+    With PIL present (or a PIL-compatible ``image_module`` injected —
+    ``.open(buf)`` → object with ``.size`` and ``.convert('L')``):
+    real decode (width/height/mean luminance). Without either (this
+    container): a deterministic fake — dimensions and luma derived
+    from the content hash — keeping schema, batching and determinism
+    identical so the full pipeline is testable.
     """
     df = df.repartition(F.col("media_id"))
 
@@ -64,10 +68,13 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        try:
-            from PIL import Image
-        except Exception:
-            Image = None
+        if image_module is not None:
+            Image = image_module
+        else:
+            try:
+                from PIL import Image
+            except Exception:
+                Image = None
 
         for pdf in batches:
             ids, nbytes, shas, ws, hs, lumas = [], [], [], [], [], []
