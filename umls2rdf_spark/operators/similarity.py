@@ -420,66 +420,82 @@ def train_ivf_centroids(
     - update: per-cell component-wise integer mean (exact int sums,
       floor division) — independent of partitioning and row order.
 
-    Each iteration is one Spark job: assignment + partial int sums
-    per partition (mapInPandas), a ``cells``-row collect, and a
-    driver-side division. The per-iteration shuffle is cells x dim
-    integers per partition — nothing scales with n. Empty cells keep
-    their previous centroid. Returns a plain int matrix usable as
+    The corpus is quantized ONCE into a persisted (qvec) frame; each
+    Lloyd iteration is then one SINGLE-STAGE job over it: assignment
+    + partial int sums per partition (mapInPandas), collected and
+    reduced on the driver — no shuffle at all. The collect is bounded
+    at cells x num_partitions rows of dim int64s (8 cells x 1000
+    executors x 64 dims = 512k ints — constant in n), so the
+    driver-side reduce is scale-safe; integer partial sums commute,
+    so the result is independent of partitioning and row order.
+    MEMORY_AND_DISK persist so a corpus bigger than cluster memory
+    spills rather than OOMs — qvec is 8*dim B/row, about the raw
+    fp32 array + row overhead. Empty cells keep their previous
+    centroid. Returns a plain int matrix usable as
     ``ivf_cosine_topk(centroids=...)`` or to generate oracle SQL.
     """
     import numpy as np
+    from pyspark import StorageLevel
 
     cent = np.array(
         [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
         dtype=np.int64,
     )
-    quant = vectors.repartition(F.col(id_col))
-    for _ in range(iters):
-        cmat = cent.copy()
 
-        def partials(batches):
-            import pandas as pd_
+    def quantize_batches(batches):
+        import pandas as pd_
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.vstack(pdf[vec_col].values).astype(np.float64)
-                Y = V * 1000
-                q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
-                d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-                cell = d2.argmin(axis=1)
-                rows = []
-                for c in np.unique(cell):
-                    sel = q[cell == c]
-                    rows.append(
-                        (int(c), [int(x) for x in sel.sum(axis=0)], len(sel))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            yield pd_.DataFrame({"qvec": list(q)})
+
+    quant = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .repartition(F.col(id_col))
+        .mapInPandas(quantize_batches, schema="qvec array<long>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(iters):
+            cmat = cent.copy()
+
+            def partials(batches):
+                import pandas as pd_
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    q = np.vstack(pdf["qvec"].values).astype(np.int64)
+                    d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                    cell = d2.argmin(axis=1)
+                    rows = []
+                    for c in np.unique(cell):
+                        sel = q[cell == c]
+                        rows.append(
+                            (int(c), [int(x) for x in sel.sum(axis=0)], len(sel))
+                        )
+                    yield pd_.DataFrame(
+                        rows, columns=["cell", "sums", "cnt"]
                     )
-                yield pd_.DataFrame(
-                    rows, columns=["cell", "sums", "cnt"]
-                )
 
-        agg = (
-            quant.mapInPandas(
+            parts = quant.mapInPandas(
                 partials, schema="cell int, sums array<long>, cnt long"
-            )
-            .groupBy("cell")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("sums").getItem(j)).alias(f"s{j}")
-                        for j in range(dim)
-                    ]
-                ).alias("sums"),
-                F.sum("cnt").alias("cnt"),
-            )
-            .collect()
-        )
-        new_cent = cent.copy()
-        for row in agg:
-            c, sums, cnt = row["cell"], row["sums"], row["cnt"]
-            if cnt > 0:
-                new_cent[c] = np.array(sums, dtype=np.int64) // cnt
-        cent = new_cent
+            ).collect()
+            sums = np.zeros((cells, dim), dtype=np.int64)
+            cnts = np.zeros(cells, dtype=np.int64)
+            for row in parts:
+                sums[row["cell"]] += np.array(row["sums"], dtype=np.int64)
+                cnts[row["cell"]] += row["cnt"]
+            new_cent = cent.copy()
+            nonempty = cnts > 0
+            new_cent[nonempty] = sums[nonempty] // cnts[nonempty, None]
+            cent = new_cent
+    finally:
+        quant.unpersist()
     return [[int(x) for x in row] for row in cent]
 
 
