@@ -366,6 +366,42 @@ def test_train_ivf_centroids_deterministic_and_improves(spark):
     assert sse(trained) < sse(grid), (sse(trained), sse(grid))
 
 
+def test_ivf_auto_cells_and_sampled_training(spark):
+    """The scale knobs: auto_cells ~ sqrt(n) (the fixed-cell-count
+    quadratic hazard's fix), and train_mod hash-sampled training —
+    deterministic, independent of partitioning, and still a valid
+    centroid matrix for the full-corpus probe."""
+    from umls2rdf_spark.operators.similarity import (
+        auto_cells,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    assert auto_cells(0) == 1
+    assert auto_cells(100) == 10
+    assert auto_cells(10_000) == 100
+    # 10x the corpus -> ~3.2x the cells (n^1.5 total work, not n^2)
+    assert 3 <= auto_cells(100_000) / auto_cells(10_000) <= 3.4
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sampled = train_ivf_centroids(
+        emb, "vec_id", "embedding", cells=8, iters=2, train_mod=4
+    )
+    # reproducible under a different partitioning of the same rows
+    assert sampled == train_ivf_centroids(
+        emb.repartition(13), "vec_id", "embedding", cells=8, iters=2,
+        train_mod=4,
+    )
+    # full-corpus probe against the sample-trained index still yields
+    # a complete per-query ranking
+    topk = ivf_cosine_topk(
+        emb, "vec_id", "embedding", k=2, centroids=sampled
+    )
+    n = emb.count()
+    assert topk.select("query_id").distinct().count() > n * 0.9
+
+
 def test_chunk_documents(spark):
     from umls2rdf_spark.operators.corpus import chunk_documents
 

@@ -317,6 +317,21 @@ def ivf_centroid(cell: int, j: int) -> int:
     return (cell * 48271 + j * 16807) % 1001 - 500
 
 
+def auto_cells(n: int) -> int:
+    """IVF cell count ~ sqrt(n) — the classic inverted-file balance.
+
+    Per-cell exact search costs cells x (n/cells)^2 = n^2/cells and
+    Lloyd training costs n x cells per iteration; cells = sqrt(n)
+    makes BOTH n^1.5, the best joint bound a single knob gives. A
+    FIXED cell count degrades quadratically instead, exactly like the
+    round-1 fixed-plane LSH (SCALE.md): 10x corpus -> 100x per-cell
+    pair work. Demos pin cells to the oracle-generation constant;
+    production callers pass cells=None to get this."""
+    import math
+
+    return max(1, round(math.sqrt(max(1, n))))
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str,
@@ -406,9 +421,10 @@ def train_ivf_centroids(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    cells: int = 8,
+    cells: int | None = 8,
     iters: int = 3,
     dim: int = 64,
+    train_mod: int | None = None,
 ) -> list[list[int]]:
     """Distributed Lloyd's k-means over the quantized vectors — the
     IVF training pass. Fully deterministic so a trained index is
@@ -433,10 +449,30 @@ def train_ivf_centroids(
     fp32 array + row overhead. Empty cells keep their previous
     centroid. Returns a plain int matrix usable as
     ``ivf_cosine_topk(centroids=...)`` or to generate oracle SQL.
+
+    ``cells=None`` derives the count via :func:`auto_cells` (one
+    count() job); ``train_mod=s`` trains on the deterministic 1-in-s
+    id-hash sample — the 100 TB path, where a full-corpus Lloyd pass
+    is wasted precision for centroid estimation.
     """
     import numpy as np
     from pyspark import StorageLevel
 
+    if cells is None:
+        cells = auto_cells(vectors.count())
+    src = vectors
+    if train_mod is not None and train_mod > 1:
+        # deterministic 1/train_mod hash-sample for the training pass
+        # only (centroid quality needs a representative sample, not
+        # every row) — the full corpus is still indexed/probed.
+        # Partition/order-invariant: membership depends on the id hash.
+        src = src.where(
+            F.pmod(
+                stable_hash40(F.col(id_col).cast("string")),
+                F.lit(train_mod),
+            )
+            == 0
+        )
     cent = np.array(
         [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
         dtype=np.int64,
@@ -454,7 +490,7 @@ def train_ivf_centroids(
             yield pd_.DataFrame({"qvec": list(q)})
 
     quant = (
-        vectors.select(F.col(id_col), F.col(vec_col))
+        src.select(F.col(id_col), F.col(vec_col))
         .repartition(F.col(id_col))
         .mapInPandas(quantize_batches, schema="qvec array<long>")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -504,7 +540,7 @@ def ivf_cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    cells: int = 8,
+    cells: int | None = 8,
     dim: int = 64,
     centroids: list[list[int]] | None = None,
 ) -> DataFrame:
@@ -514,6 +550,9 @@ def ivf_cosine_topk(
     the hyperplane LSH path. ``centroids`` takes a trained matrix
     from :func:`train_ivf_centroids`; default is the deterministic
     grid, which the demo keeps so its SQL oracle stays a fixed text.
+    ``cells=None`` sizes the grid via :func:`auto_cells` (~sqrt(n),
+    one count() job) — the scale path: a FIXED cell count makes the
+    per-cell exact search degrade quadratically with corpus growth.
     """
     import numpy as np
     import pandas as pd
@@ -521,6 +560,8 @@ def ivf_cosine_topk(
     if centroids is not None:
         cent = np.array(centroids, dtype=np.int64)
     else:
+        if cells is None:
+            cells = auto_cells(vectors.count())
         cent = np.array(
             [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
             dtype=np.int64,
