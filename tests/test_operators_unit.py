@@ -501,3 +501,59 @@ def test_corpus_pipeline_composition(spark):
     assert n0 >= n_kept >= n_dedup >= n_samp > 0
     assert chunks.count() >= n_samp
     assert chunks.columns == ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+
+
+def test_pack_sequences_exact_and_invariant(spark):
+    """pack_sequences must equal a direct Python replica of the
+    concat-and-chop semantics (shard-major (hash, id) order, global
+    cumulative offsets), tile every sequence exactly, and be
+    independent of the input partitioning."""
+    import hashlib
+
+    from umls2rdf_spark.operators.corpus import pack_sequences
+
+    rows = [(i, (i * 7) % 13) for i in range(1, 40)]  # ntok 0..12
+    df = spark.createDataFrame(rows, "id long, ntok long")
+    L, S = 10, 4
+    out = pack_sequences(df, "id", "ntok", seq_len=L, shards=S)
+    got = sorted(
+        (r["id"], r["seq_id"], r["tok_start"], r["tok_end"], r["seq_off"])
+        for r in out.collect()
+    )
+
+    def h40(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+
+    ordered = sorted(
+        ((i, n) for i, n in rows if n > 0),
+        key=lambda t: (h40(t[0]) % S, t[0]),
+    )
+    want, gb = [], 0
+    for i, n in ordered:
+        for s in range(gb // L, (gb + n - 1) // L + 1):
+            a = max(0, s * L - gb)
+            b = min(n, (s + 1) * L - gb)
+            want.append((i, s, a, b, gb + a - s * L))
+        gb += n
+    assert got == sorted(want)
+
+    # every token of every kept item is covered exactly once
+    per_id = {}
+    for i, _s, a, b, _o in got:
+        per_id[i] = per_id.get(i, 0) + (b - a)
+    assert per_id == {i: n for i, n in rows if n > 0}
+    # all sequences except the last are fully tiled
+    per_seq = {}
+    for _i, s, a, b, _o in got:
+        per_seq[s] = per_seq.get(s, 0) + (b - a)
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+
+    # partition invariance
+    got2 = sorted(
+        (r["id"], r["seq_id"], r["tok_start"], r["tok_end"], r["seq_off"])
+        for r in pack_sequences(
+            df.repartition(7), "id", "ntok", seq_len=L, shards=S
+        ).collect()
+    )
+    assert got2 == got

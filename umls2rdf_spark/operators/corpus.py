@@ -105,6 +105,102 @@ def decontaminate(
     return shared
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    seq_len: int,
+    shards: int = 1024,
+    order_col: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every item's token
+    stream in a canonical order and chop the stream into fixed
+    ``seq_len`` windows — items cross sequence boundaries (the
+    standard concat-and-chop used for LLM pre-training batches,
+    zero padding waste).
+
+    Canonical order is (shard, id[, order]) with shard =
+    stable_hash40(id) mod ``shards`` — NOT a global sort: the
+    cumulative token offset is computed per shard (window over the
+    shard partition) and lifted to a global offset by adding
+    per-shard totals (a ``shards``-row broadcast join), the classic
+    two-level scan. No single-reducer stage anywhere, so the plan
+    holds at any corpus size; results are independent of
+    partitioning and row order because the order key is data, not
+    placement.
+
+    Output: the input columns plus one row per (item, sequence)
+    overlap — ``seq_id`` (which training sequence), ``tok_start`` /
+    ``tok_end`` (the half-open token slice of THIS item in that
+    sequence) and ``seq_off`` (where the slice lands inside the
+    sequence). Zero-token items are dropped. All integer arithmetic
+    on Catalyst built-ins — sequence()/explode, no UDFs.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window
+
+    order_keys = [F.col(id_col)] + (
+        [F.col(order_col)] if order_col else []
+    )
+    shard = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.lit(shards)
+    )
+    base = df.where(F.col(ntok_col) > 0).withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__lb", F.coalesce(F.sum(ntok_col).over(w), F.lit(0))
+    )
+    if persist:
+        # both the output and the shard-totals branch read this frame;
+        # without the persist each branch recomputes the ENTIRE
+        # upstream pipeline feeding `df` (per-branch column pruning
+        # defeats exchange reuse). MEMORY_AND_DISK: spill, not OOM —
+        # and at 100 TB you'd materialize the packed table anyway.
+        # persist=False keeps the plan fully lazy (double-scan).
+        from pyspark import StorageLevel
+
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    # shard totals from the windowed frame: max of (lb + n) over a
+    # shard IS that shard's token count — no second scan of `df`.
+    totals = local.groupBy("__shard").agg(
+        F.max(F.col("__lb") + F.col(ntok_col)).alias("__tot")
+    )
+    w_sh = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the shard-offset window runs over `shards` rows, not the data —
+    # single-partition is fine (and the join side is broadcast)
+    offsets = totals.select(
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)).alias("__sb"),
+    )
+    g = local.join(F.broadcast(offsets), "__shard").withColumn(
+        "__gb", F.col("__sb") + F.col("__lb")
+    )
+    L = F.lit(seq_len)
+    first = F.expr(f"__gb div {seq_len}")
+    last = F.expr(f"(__gb + {ntok_col} - 1) div {seq_len}")
+    s = g.withColumn("seq_id", F.explode(F.sequence(first, last)))
+    tok_start = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("__gb"))
+    tok_end = F.least(
+        F.col(ntok_col), (F.col("seq_id") + 1) * L - F.col("__gb")
+    )
+    return s.select(
+        *[F.col(c) for c in df.columns],
+        F.col("seq_id"),
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        (F.col("__gb") + tok_start - F.col("seq_id") * L).alias("seq_off"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

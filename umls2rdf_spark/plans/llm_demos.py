@@ -722,6 +722,7 @@ ORACLES["split_assign"] = SPLIT_ASSIGN_SQL
 from umls2rdf_spark.operators.corpus import (
     chunk_documents,
     decontaminate,
+    pack_sequences,
     stratified_sample,
 )
 from umls2rdf_spark.operators.textstats import SCRUB_PATTERNS, scrub_text
@@ -739,6 +740,8 @@ _CORPUS_BENCH_MOD = 25      # every 25th doc doubles as the benchmark
 _CORPUS_SHINGLE_N = 4       # 4-gram overlap → ~7% of sf0.01 flagged
 _CORPUS_CHUNK_TOKENS = 32
 _CORPUS_CHUNK_OVERLAP = 8
+_PACK_SEQ_LEN = 48          # training sequence length for the pack step
+_PACK_SHARDS = 8            # two-level-cumsum shards (bounded window)
 # Per-stratum keep fractions exercising the dict path (alternating
 # 0.8/0.4 over the 20 synthetic sources).
 _CORPUS_FRACTIONS = {f"src{i}": (0.8 if i % 2 == 0 else 0.4) for i in range(20)}
@@ -754,16 +757,22 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
        anti-joined away),
     3. deterministic stratified sampling (`stratified_sample` — per-
        source keep fractions keyed on stable_hash40(doc_id)),
-    4. overlapping token-window chunking (`chunk_documents`).
+    4. overlapping token-window chunking (`chunk_documents`),
+    5. GPT-style sequence packing (`pack_sequences` — concat-and-chop
+       of the chunk token streams into fixed 48-token training
+       sequences via the two-level sharded cumulative sum).
 
-    Returns the chunk rows (doc_id, chunk_idx, chunk_text, n_tokens)
-    — every stage's output feeds the next, so the driver hash check
-    verifies all four operators at once.
+    Returns one row per (chunk, training-sequence) overlap: the chunk
+    columns plus (seq_id, tok_start, tok_end, seq_off) — every
+    stage's output feeds the next, so the driver hash check verifies
+    all five operators at once.
 
     Scale shape: scrub and chunk are map-side; decontaminate
     broadcast-joins the (small) benchmark shingle set so the corpus
-    never shuffles; sampling is a map-side hash cut. The only wide
-    stage is the flagged-id distinct (tiny).
+    never shuffles; sampling is a map-side hash cut; packing windows
+    inside hash shards and broadcasts the shards-row offset table —
+    no single-reducer stage. The only wide stages are the flagged-id
+    distinct (tiny) and the per-shard pack sort.
     """
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.withColumn(
@@ -791,9 +800,13 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept, "source", "doc_id", _CORPUS_FRACTIONS,
         precision=_SAMPLE_PRECISION,
     )
-    return chunk_documents(
+    chunks = chunk_documents(
         sampled, "doc_id", "text",
         chunk_tokens=_CORPUS_CHUNK_TOKENS, overlap=_CORPUS_CHUNK_OVERLAP,
+    )
+    return pack_sequences(
+        chunks, "doc_id", "n_tokens",
+        seq_len=_PACK_SEQ_LEN, shards=_PACK_SHARDS, order_col="chunk_idx",
     )
 
 
@@ -855,11 +868,45 @@ chunks AS (
   SELECT doc_id, CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
          list_slice(f, s + 1, s + {_CORPUS_CHUNK_TOKENS}) AS w
   FROM starts
-  WHERE s = 0 OR s < len(f))
-SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-       array_to_string(w, ' ') AS chunk_text,
-       CAST(len(w) AS BIGINT) AS n_tokens
-FROM chunks
+  WHERE s = 0 OR s < len(f)),
+chunkrows AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         array_to_string(w, ' ') AS chunk_text,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM chunks
+  WHERE len(w) > 0),
+sharded AS (
+  SELECT *, {stable_hash40_sql('CAST(doc_id AS VARCHAR)')}
+            % {_PACK_SHARDS} AS shard
+  FROM chunkrows),
+loc AS (
+  SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS lb
+  FROM sharded),
+offs AS (
+  SELECT shard, COALESCE(CAST(SUM(tot) OVER (ORDER BY shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS sb
+  FROM (SELECT shard, SUM(n_tokens) AS tot FROM sharded
+        GROUP BY shard)),
+g AS (
+  SELECT l.*, l.lb + o.sb AS gb
+  FROM loc l JOIN offs o USING (shard)),
+sq AS (
+  SELECT *, unnest(generate_series(gb // {_PACK_SEQ_LEN},
+      (gb + n_tokens - 1) // {_PACK_SEQ_LEN})) AS seq_id
+  FROM g)
+SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(0, seq_id * {_PACK_SEQ_LEN} - gb) AS BIGINT)
+           AS tok_start,
+       CAST(least(n_tokens, (seq_id + 1) * {_PACK_SEQ_LEN} - gb)
+           AS BIGINT) AS tok_end,
+       CAST(gb + greatest(0, seq_id * {_PACK_SEQ_LEN} - gb)
+            - seq_id * {_PACK_SEQ_LEN} AS BIGINT) AS seq_off
+FROM sq
 """
 
 QUERIES["corpus_prep"] = corpus_prep
