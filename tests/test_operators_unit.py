@@ -557,3 +557,50 @@ def test_pack_sequences_exact_and_invariant(spark):
         ).collect()
     )
     assert got2 == got
+
+
+def test_ann_recall_vs_exact_baseline(spark):
+    """Quality property for the approximate paths: rank-1 recall of
+    IVF (trained) and hyperplane-LSH top-k against the exact
+    brute-force cosine ranking. Approximation may miss neighbors
+    that land in another cell/bucket, but for a material share of
+    queries the true nearest neighbor must survive — otherwise the
+    index is noise, not ANN."""
+    from umls2rdf_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        train_ivf_centroids,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_nn = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, emb, "vec_id", "embedding", k=1).collect()
+    }
+
+    def rank1_recall(approx_df):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in approx_df.where(F.col("rank") == 1).collect()
+        }
+        hit = sum(1 for q, n in got.items() if exact_nn.get(q) == n)
+        return hit / len(exact_nn)
+
+    cent = train_ivf_centroids(emb, "vec_id", "embedding", cells=8, iters=3)
+    ivf_rec = rank1_recall(
+        ivf_cosine_topk(emb, "vec_id", "embedding", k=1, centroids=cent)
+    )
+    lsh_rec = rank1_recall(
+        lsh_cosine_topk(
+            emb, "vec_id", "embedding", k=1, planes=None, target_bucket=8,
+        )
+    )
+    # the sf0.001 embeddings are near-uniform in 64-d, the hardest
+    # case for ANN (neighbors straddle cell/bucket boundaries), so
+    # calibrate against the random baseline instead of an absolute
+    # bar: picking a neighbor at random recalls ~1/(n-1) ≈ 0.4%.
+    # Measured: IVF ~0.32, LSH ~0.15 — 35-80x random.
+    assert ivf_rec >= 0.15, ivf_rec
+    assert lsh_rec >= 0.05, lsh_rec
