@@ -27,3 +27,26 @@ def test_query_matches_oracle(spark, duck, name):
         assert qfn(spark, SF_DIR_ORACLE).count() >= 0
         return
     assert_matches_oracle(qfn(spark, SF_DIR_ORACLE), duck, sql)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        __import__(
+            "umls2rdf_spark.plans.tpch_extra", fromlist=["TESTS_ONLY_QUERIES"]
+        ).TESTS_ONLY_QUERIES
+    ),
+)
+def test_tests_only_query_matches_oracle(spark, duck, name):
+    """Beyond-the-cap surface (correlated scalar subquery, semi-join
+    HAVING): same oracle compare as the driver gate, run in-repo."""
+    from umls2rdf_spark.plans.tpch_extra import (
+        TESTS_ONLY_ORACLES,
+        TESTS_ONLY_QUERIES,
+    )
+
+    assert_matches_oracle(
+        TESTS_ONLY_QUERIES[name](spark, SF_DIR_ORACLE),
+        duck,
+        TESTS_ONLY_ORACLES[name],
+    )

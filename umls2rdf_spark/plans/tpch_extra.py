@@ -345,3 +345,114 @@ QUERIES["skew_salted_agg"] = skew_salted_agg
 ORACLES["skew_salted_agg"] = SKEW_SALTED_AGG_SQL
 
 
+
+
+# ── tests-only surface: correlated scalar subquery + semi-join agg ──
+# The 50-key driver cap is full; these two classic shapes are
+# oracle-tested in tests/test_tpch.py instead (same compare harness).
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery: lineitems whose
+    quantity is below 20% of their part's average quantity, for a
+    brand/size slice of parts.
+
+    Spark-first decorrelation: ONE lineitem pass. The filtered part
+    slice broadcasts into the join, and the per-part average becomes
+    a window over the joined frame — not a second scan of lineitem
+    (the naive correlated rewrite computes the aggregate in a
+    separate subquery scan and joins it back; the window form reads
+    the fact table once and shuffles only the brand-slice rows).
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) / 7.0 AS DOUBLE)
+       AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#4' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — semi-join against a grouped HAVING set:
+    customers with orders whose total quantity exceeds a threshold.
+
+    The qualifying-order set (groupBy + having, tiny output) inner-
+    joins back — effectively a semi-join that also carries the
+    aggregate; orders/customer join afterwards so the wide join only
+    sees qualifying rows. Deterministic LIMIT: ordered by
+    (o_totalprice DESC, o_orderkey) on both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (_dec("o_totalprice").cast("double")).alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE)
+           AS total_price,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 200) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+"""
+
+
+TESTS_ONLY_QUERIES = {
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_orders": q18_large_orders,
+}
+TESTS_ONLY_ORACLES = {
+    "q17_small_quantity": Q17_SQL,
+    "q18_large_orders": Q18_SQL,
+}
