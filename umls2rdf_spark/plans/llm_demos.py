@@ -782,6 +782,11 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
         ).otherwise(F.col("text")),
     )
+    # three consumers (corpus shingles, benchmark slice, the kept
+    # anti-join side) re-run the scrub scan; measured at 10x, that is
+    # CHEAPER than persisting the scrubbed corpus (text-heavy cache
+    # materialization cost 3x the repeated codegen regex scans:
+    # 5.2s -> 15.9s). Scan-speed recompute wins for wide text rows.
     clean = scrub_text(aug, "text")
     bench = clean.where(
         F.col("doc_id") % _CORPUS_BENCH_MOD == 0
