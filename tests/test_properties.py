@@ -218,3 +218,51 @@ def test_connected_components_on_random_graphs(spark, n_edges):
         for r in connected_components(e_df, n_df).collect()
     }
     assert got == expected
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # id
+            st.integers(min_value=0, max_value=37),      # ntok
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.integers(min_value=1, max_value=23),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_replica(spark, items, seq_len, shards):
+    """pack_sequences equals the pure-Python concat-and-chop replica
+    for arbitrary (id, ntok) inputs, sequence lengths and shard
+    counts — including empty inputs, all-zero token counts and
+    single-shard degenerate cases."""
+    import hashlib
+
+    from umls2rdf_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(items, "id long, ntok long")
+    got = sorted(
+        (r["id"], r["seq_id"], r["tok_start"], r["tok_end"], r["seq_off"])
+        for r in pack_sequences(
+            df, "id", "ntok", seq_len=seq_len, shards=shards
+        ).collect()
+    )
+
+    def h40(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+
+    ordered = sorted(
+        ((i, n) for i, n in items if n > 0),
+        key=lambda t: (h40(t[0]) % shards, t[0]),
+    )
+    want, gb = [], 0
+    for i, n in ordered:
+        for s in range(gb // seq_len, (gb + n - 1) // seq_len + 1):
+            a = max(0, s * seq_len - gb)
+            b = min(n, (s + 1) * seq_len - gb)
+            want.append((i, s, a, b, gb + a - s * seq_len))
+        gb += n
+    assert got == sorted(want)
