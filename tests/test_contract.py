@@ -41,3 +41,22 @@ def test_at_most_fifty_queries():
         "driver correctness row — fold the new capability into an "
         "existing composed demo (see SURVEY §2)"
     )
+
+
+def test_cluster_profile_keys_apply():
+    """Every key in the 100 TB deployment profile must be a conf
+    Spark actually accepts (catches typo'd/renamed keys at test time
+    rather than on the cluster)."""
+    from umls2rdf_spark.session import cluster_conf_100tb, get_spark
+
+    conf = cluster_conf_100tb(executors=10, executor_cores=2)
+    assert conf["spark.sql.shuffle.partitions"] == "40"
+    spark = get_spark(app_name="profile-check")
+    jconf = spark.sparkContext._jsc.sc().conf()
+    for k, v in conf.items():
+        # settable without error; SQL confs via runtime conf
+        if k.startswith("spark.sql."):
+            spark.conf.set(k, v)
+            assert spark.conf.get(k) == v
+        else:
+            jconf.contains(k)  # core conf: key string accepted

@@ -16,6 +16,57 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def cluster_conf_100tb(
+    executors: int = 1000,
+    executor_cores: int = 4,
+) -> dict[str, str]:
+    """Deployment conf for the 100 TB / 1000-executor target — pass
+    as ``get_spark(extra_conf=cluster_conf_100tb())`` or spark-submit
+    ``--conf`` lines. Every key is sized from the cluster shape, with
+    the reasoning inline; AQE then corrects per-stage at runtime.
+
+    - shuffle.partitions = 2 waves of total cores: a static count is
+      always wrong somewhere; start near the parallelism and let AQE
+      coalesce down / split skew rather than starting at 200.
+    - files.maxPartitionBytes 256m: ~400k scan tasks over 100 TB —
+      large enough to amortize task overhead, small enough that one
+      task's columnar batches fit executor memory with room for the
+      shuffle write buffer.
+    - advisoryPartitionSizeInBytes 128m: AQE's coalesce/split target;
+      post-shuffle partitions land near the scan granule so joins
+      and aggs see uniform work.
+    - skewJoin factor 5 / threshold 512m: split a straggler
+      partition when it is 5x the median AND big in absolute terms —
+      catches hot keys (dedup cluster giants, header-like docs)
+      without shredding benign variance.
+    - autoBroadcastJoinThreshold 64m: every dim in this engine
+      (MRRANK/MRSAB/MRDOC, region/nation/supplier, perm tables,
+      LSH/IVF centroid frames, benchmark shingle sets) fits; the
+      fact tables never do, so 64m is a safe ceiling that keeps
+      them off the shuffle.
+    - Arrow batch cap 10k rows: bounds pandas-UDF memory for the
+      multimodal/vector paths (wide binary/array rows).
+    - Kryo + speculation: standard long-job hygiene; speculative
+      re-launch masks slow disks on a 1000-node fleet.
+    """
+    total_cores = executors * executor_cores
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            128 * 1024 * 1024
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            512 * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+    }
+
+
 def get_spark(
     app_name: str = "umls2rdf-spark",
     master: str | None = None,
