@@ -136,6 +136,12 @@ def pack_sequences(
     sequence) and ``seq_off`` (where the slice lands inside the
     sequence). Zero-token items are dropped. All integer arithmetic
     on Catalyst built-ins — sequence()/explode, no UDFs.
+
+    Requires (id[, order]) to be unique per row: the cumulative sum
+    is taken over that order, and duplicate keys with differing
+    token counts would make the running offset tie-order-dependent.
+    The output column names seq_id/tok_start/tok_end/seq_off are
+    appended — input columns with those names would collide.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")

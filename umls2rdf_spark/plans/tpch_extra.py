@@ -363,6 +363,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the naive correlated rewrite computes the aggregate in a
     separate subquery scan and joins it back; the window form reads
     the fact table once and shuffles only the brand-slice rows).
+
+    Exactness: ``qty < 0.2*avg(qty)`` is evaluated as
+    ``qty*5*count < sum(decimal qty)`` — a float average's summation
+    order differs between engines, and a boundary row flipping on
+    the last ulp would break the oracle hash; the multiplied-out
+    decimal/integer form is exact everywhere.
     """
     from pyspark.sql import Window
 
@@ -375,9 +381,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_partkey"] == part["p_partkey"],
     )
     w = Window.partitionBy("l_partkey")
+    dq = _dec("l_quantity")
     return (
-        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
-        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        joined.withColumn("sum_qty", F.sum(dq).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(dq * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
             .cast("double")
@@ -392,9 +400,11 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) / 7.0 AS DOUBLE)
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#4' AND p_size < 15
-  AND l_quantity < (
-    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = p_partkey)
+  AND CAST(l_quantity AS DECIMAL(10,2)) * 5
+      * (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l_quantity AS DECIMAL(10,2)))
+         FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
 """
 
 
