@@ -400,3 +400,29 @@ def test_streaming_dedup_with_duplicates_matches_batch(spark, tmp_path):
     }
     con.close()
     assert g == oracle
+
+
+def test_streaming_corpus_ingest_matches_batch(spark):
+    """The stateless corpus-intake stages (scrub + fused features +
+    quality gate) must produce EXACTLY the batch result when run as a
+    stream — same operators, append mode, no state store."""
+    from umls2rdf_spark.streaming.events import (
+        corpus_ingest_stream,
+        read_documents_stream,
+        run_append_to_memory,
+    )
+
+    stream = read_documents_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["n_tokens"], round(r["quality"], 9))
+        for r in run_append_to_memory(
+            corpus_ingest_stream(stream), "corpus_ingest_test", spark
+        ).collect()
+    }
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = {
+        r["doc_id"]: (r["pred_lang"], r["n_tokens"], round(r["quality"], 9))
+        for r in corpus_ingest_stream(batch_docs).collect()
+    }
+    assert got == expected and len(got) > 0

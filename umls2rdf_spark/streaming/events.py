@@ -197,3 +197,60 @@ def run_foreach_batch_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+# ── streaming corpus ingestion (stateless LLM-prep stages) ─────────
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the continuous-
+    ingestion shape for a training-data pipeline (new corpus shards
+    landing in a directory). Schema is pinned from a batch read; a
+    production reader would declare it from the catalog."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory: scan sf_dir with a
+    # glob filter (same workaround as read_events_stream)
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus intake: PII scrub + fused per-doc features,
+    keeping docs above a minimal quality bar.
+
+    Every stage is a stateless column map (regexp chain, one
+    tokenization, ratio arithmetic), so the EXACT batch operators run
+    unchanged under Structured Streaming — no watermark, no state
+    store; per-microbatch cost is the same scan-speed codegen as the
+    batch path. Stateful corpus stages (dedup, packing) stay in the
+    batch layer over the ingested table — they need global order or
+    cross-shard joins that a stream cannot see.
+    """
+    from umls2rdf_spark.operators.textstats import scrub_text, text_features
+
+    clean = scrub_text(docs, "text")
+    feats = text_features(clean, "doc_id", "text")
+    return feats.where(
+        (F.col("n_tokens") >= 3)
+        & (F.col("quality") > 0.3)
+        & (F.col("punct_ratio") < 0.5)
+    )
+
+
+def run_append_to_memory(
+    stream_df: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """AvailableNow drain for STATELESS streams (append mode — no
+    aggregation state, rows pass through per microbatch)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
