@@ -191,3 +191,38 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_no_single_partition_on_corpus(spark):
+    """Sequence packing must window per shard with the shards-row
+    offset table broadcast — the only SinglePartition exchange
+    allowed is the one over the tiny totals frame, never the corpus
+    side (a global-order window would single-reduce 100 TB)."""
+    plan = plan_of(spark, "corpus_prep")
+    # the big-side cumsum is partitioned by the shard hash
+    assert "hashpartitioning(__shard" in plan
+    assert plan.count("SinglePartition") == 1
+    assert plan.count("BroadcastHashJoin") >= 2  # offsets + bench side
+
+
+def test_q17_single_fact_scan_with_broadcast_slice(spark):
+    """The decorrelated Q17 plan: ONE pruned lineitem scan, the part
+    slice broadcast, the per-part aggregate as a window — no second
+    scan of the fact table for the correlated subquery."""
+    from umls2rdf_spark.plans.tpch_extra import q17_small_quantity
+
+    df = q17_small_quantity(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("lineitem.parquet") == 1, plan.count(
+        "lineitem.parquet"
+    )
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # formatted mode mentions each node twice (tree + detail
+    # section): exactly one Window NODE
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
