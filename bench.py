@@ -7,6 +7,11 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count-materialized) after a
 warmup of the session; per-query wall time includes planning.
 
+Measurement definition: warm steady state INCLUDING demo-level
+persists (the ngram shingle pass, the pack chunk frame) — how a
+long-lived production session behaves. Cold-cache scaling numbers
+live in SCALE.md, measured with clearCache between runs.
+
 After printing the JSON line (stdout contract for the driver), a
 regression report against the newest BENCH_r*.json in the repo goes
 to STDERR: any query >1.5x slower than last round is flagged.
