@@ -604,3 +604,48 @@ def test_ann_recall_vs_exact_baseline(spark):
     # Measured: IVF ~0.32, LSH ~0.15 — 35-80x random.
     assert ivf_rec >= 0.15, ivf_rec
     assert lsh_rec >= 0.05, lsh_rec
+
+
+def test_ivf_nprobe_recall_and_bruteforce_equivalence(spark):
+    """nprobe semantics: (a) nprobe=cells degenerates to EXACT brute
+    force — identical rows to cosine_topk; (b) raising nprobe never
+    lowers rank-1 recall vs the exact baseline."""
+    from umls2rdf_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = train_ivf_centroids(emb, "vec_id", "embedding", cells=8, iters=2)
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, emb, "vec_id", "embedding", k=2).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_cosine_topk(
+            emb, "vec_id", "embedding", k=2, centroids=cent, nprobe=8
+        ).collect()
+    }
+    assert full_probe == exact
+
+    exact_nn = {q: n for (q, rk), n in exact.items() if rk == 1}
+
+    def rank1_recall(nprobe):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in ivf_cosine_topk(
+                emb, "vec_id", "embedding", k=1, centroids=cent,
+                nprobe=nprobe,
+            ).where(F.col("rank") == 1).collect()
+        }
+        return sum(1 for q, n in got.items() if exact_nn.get(q) == n) / len(
+            exact_nn
+        )
+
+    r1, r2, r4 = rank1_recall(1), rank1_recall(2), rank1_recall(4)
+    assert r1 <= r2 <= r4 <= 1.0, (r1, r2, r4)
+    assert r2 > r1, (r1, r2)  # probing a 2nd cell must actually help

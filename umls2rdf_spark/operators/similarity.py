@@ -543,6 +543,7 @@ def ivf_cosine_topk(
     cells: int | None = 8,
     dim: int = 64,
     centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: assign each vector to its nearest centroid
     (exact integer squared-L2, ties to the lowest cell id), then exact
@@ -553,6 +554,15 @@ def ivf_cosine_topk(
     ``cells=None`` sizes the grid via :func:`auto_cells` (~sqrt(n),
     one count() job) — the scale path: a FIXED cell count makes the
     per-cell exact search degrade quadratically with corpus growth.
+
+    ``nprobe`` is the standard IVF recall lever: each vector probes
+    its nprobe nearest cells as a query while remaining corpus in
+    only its own cell (so every (query, neighbor) pair is scored at
+    most once), with a global per-query re-rank after the bucket
+    stage. nprobe=1 is the original single-cell path (the demo's
+    oracle shape); nprobe=cells degenerates to exact brute force —
+    property-tested equal to cosine_topk. Cost grows linearly in
+    nprobe (query rows duplicate, corpus doesn't).
     """
     import numpy as np
     import pandas as pd
@@ -566,6 +576,8 @@ def ivf_cosine_topk(
             [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
             dtype=np.int64,
         )
+
+    nprobe = max(1, min(nprobe, len(cent)))
 
     def featurize(batches):
         for pdf in batches:
@@ -589,8 +601,93 @@ def ivf_cosine_topk(
                 }
             )
 
-    feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
-    feat = vectors.repartition(F.col(id_col)).mapInPandas(
-        featurize, schema=feat_schema
+    def featurize_probe(batches):
+        # like featurize, but each vector ALSO probes its nprobe
+        # nearest cells as a query (is_corpus only in its own cell,
+        # so a neighbor is found exactly once). Stable argsort →
+        # equal distances keep ascending cell order, deterministic.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            norm2 = (q * q).sum(axis=1)
+            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            frames = []
+            for j in range(nprobe):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].values,
+                            "qvec": list(q),
+                            "norm2": norm2,
+                            "bucket": order[:, j].astype(np.int32),
+                            "is_corpus": j == 0,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    part = vectors.repartition(F.col(id_col))
+    if nprobe == 1:
+        feat_schema = (
+            f"{id_col} long, qvec array<long>, norm2 long, bucket int"
+        )
+        return _grouped_topk(
+            part.mapInPandas(featurize, schema=feat_schema), id_col, k
+        )
+
+    probe_schema = (
+        f"{id_col} long, qvec array<long>, norm2 long, bucket int, "
+        "is_corpus boolean"
     )
-    return _grouped_topk(feat, id_col, k)
+    feat = part.mapInPandas(featurize_probe, schema=probe_schema)
+
+    def probe_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        corpus = pdf[pdf["is_corpus"]]
+        if len(corpus) == 0 or len(pdf) < 2:
+            return empty
+        q = np.vstack(pdf["qvec"].values).astype(np.int64)
+        c = np.vstack(corpus["qvec"].values).astype(np.int64)
+        qids = pdf[id_col].values.astype(np.int64)
+        cids = corpus[id_col].values.astype(np.int64)
+        cos = (q @ c.T) / np.sqrt(
+            np.outer(
+                pdf["norm2"].values.astype(np.float64),
+                corpus["norm2"].values.astype(np.float64),
+            )
+        )
+        cos[qids[:, None] == cids[None, :]] = -np.inf
+        rows = []
+        kk = min(k, len(cids))
+        for i in range(len(qids)):
+            order = np.lexsort((cids, -cos[i]))[:kk]
+            keep = cos[i][order] > -np.inf
+            if not keep.any():
+                continue
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[i],
+                        "neighbor_id": cids[order[keep]],
+                        "cos": cos[i][order[keep]],
+                    }
+                )
+            )
+        if not rows:
+            return empty
+        return pd.concat(rows, ignore_index=True)
+
+    local = feat.groupBy("bucket").applyInPandas(
+        probe_topk, schema="query_id long, neighbor_id long, cos double"
+    )
+    # global re-rank across the nprobe probed cells; each neighbor
+    # appears at most once (corpus membership is single-cell)
+    return _rank_topk(local, k)
