@@ -226,3 +226,24 @@ def test_q17_single_fact_scan_with_broadcast_slice(spark):
     # formatted mode mentions each node twice (tree + detail
     # section): exactly one Window NODE
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_q21_single_fact_scan_no_self_join(spark):
+    """The decorrelated Q21 plan: the EXISTS / NOT EXISTS self-joins
+    collapse into window aggregates over the per-(order, supplier)
+    reduction — ONE lineitem scan, no join-back (the SQL form costs
+    two full fact scans with no exchange reuse), supplier dim
+    broadcast."""
+    from umls2rdf_spark.plans.tpch_extra import q21_waiting_supplier
+
+    df = q21_waiting_supplier(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("lineitem.parquet") == 1, plan.count(
+        "lineitem.parquet"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

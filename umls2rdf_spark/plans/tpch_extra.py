@@ -458,11 +458,328 @@ LIMIT 100
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bi-directional nation-pair trade volume:
+    revenue shipped between two nations, either direction, by year.
+
+    Spark-first: both nation slices are filtered to the pair BEFORE
+    joining (the inner joins then drop non-pair facts early instead
+    of filtering a full 7-way product), and every dim side —
+    supplier+nation and the nation on the customer side — is
+    broadcast, so the only shuffles are the two fact joins
+    (lineitem↔orders, orders↔customer) on their natural keys.
+    """
+    pair = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*pair)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(10,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+            * (CAST(1 AS DECIMAL(10,2))
+               - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: one supplier-nation's fraction
+    of yearly revenue for one part type sold into one region.
+
+    Spark-first: the selective part slice broadcasts first (drops
+    ~5/6 of lineitem before any shuffle), region→nation restricts
+    the customer side pre-join, supplier+nation broadcasts with the
+    share nation resolved to a boolean flag at join time. The ratio
+    is a single conditional aggregate over one joined frame — no
+    second pass. Decimal sums; the division happens on the two
+    cast-to-double sums (same on the oracle side, so the hash is
+    stable).
+    """
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    cust_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(cust_nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_1").alias("is_share_nation"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(10,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(10,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("is_share_nation"), rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                THEN CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(10,2))
+                        - CAST(l_discount AS DECIMAL(10,2)))
+                ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+              * (CAST(1 AS DECIMAL(10,2))
+                 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE)
+           AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole blame-carrying supplier: for
+    finished multi-supplier orders, count per supplier the orders
+    where it was the ONLY supplier to ship late.
+
+    The reference SQL form is a self-join with one EXISTS and one
+    NOT EXISTS against the same fact table — three lineitem scans.
+    Spark-first decorrelation: ONE scan, NO self-join. Reduce
+    lineitem to (order, supplier, was_late) via max(is_late), then
+    compute the per-order supplier/late-supplier counts as WINDOW
+    aggregates over the order key — the qualifying filter
+    (>1 suppliers, exactly 1 late, this one was it) is then a plain
+    row filter, so there is nothing to join back. Plan-audited: a
+    single lineitem FileScan and three hash exchanges (group key,
+    window key, final supplier rollup); the join-back formulation
+    Spark produces from the SQL form scans lineitem twice without
+    exchange reuse.
+    The testdata lineitem has no commit/receipt dates, so "late" is
+    shipped >100 days after the order date — the plan shape is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 100)
+                ).cast("int")
+            ).alias("was_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("was_late").over(w))
+        .where(
+            (F.col("was_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+             THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+) f
+JOIN (
+  SELECT l_orderkey
+  FROM (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+               THEN 1 ELSE 0 END) AS was_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+  ) g
+  GROUP BY 1
+  HAVING COUNT(*) > 1 AND SUM(was_late) = 1
+) q ON f.l_orderkey = q.l_orderkey
+JOIN supplier ON s_suppkey = f.l_suppkey
+WHERE f.was_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-scalar filter + anti-join + group:
+    above-average-balance customers with no recent orders, counted
+    per customer group.
+
+    Spark-first: the global average is a one-row aggregate
+    cross-joined back via broadcast — it stays IN the plan (no
+    driver collect), and the comparison is multiplied out to
+    ``bal * n > sum`` in decimal so no float average ever exists to
+    differ between engines. The "no recent orders" NOT EXISTS is a
+    left_anti join against the date-filtered order keys (filter
+    pushed to the parquet scan). The testdata customer has no phone
+    column, so the group key is ``c_custkey % 10`` — same shape as
+    the phone-prefix substring.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    glob = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("bal_sum"),
+            F.count(F.lit(1)).alias("bal_cnt"),
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(glob))
+        .where(_dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cgroup")
+    )
+
+
+Q22_SQL = """
+SELECT c_custkey % 10 AS cgroup, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE)
+           AS totacctbal
+FROM customer c, (SELECT SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS bal_sum,
+                         COUNT(*) AS bal_cnt
+                  FROM customer WHERE c_acctbal > 0) g
+WHERE CAST(c.c_acctbal AS DECIMAL(10,2)) * g.bal_cnt > g.bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 TESTS_ONLY_QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q18_large_orders": q18_large_orders,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_dormant_customers": q22_dormant_customers,
 }
 TESTS_ONLY_ORACLES = {
     "q17_small_quantity": Q17_SQL,
     "q18_large_orders": Q18_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_dormant_customers": Q22_SQL,
 }
