@@ -649,3 +649,48 @@ def test_ivf_nprobe_recall_and_bruteforce_equivalence(spark):
     r1, r2, r4 = rank1_recall(1), rank1_recall(2), rank1_recall(4)
     assert r1 <= r2 <= r4 <= 1.0, (r1, r2, r4)
     assert r2 > r1, (r1, r2)  # probing a 2nd cell must actually help
+
+
+def test_tfidf_topk_matches_oracle(spark, duck):
+    """Per-doc top-k TF-IDF vs a DuckDB oracle. The score is
+    double(tf*N)/double(df) — exact-integer inputs + correctly-
+    rounded IEEE division — so the hash compare needs no rounding
+    slack. Also pins the deterministic tiebreak (score desc, token
+    asc) and broadcast_vocab equivalence."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import tfidf_topk
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = tfidf_topk(docs, "doc_id", "text", k=3)
+    sql = """
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+'))
+           AS u(t)
+      WHERE u.t <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, doc_freq, tfidf, rank
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+             CAST(tf.tf * n.n_docs AS DOUBLE)
+               / CAST(dfreq.doc_freq AS DOUBLE) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                        / CAST(dfreq.doc_freq AS DOUBLE) DESC,
+                        tf.token ASC
+             ) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    WHERE rank <= 3
+    """
+    assert_matches_oracle(got, duck, sql)
+
+    bcast = tfidf_topk(docs, "doc_id", "text", k=3, broadcast_vocab=True)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, got.collect())
+    )

@@ -248,3 +248,66 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction — no
+    counterpart in the reference; LLM-corpus extension).
+
+    Score is the log-free variant ``tf * N / df`` computed as
+    ``double(tf*N) / double(df)``: every input is an exact integer
+    and IEEE-754 division is correctly rounded, so the score is
+    bit-identical in any engine — a log()-based IDF differs in the
+    last ulp between libms and would poison oracle hash compares
+    (ranking by tf*N/df orders identically to ranking by
+    log(tf)+log(N/df)-free monotone transforms of the same ratio).
+
+    Shape at scale: one shuffle to (doc, term) for TF, one map-side-
+    combined shuffle to term for DF (input rows already unique per
+    doc), a term-keyed join back (``broadcast_vocab=True`` broadcasts
+    the DF table when the vocabulary fits — term join then moves no
+    corpus rows), and a doc-keyed window for the top-k. The corpus
+    text itself is read ONCE; everything downstream carries only
+    (id, token, counts). N is a one-row aggregate cross-joined via
+    broadcast — it stays in the plan, no driver collect.
+
+    Ties rank deterministically: score desc, then token asc.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("doc_freq").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
+    )
