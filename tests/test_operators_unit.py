@@ -694,3 +694,53 @@ def test_tfidf_topk_matches_oracle(spark, duck):
     assert sorted(map(tuple, bcast.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_bm25_topk_matches_oracle(spark, duck):
+    """BM25-shaped retrieval vs a DuckDB oracle. Every float is a
+    fixed sequence of IEEE ops over exact integers, and per-term
+    contributions are quantized to int64 BEFORE the per-doc sum, so
+    the compare is exact — no rounding slack, any partitioning."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import bm25_topk
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    terms = ["spark", "window", "hash"]
+    got = bm25_topk(docs, "doc_id", "text", terms, k=15)
+    assert got.count() == 15
+    sql = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tf AS (
+      SELECT b.doc_id, dl.dl, u.t AS token, COUNT(*) AS tf
+      FROM base b JOIN dl ON b.doc_id = dl.doc_id,
+           UNNEST(b.toks) AS u(t)
+      WHERE u.t IN ('spark', 'window', 'hash')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl)
+    SELECT doc_id, score_q, n_terms_hit
+    FROM (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               1000000.0
+               * (CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE))
+               * (CAST(22 * tf * total_tokens AS DOUBLE)
+                  / CAST(10 * tf * total_tokens + 3 * total_tokens
+                         + 9 * dl * n_docs AS DOUBLE))
+             ) AS BIGINT)) AS BIGINT) AS score_q,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN dfreq USING (token) CROSS JOIN totals
+      GROUP BY 1
+    )
+    ORDER BY score_q DESC, doc_id ASC
+    LIMIT 15
+    """
+    assert_matches_oracle(got, duck, sql)

@@ -311,3 +311,78 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under a BM25-shaped
+    score (retrieval ranking — no counterpart in the reference;
+    LLM-corpus extension). k1=1.2, b=0.75.
+
+    Engine-deterministic scoring: floats are only ever produced by a
+    FIXED sequence of correctly-rounded IEEE ops over exact integers
+    — the tf-saturation term is multiplied out to the integer ratio
+    ``22*tf*T / (10*tf*T + 3*T + 9*dl*N)`` (T = total corpus tokens,
+    dl = doc length), the IDF is the log-free ``N/df`` ratio, and
+    each per-term contribution is quantized to an int64 via
+    ``floor(1e6 * idf * sat)`` BEFORE the per-document sum. Summing
+    int64s is order-independent, so the score — unlike a float sum
+    — cannot vary with partitioning or engine, and the oracle hash
+    is exact. (A log()-IDF or an unquantized float sum would differ
+    in the last ulp between engines/partitionings.)
+
+    Shape at scale: ONE corpus scan computes dl and the term-filtered
+    tf rows (the explode drops every non-query token immediately, so
+    the shuffle carries ≤ |terms| rows per doc); df and the (N, T)
+    totals are tiny aggregates joined back via broadcast; the final
+    top-k is orderBy+limit = TakeOrdered (no global sort shuffle).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks")
+    ).withColumn("dl", F.size("__toks").cast("bigint"))
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(F.col("__toks"), lambda t: t.isin(*terms))
+            ).alias("token"),
+        )
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    t_ = F.col("total_tokens")
+    n_ = F.col("n_docs")
+    sat = (F.lit(22) * F.col("tf") * t_).cast("double") / (
+        F.lit(10) * F.col("tf") * t_
+        + F.lit(3) * t_
+        + F.lit(9) * F.col("dl") * n_
+    ).cast("double")
+    idf = n_.cast("double") / F.col("doc_freq").cast("double")
+    contrib = F.floor(F.lit(1000000.0) * idf * sat).cast("bigint")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("score_q"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
