@@ -30,19 +30,37 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of events parquet (nanos ts → micros timestamp,
-    mirroring sources/parquet.load_table). The file-stream source
-    requires a directory, so we scan ``sf_dir`` with a glob filter."""
+    """Streaming scan of events parquet, normalizing ``ts`` to a
+    microsecond TimestampType exactly like sources/parquet.load_table
+    (the driver testdata has shipped both TIMESTAMP(NANOS) and naive
+    timestamp[us] across rounds). The physical ts type is probed from
+    a batch schema read (footer-only, no data scan); the file-stream
+    source requires a directory, so we scan ``sf_dir`` with a glob
+    filter."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    batch_ts = dict(spark.read.parquet(path).dtypes).get("ts")
+    if batch_ts == "bigint":  # TIMESTAMP(NANOS) read as long
+        schema = EVENTS_STREAM_SCHEMA
+    else:
+        schema = T.StructType(
+            [
+                f if f.name != "ts"
+                else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_STREAM_SCHEMA.fields
+            ]
+        )
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if batch_ts == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
