@@ -783,3 +783,15 @@ TESTS_ONLY_ORACLES = {
     "q21_waiting_supplier": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
 }
+
+# The remaining shapes (Q2/Q9/Q11/Q13/Q15/Q16/Q20) live in
+# plans/tpch_rest.py; registering them here puts them under the same
+# parametrized oracle gate in tests/test_tpch.py, completing all 22
+# TPC-H query shapes across the surface.
+from umls2rdf_spark.plans.tpch_rest import (  # noqa: E402
+    REST_ORACLES,
+    REST_QUERIES,
+)
+
+TESTS_ONLY_QUERIES.update(REST_QUERIES)
+TESTS_ONLY_ORACLES.update(REST_ORACLES)
