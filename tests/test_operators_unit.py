@@ -744,3 +744,82 @@ def test_bm25_topk_matches_oracle(spark, duck):
     LIMIT 15
     """
     assert_matches_oracle(got, duck, sql)
+
+
+def test_remove_boilerplate_segments_matches_oracle(spark, duck):
+    """Cross-document boilerplate removal vs a DuckDB oracle — the
+    full pipeline (segment, count distinct docs, drop frequent,
+    reassemble in order) compared value-for-value on the corpus."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.corpus import remove_boilerplate_segments
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = remove_boilerplate_segments(
+        docs, "doc_id", "text", segment_words=3, max_docs=5
+    )
+    sql = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, s,
+             array_to_string(t[CAST(s+1 AS INT) : CAST(s+3 AS INT)], ' ')
+                 AS seg
+      FROM toks, UNNEST(range(0, greatest(len(t)-1, 0)+1, 3)) AS u(s)
+    ),
+    freq AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 5
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.s, s.seg, f.seg IS NOT NULL AS is_b
+      FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(seg, ' ' ORDER BY s)
+                    FILTER (WHERE NOT is_b), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE is_b) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """
+    assert_matches_oracle(got, duck, sql)
+    rows = got.collect()
+    assert len(rows) == docs.count()  # every document keeps a row
+    assert sum(r["n_dropped"] for r in rows) > 0  # non-trivial setting
+
+
+def test_remove_boilerplate_segments_semantics(spark):
+    """Constructed fixture: a header segment shared by many docs is
+    stripped from every one; unique text survives verbatim; a doc
+    that is ALL boilerplate keeps its row with empty text. With no
+    frequent segments the op is whitespace normalization (identity on
+    single-spaced text)."""
+    from umls2rdf_spark.operators.corpus import remove_boilerplate_segments
+
+    header = "the cookie banner"
+    docs = spark.createDataFrame(
+        [(i, f"{header} unique words {i} here{i} now{i}") for i in range(5)]
+        + [(90, f"{header}"), (91, "completely original text stream")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in remove_boilerplate_segments(
+            docs, "doc_id", "text", segment_words=3, max_docs=4
+        ).collect()
+    }
+    assert len(out) == 7
+    for i in range(5):
+        assert out[i] == (f"unique words {i} here{i} now{i}", 1)
+    assert out[90] == ("", 1)  # all-boilerplate doc keeps its row
+    assert out[91] == ("completely original text stream", 0)
+
+    # identity when nothing repeats
+    ident = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_segments(
+            docs.where(F.col("doc_id") == 91), "doc_id", "text",
+            segment_words=3, max_docs=1,
+        ).collect()
+    }
+    assert ident == {91: "completely original text stream"}

@@ -247,3 +247,56 @@ def test_q21_single_fact_scan_no_self_join(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _fmt_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_boilerplate_removal_broadcasts_frequent_set(spark):
+    """remove_boilerplate_segments: the frequent-segment lookup joins
+    the corpus-sized exploded frame via BROADCAST (the frequent set is
+    bounded by n_segments/max_docs), so the only corpus shuffles are
+    the count-distinct agg and the per-document reassembly — and no
+    Python UDF appears anywhere."""
+    from umls2rdf_spark.operators.corpus import remove_boilerplate_segments
+    from umls2rdf_spark.sources.parquet import load_table
+
+    df = remove_boilerplate_segments(
+        load_table(spark, SF_DIR, "documents"), "doc_id", "text",
+        segment_words=3, max_docs=5,
+    )
+    plan = _fmt_plan(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q11_q15_single_fact_scan_window_over_aggregate(spark):
+    """Q11/Q15: the global scalar (total / max over the view) is a
+    window over the ALREADY-AGGREGATED frame, so the fact table is
+    scanned once — the SQL subquery form scans it twice."""
+    from umls2rdf_spark.plans.tpch_rest import (
+        q11_important_stock,
+        q15_top_supplier,
+    )
+
+    for fn in (q11_important_stock, q15_top_supplier):
+        plan = _fmt_plan(spark, fn(spark, SF_DIR))
+        assert plan.count("lineitem.parquet") == 1, fn.__name__
+
+
+def test_q20_single_fact_scan_conditional_agg(spark):
+    """Q20: the correlated shipped-qty subquery collapses into one
+    conditional aggregation — ONE lineitem scan, part slice and
+    nation dim broadcast."""
+    from umls2rdf_spark.plans.tpch_rest import q20_excess_availability
+
+    plan = _fmt_plan(spark, q20_excess_availability(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan

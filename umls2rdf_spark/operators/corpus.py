@@ -207,6 +207,82 @@ def pack_sequences(
     )
 
 
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segment_words: int = 8,
+    max_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate removal at segment granularity —
+    the C4/RefinedWeb "line dedup" step (drop every line that repeats
+    across many pages: headers, footers, cookie banners) applied to
+    fixed-width word segments, since this corpus's documents are
+    single-line token streams.
+
+    A segment is a non-overlapping window of ``segment_words``
+    whitespace tokens. Any segment string occurring in MORE than
+    ``max_docs`` distinct documents is boilerplate; every occurrence
+    is dropped and each document's surviving segments are reassembled
+    in order.
+
+    Scale shape (the reason this is safe at 100 TB): segmentation is
+    a map-side array slice + posexplode (no re-tokenization);
+    frequency counting is ONE count-distinct aggregation shuffled on
+    the segment string (map-side combined; a hot segment is exactly
+    what the combine collapses); the frequent-segment set is tiny by
+    construction (each member appears in >max_docs documents, so
+    there are at most n_segments/max_docs of them — in practice
+    boilerplate is a few thousand strings) and broadcasts back, so
+    the corpus-sized exploded frame never shuffles for the lookup;
+    reassembly is one groupBy on the document id. No UDFs anywhere.
+
+    Output: (id, clean_text, n_dropped) — one row per input document
+    (documents whose every segment was boilerplate keep a row with
+    empty clean_text).
+    """
+    if segment_words <= 0:
+        raise ValueError("segment_words must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_t = df.select(F.col(id_col), toks.alias("__t"))
+    starts = F.expr(
+        f"sequence(0, greatest(size(__t) - 1, 0), {segment_words})"
+    )
+    segs = with_t.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("pos", "start"),
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("start") + 1, segment_words)
+        ).alias("seg"),
+    ).drop("start")
+    frequent = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > max_docs)
+        .select("seg", F.lit(True).alias("__boiler"))
+    )
+    flagged = segs.join(F.broadcast(frequent), "seg", "left_outer")
+    keep = F.col("__boiler").isNull()
+    # collect_list drops nulls, so when(keep, ...) keeps survivors only
+    # while every document retains its group (each has >= 1 segment row)
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("seg")))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias(
+            "n_dropped"
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
