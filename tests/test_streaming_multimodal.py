@@ -426,3 +426,65 @@ def test_streaming_corpus_ingest_matches_batch(spark):
         for r in corpus_ingest_stream(batch_docs).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-STREAM interval join (click→purchase attribution): the
+    streaming pair set must equal the identical expressions run in
+    batch — same function, streaming vs batch sources, which oracles
+    the two-sided watermark/state logic."""
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import (
+        click_purchase_attribution,
+        read_events_stream,
+        run_append_to_memory,
+    )
+
+    def sides(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = sides(read_events_stream(spark, SF_DIR))
+    got = sorted(
+        map(
+            tuple,
+            run_append_to_memory(
+                click_purchase_attribution(s_clicks, s_purch),
+                "attribution_test",
+                spark,
+            ).collect(),
+        )
+    )
+    b_clicks, b_purch = sides(load_table(spark, SF_DIR, "events"))
+    expected = sorted(
+        map(tuple, click_purchase_attribution(b_clicks, b_purch).collect())
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_attribution_batch_twin_matches_duckdb_oracle(spark, duck):
+    """The attribution join's batch twin vs an ANSI interval-join
+    oracle — engine-independent evidence for the pair semantics the
+    stream-stream equivalence test relies on."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import click_purchase_attribution
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    got = click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    sql = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """
+    assert_matches_oracle(got, duck, sql)

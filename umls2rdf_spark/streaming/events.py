@@ -180,6 +180,59 @@ def enriched_windowed_value(
     )
 
 
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join — the attribution shape: every
+    (purchase, click) pair by the same user where the click precedes
+    the purchase by at most ``max_gap``.
+
+    Both inputs may be streaming. Each side carries its own watermark
+    and the join condition bounds event time in BOTH directions
+    (click_ts <= purchase_ts <= click_ts + gap), which is what lets
+    the state store evict: a buffered click older than
+    watermark + max_gap can never match a future purchase and is
+    dropped, so state is bounded by the time horizon, not the stream
+    length. Inner interval joins run in append mode — each matched
+    pair is emitted exactly once.
+
+    The same function applied to batch frames is its own batch twin
+    (the expressions are identical; only the source differs), which
+    is how the equivalence test oracles the streaming state logic.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
+        "value",
+    )
+
+
 def make_idempotent_batch_writer(out_dir: str):
     """foreachBatch writer that overwrites a ``batch_id=N``
     subdirectory per epoch. foreachBatch is at-least-once: after a
