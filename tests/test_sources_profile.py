@@ -1,0 +1,116 @@
+"""Tests for the text-format sources (JSONL/CSV ingest with corrupt-
+row quarantine), the size-targeted parquet writer, and the one-pass
+table profiler."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def test_read_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from umls2rdf_spark.sources.text import CORRUPT_COL, read_jsonl
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "gamma", "lang": "de"}\n'
+        "{not json at all}\n"
+        '{"doc_id": 4, "text": "delta", "lang": "fr"}\n'
+    )
+    clean = read_jsonl(spark, str(p), DOC_SCHEMA)
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in clean.collect()}
+    assert rows == {1: ("alpha beta", "en"), 2: ("gamma", "de"),
+                    4: ("delta", "fr")}
+
+    kept = read_jsonl(spark, str(p), DOC_SCHEMA, keep_corrupt=True)
+    bad = kept.where(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+
+def test_read_csv_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    from umls2rdf_spark.sources.text import CORRUPT_COL, read_csv_corpus
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "doc_id,text,lang\n"
+        "1,alpha beta,en\n"
+        "not_a_number,gamma,de\n"
+        "3,delta,fr\n"
+    )
+    clean = read_csv_corpus(spark, str(p), DOC_SCHEMA)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+    kept = read_csv_corpus(spark, str(p), DOC_SCHEMA, keep_corrupt=True)
+    # Spark disallows plans touching ONLY the corrupt column on raw
+    # CSV/JSON — collect() references every column, which is allowed
+    bad = [r for r in kept.collect() if r[CORRUPT_COL] is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0][CORRUPT_COL]
+
+
+def test_write_sized_parquet_bounds_file_size(spark, tmp_path):
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.sources.text import write_sized_parquet
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    out = str(tmp_path / "sized")
+    per_file = write_sized_parquet(docs, out, target_file_mb=1)
+    assert per_file > 0
+    files = [
+        os.path.join(out, f) for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert files
+    # bounded from above: no file materially over the 1 MB target
+    assert all(os.path.getsize(f) <= 2 * 1024 * 1024 for f in files)
+    # content round-trips
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_profile_table_exact_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.profile import profile_table
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = profile_table(docs, exact=True)
+    pieces = [
+        f"""
+        SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ]
+    assert_matches_oracle(got, duck, " UNION ALL ".join(pieces))
+
+
+def test_profile_table_approx_close_to_exact(spark):
+    from umls2rdf_spark.operators.profile import profile_table
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(docs, exact=True).collect()
+    }
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(docs).collect()
+    }
+    assert set(approx) == set(exact)
+    for c, e in exact.items():
+        assert abs(approx[c] - e) <= max(2, 0.2 * e), (c, approx[c], e)
