@@ -170,3 +170,70 @@ def test_pq_recall_vs_exact_dot_baseline(spark):
     recall = hit / len(exact_nn)
     # random pick recalls ~1/(n-1) ≈ 0.2% at sf0.001
     assert recall >= 0.05, recall
+
+
+def test_ivf_pq_full_probe_equals_pq_topk(spark):
+    """nprobe = all cells scores every pair exactly once, so the full
+    IVF-PQ stack must equal plain PQ ADC scoring row-for-row — the
+    cell routing can change WHICH pairs are scored, never a score."""
+    from umls2rdf_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from umls2rdf_spark.operators.similarity import train_ivf_centroids
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=4, k=8, iters=1
+    )
+    cent = train_ivf_centroids(emb, "vec_id", "embedding", cells=8, iters=1)
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, "vec_id", "embedding", books, cent,
+                k=3, nprobe=8,
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            pq_topk(emb, queries, "vec_id", "embedding", books, k=3)
+            .collect(),
+        )
+    )
+    assert full == plain and len(full) == 30 * 3
+
+
+def test_ivf_pq_nprobe_monotone_and_bounded(spark):
+    """More probed cells can only improve the best ADC hit per query
+    (monotone recall lever), and single-probe scores stay a subset of
+    the full scoring."""
+    from umls2rdf_spark.operators.pq import ivf_pq_topk, train_pq_codebooks
+    from umls2rdf_spark.operators.similarity import train_ivf_centroids
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=4, k=8, iters=1
+    )
+    cent = train_ivf_centroids(emb, "vec_id", "embedding", cells=8, iters=1)
+
+    def best(nprobe):
+        return {
+            r["query_id"]: r["adc_score"]
+            for r in ivf_pq_topk(
+                emb, queries, "vec_id", "embedding", books, cent,
+                k=1, nprobe=nprobe,
+            ).collect()
+        }
+
+    b1, b4 = best(1), best(4)
+    assert set(b1) <= set(b4)  # probing more cells never loses a query
+    for q, s in b1.items():
+        assert b4[q] >= s, (q, b4[q], s)

@@ -205,6 +205,129 @@ def pq_encode(
     )
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    centroids: list[list[int]],
+    k: int = 3,
+    dim: int = 64,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The full IVF-PQ stack: coarse cells bound WHO gets scored,
+    PQ codes bound what scoring COSTS.
+
+    Corpus pass (map-only): assign each vector to its nearest
+    centroid (exact int64 L2, ties to the lowest cell) and encode its
+    PQ codes — the stored index is (id, cell, m bytes). Query pass
+    (map-only over the small side): build the ADC LUT and duplicate
+    each query into its ``nprobe`` nearest cells (stable argsort —
+    deterministic). Scoring joins on the cell (the only
+    corpus-shuffle, bounded by cell sizes), scores pairs with the
+    unrolled ``luts[m][codes[m]]`` sum, and a global per-query window
+    re-ranks across probed cells. Each (query, neighbor) pair is
+    scored at most once: a neighbor lives in exactly one cell.
+
+    ``nprobe=len(centroids)`` degenerates to :func:`pq_topk` exactly
+    (every pair scored) — property-tested equal.
+    """
+    import numpy as np
+
+    books = np.array(codebooks, dtype=np.int64)
+    cent = np.array(centroids, dtype=np.int64)
+    m, _k, sub = books.shape
+    if m * sub != dim:
+        raise ValueError("codebook shape does not cover dim")
+    nprobe = max(1, min(nprobe, len(cent)))
+
+    def corpus_feat(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _quantize_np(pdf[vec_col])
+            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            codes = np.empty((len(q), m), dtype=np.int32)
+            for mm in range(m):
+                qs = q[:, mm * sub:(mm + 1) * sub]
+                dd = ((qs[:, None, :] - books[mm][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, mm] = dd.argmin(axis=1)
+            yield pd_.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    def query_feat(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _quantize_np(pdf[vec_col])
+            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            luts = [
+                [
+                    [
+                        int(row[mm * sub:(mm + 1) * sub] @ books[mm][c])
+                        for c in range(_k)
+                    ]
+                    for mm in range(m)
+                ]
+                for row in q
+            ]
+            frames = []
+            for j in range(nprobe):
+                frames.append(
+                    pd_.DataFrame(
+                        {
+                            "query_id": pdf[id_col].values,
+                            "cell": order[:, j].astype(np.int32),
+                            "luts": luts,
+                        }
+                    )
+                )
+            yield pd_.concat(frames, ignore_index=True)
+
+    id_type = dict(vectors.dtypes)[id_col]
+    corpus = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        corpus_feat,
+        schema=f"neighbor_id {id_type}, cell int, codes array<int>",
+    )
+    qs = queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        query_feat,
+        schema=f"query_id {id_type}, cell int, luts array<array<bigint>>",
+    )
+    score = F.expr(
+        " + ".join(f"luts[{mm}][codes[{mm}]]" for mm in range(m))
+    ).alias("adc")
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.col("adc").alias("adc_score"),
+        )
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
