@@ -114,3 +114,38 @@ def test_profile_table_approx_close_to_exact(spark):
     assert set(approx) == set(exact)
     for c, e in exact.items():
         assert abs(approx[c] - e) <= max(2, 0.2 * e), (c, approx[c], e)
+
+
+def test_assign_stable_ids_dense_and_invariant(spark):
+    """Ids are exactly the rank in global (shard, key) order, dense
+    0..n-1, and identical under any repartitioning/row order — the
+    properties monotonically_increasing_id lacks."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_py
+    from umls2rdf_spark.operators.ids import assign_stable_ids
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "lang"
+    )
+    got = {
+        r["doc_id"]: r["stable_id"]
+        for r in assign_stable_ids(docs, ["doc_id"], shards=16).collect()
+    }
+    n = len(got)
+    assert sorted(got.values()) == list(range(n))  # dense 0..n-1
+
+    # replica: rank in (shard, doc_id) order
+    keys = sorted(
+        got.keys(), key=lambda d: (stable_hash40_py(str(d)) % 16, d)
+    )
+    assert got == {d: i for i, d in enumerate(keys)}
+
+    again = {
+        r["doc_id"]: r["stable_id"]
+        for r in assign_stable_ids(
+            docs.repartition(13).sortWithinPartitions(F.col("lang")),
+            ["doc_id"],
+            shards=16,
+        ).collect()
+    }
+    assert again == got

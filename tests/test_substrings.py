@@ -1,0 +1,119 @@
+"""Exact repeated-substring dedup: DuckDB oracle over the corpus,
+constructed-fixture semantics, and removal accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+
+L = 6
+
+
+def test_repeated_spans_match_oracle(spark, duck):
+    from umls2rdf_spark.operators.substrings import repeated_substring_spans
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = repeated_substring_spans(docs, "doc_id", "text", min_len=L)
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(s AS INT) AS pos,
+             array_to_string(t[CAST(s+1 AS INT) : CAST(s+{L} AS INT)], ' ')
+                 AS win
+      FROM toks, UNNEST(range(0, greatest(len(t)-{L}+1, 0))) AS u(s)
+    ),
+    rep AS (
+      SELECT doc_id, pos FROM wins
+      WHERE win IN (SELECT win FROM wins GROUP BY win HAVING COUNT(*) > 1)
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos > prev + {L}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM rep)
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {L} AS INT) AS span_end
+    FROM runs GROUP BY doc_id, span
+    """
+    assert_matches_oracle(got, duck, sql)
+    assert got.count() > 0  # the corpus's replicated docs guarantee spans
+
+
+def test_repeated_substring_semantics(spark):
+    """A 6-token run shared by two docs is flagged in both; a run
+    repeated WITHIN one doc is flagged at both sites; unique docs are
+    untouched; removal cuts exactly the spans."""
+    from umls2rdf_spark.operators.substrings import (
+        remove_repeated_substrings,
+        repeated_substring_spans,
+    )
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma"),
+            (2, f"delta {shared} epsilon"),
+            (3, f"{shared} zeta {shared}"),
+            (4, "totally unique words nothing repeats here ever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_substring_spans(
+            docs, "doc_id", "text", min_len=6
+        ).collect()
+    }
+    assert (1, 0, 6) in spans
+    assert (2, 1, 7) in spans
+    # doc 3: the run appears at 0 and 7; window(1..6)='two..zeta' etc.
+    # are unique, so two disjoint spans — but pos 7 <= 0+6+? gap rule:
+    # 7 > 0 + 6 → new span
+    assert (3, 0, 6) in spans and (3, 7, 13) in spans
+    assert not any(d == 4 for d, _, _ in spans)
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_repeated_substrings(
+            docs, "doc_id", "text", min_len=6
+        ).collect()
+    }
+    assert out[1] == ("alpha beta gamma", 6)
+    assert out[2] == ("delta epsilon", 6)
+    assert out[3] == ("zeta", 12)
+    assert out[4] == ("totally unique words nothing repeats here ever", 0)
+
+
+def test_removal_accounting_on_corpus(spark):
+    """Across the corpus: token loss equals total span length, and
+    docs without spans round-trip byte-identical (after whitespace
+    normalization, which tokenization implies)."""
+    from umls2rdf_spark.operators.substrings import (
+        remove_repeated_substrings,
+        repeated_substring_spans,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    span_total = (
+        repeated_substring_spans(docs, "doc_id", "text", min_len=L)
+        .agg(F.sum(F.col("span_end") - F.col("span_start")))
+        .collect()[0][0]
+    )
+    removed = remove_repeated_substrings(docs, "doc_id", "text", min_len=L)
+    got_total = removed.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    assert got_total == span_total > 0
+    untouched = removed.where(F.col("n_removed_tokens") == 0)
+    joined = untouched.join(docs, "doc_id").where(
+        F.col("clean_text") != F.col("text")
+    )
+    assert joined.count() == 0  # single-spaced corpus: identity

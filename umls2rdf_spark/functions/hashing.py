@@ -32,6 +32,14 @@ def stable_hash40_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
 
 
+def stable_hash40_py(s: str) -> int:
+    """Plain-Python twin of :func:`stable_hash40` — for replica tests
+    and driver-side sizing decisions that must agree with the plans."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:HASH_HEX_CHARS], 16)
+
+
 def perm_params(k: int) -> list[tuple[int, int, int]]:
     """Deterministic (perm_id, a, b) universal-hash parameters,
     a odd, both < 2^20 — same table is inlined into oracle SQL."""
