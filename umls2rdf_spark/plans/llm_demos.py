@@ -723,8 +723,10 @@ from umls2rdf_spark.operators.corpus import (
     chunk_documents,
     decontaminate,
     pack_sequences,
+    remove_boilerplate_segments,
     stratified_sample,
 )
+from umls2rdf_spark.operators.substrings import remove_repeated_substrings
 from umls2rdf_spark.operators.textstats import SCRUB_PATTERNS, scrub_text
 
 # A deterministic PII-bearing suffix appended to every 10th document
@@ -736,6 +738,9 @@ _PII_SUFFIX = (
     " contact jane.doe+test@example-mail.com or"
     " https://example.com/a/b?q=1 or call +1 (415) 555-0199 now"
 )
+_BOILER_W = 3               # boilerplate segment width (words)
+_BOILER_K = 5               # a segment in > K docs is boilerplate
+_SUBSTR_L = 6               # repeated-substring window (tokens)
 _CORPUS_BENCH_MOD = 25      # every 25th doc doubles as the benchmark
 _CORPUS_SHINGLE_N = 4       # 4-gram overlap → ~7% of sf0.01 flagged
 _CORPUS_CHUNK_TOKENS = 32
@@ -752,27 +757,33 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-preparation pipeline over ``documents``:
 
     1. PII scrub (`scrub_text` — codegen regexp_replace chain),
-    2. benchmark decontamination (`decontaminate` — 4-gram overlap vs
+    2. cross-document boilerplate removal
+       (`remove_boilerplate_segments` — 3-word segments appearing in
+       >5 docs dropped, survivors reassembled in order),
+    3. exact repeated-substring dedup (`remove_repeated_substrings`
+       — any 6-token run occurring twice corpus-wide is cut),
+    4. benchmark decontamination (`decontaminate` — 4-gram overlap vs
        the every-25th-doc 'benchmark' slice, contaminated docs
        anti-joined away),
-    3. deterministic stratified sampling (`stratified_sample` — per-
+    5. deterministic stratified sampling (`stratified_sample` — per-
        source keep fractions keyed on stable_hash40(doc_id)),
-    4. overlapping token-window chunking (`chunk_documents`),
-    5. GPT-style sequence packing (`pack_sequences` — concat-and-chop
+    6. overlapping token-window chunking (`chunk_documents`),
+    7. GPT-style sequence packing (`pack_sequences` — concat-and-chop
        of the chunk token streams into fixed 48-token training
        sequences via the two-level sharded cumulative sum).
 
     Returns one row per (chunk, training-sequence) overlap: the chunk
     columns plus (seq_id, tok_start, tok_end, seq_off) — every
     stage's output feeds the next, so the driver hash check verifies
-    all five operators at once.
+    all seven operators at once.
 
-    Scale shape: scrub and chunk are map-side; decontaminate
-    broadcast-joins the (small) benchmark shingle set so the corpus
-    never shuffles; sampling is a map-side hash cut; packing windows
-    inside hash shards and broadcasts the shards-row offset table —
-    no single-reducer stage. The only wide stages are the flagged-id
-    distinct (tiny) and the per-shard pack sort.
+    Scale shape: scrub and chunk are map-side; boilerplate counting
+    and the substring window group-by are map-side-combined
+    aggregations whose lookup sides broadcast back (boilerplate) or
+    semi-join (repeated windows); decontaminate broadcast-joins the
+    (small) benchmark shingle set; sampling is a map-side hash cut;
+    packing windows inside hash shards and broadcasts the shards-row
+    offset table — no single-reducer stage anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.withColumn(
@@ -787,7 +798,17 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CHEAPER than persisting the scrubbed corpus (text-heavy cache
     # materialization cost 3x the repeated codegen regex scans:
     # 5.2s -> 15.9s). Scan-speed recompute wins for wide text rows.
-    clean = scrub_text(aug, "text")
+    scrubbed = scrub_text(aug, "text")
+    deboiler = remove_boilerplate_segments(
+        scrubbed, "doc_id", "text",
+        segment_words=_BOILER_W, max_docs=_BOILER_K,
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    dedup = remove_repeated_substrings(
+        deboiler, "doc_id", "text", min_len=_SUBSTR_L
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    # the cleanup stages return (id, text); source rides back in on
+    # the id (the reassembly already shuffled on it)
+    clean = dedup.join(scrubbed.select("doc_id", "source"), "doc_id")
     bench = clean.where(
         F.col("doc_id") % _CORPUS_BENCH_MOD == 0
     ).select(F.col("doc_id").alias("bench_id"), "text")
@@ -839,10 +860,63 @@ WITH aug AS (
   FROM documents),
 clean AS (
   SELECT doc_id, source, {_scrub_sql('text')} AS text FROM aug),
+bseg AS (
+  SELECT doc_id, s,
+         array_to_string(bt[CAST(s+1 AS INT) : CAST(s+{_BOILER_W} AS INT)],
+                         ' ') AS seg
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS bt
+        FROM clean) c,
+       UNNEST(range(0, greatest(len(bt)-1, 0)+1, {_BOILER_W})) AS u(s)),
+bfreq AS (
+  SELECT seg FROM bseg GROUP BY seg
+  HAVING COUNT(DISTINCT doc_id) > {_BOILER_K}),
+bclean AS (
+  SELECT b.doc_id,
+         COALESCE(string_agg(b.seg, ' ' ORDER BY b.s)
+                  FILTER (WHERE f2.seg IS NULL), '') AS text
+  FROM bseg b LEFT JOIN bfreq f2 ON b.seg = f2.seg
+  GROUP BY b.doc_id),
+stok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS st
+  FROM bclean),
+swin AS (
+  SELECT doc_id, CAST(s AS INT) AS pos,
+         array_to_string(st[CAST(s+1 AS INT) : CAST(s+{_SUBSTR_L} AS INT)],
+                         ' ') AS win
+  FROM stok, UNNEST(range(0, greatest(len(st)-{_SUBSTR_L}+1, 0))) AS u(s)),
+srep AS (
+  SELECT doc_id, pos FROM swin
+  WHERE win IN (SELECT win FROM swin GROUP BY win HAVING COUNT(*) > 1)),
+sruns AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NOT NULL AND pos > prev + {_SUBSTR_L}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS span
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM srep)),
+sspans AS (
+  SELECT doc_id, MIN(pos) AS sp_start, MAX(pos) + {_SUBSTR_L} AS sp_end
+  FROM sruns GROUP BY doc_id, span),
+stoks AS (
+  SELECT doc_id, st[CAST(s+1 AS INT)] AS tk, CAST(s AS INT) AS idx
+  FROM stok, UNNEST(range(0, len(st))) AS u(s)),
+skept AS (
+  SELECT k.doc_id, k.idx, k.tk
+  FROM stoks k
+  WHERE NOT EXISTS (SELECT 1 FROM sspans p
+                    WHERE p.doc_id = k.doc_id
+                      AND k.idx >= p.sp_start AND k.idx < p.sp_end)),
+sclean AS (
+  SELECT b.doc_id, COALESCE(a.text, '') AS text
+  FROM bclean b LEFT JOIN (
+    SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS text
+    FROM skept GROUP BY doc_id) a USING (doc_id)),
 tok AS (
-  SELECT doc_id, source, text,
-         list_filter(string_split(text, ' '), t -> t <> '') AS f
-  FROM clean),
+  SELECT s.doc_id, c.source, s.text,
+         list_filter(string_split(s.text, ' '), t -> t <> '') AS f
+  FROM sclean s JOIN clean c USING (doc_id)),
 idx AS (
   SELECT doc_id, f,
          unnest(generate_series(1,
