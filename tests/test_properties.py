@@ -266,3 +266,118 @@ def test_pack_sequences_matches_replica(spark, items, seq_len, shards):
             want.append((i, s, a, b, gb + a - s * seq_len))
         gb += n
     assert got == sorted(want)
+
+
+def _py_remove_repeated(docs: dict[int, str], L: int) -> dict[int, tuple]:
+    """Pure-Python replica of remove_repeated_substrings."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    from collections import Counter
+
+    wins = Counter()
+    for t in toks.values():
+        for p in range(max(len(t) - L + 1, 0)):
+            wins[" ".join(t[p:p + L])] += 1
+    out = {}
+    for d, t in toks.items():
+        rep = sorted(
+            p for p in range(max(len(t) - L + 1, 0))
+            if wins[" ".join(t[p:p + L])] > 1
+        )
+        spans = []
+        for p in rep:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + L))
+            else:
+                spans.append((p, p + L))
+        kept = [
+            tok for i, tok in enumerate(t)
+            if not any(s <= i < e for s, e in spans)
+        ]
+        out[d] = (" ".join(kept), len(t) - len(kept))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_remove_repeated_substrings_matches_replica(spark, token_docs, L):
+    """Over random tiny-alphabet corpora (repeats guaranteed), the
+    Spark pipeline must equal the straightforward Python replica —
+    window counting, interval merge and token cutting all at once."""
+    from umls2rdf_spark.operators.substrings import (
+        remove_repeated_substrings,
+    )
+
+    docs = {i: " ".join(t) for i, t in enumerate(token_docs)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_repeated_substrings(
+            df, "doc_id", "text", min_len=L
+        ).collect()
+    }
+    assert got == _py_remove_repeated(docs, L)
+
+
+def _py_remove_boiler(docs: dict[int, str], W: int, K: int) -> dict[int, tuple]:
+    """Pure-Python replica of remove_boilerplate_segments."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    from collections import defaultdict
+
+    seen: dict[str, set] = defaultdict(set)
+    segged = {}
+    for d, t in toks.items():
+        segs = [
+            " ".join(t[p:p + W])
+            for p in range(0, max(len(t) - 1, 0) + 1, W)
+        ]
+        segged[d] = segs
+        for s in segs:
+            seen[s].add(d)
+    out = {}
+    for d, segs in segged.items():
+        kept = [s for s in segs if len(seen[s]) <= K]
+        out[d] = (" ".join(kept), len(segs) - len(kept))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]),
+            min_size=0,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_remove_boilerplate_matches_replica(spark, token_docs, W, K):
+    from umls2rdf_spark.operators.corpus import remove_boilerplate_segments
+
+    docs = {i: " ".join(t) for i, t in enumerate(token_docs)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in remove_boilerplate_segments(
+            df, "doc_id", "text", segment_words=W, max_docs=K
+        ).collect()
+    }
+    assert got == _py_remove_boiler(docs, W, K)
