@@ -823,3 +823,62 @@ def test_remove_boilerplate_segments_semantics(spark):
         ).collect()
     }
     assert ident == {91: "completely original text stream"}
+
+
+def test_unigram_surprisal_matches_oracle(spark, duck):
+    """Unigram cross-entropy vs a DuckDB oracle that inlines the SAME
+    int64-quantized weight table (generated from Python log2 over the
+    distinct counts), so both engines do pure integer sums — the hash
+    can only match if tokenization, counting and weighting all agree."""
+    import math
+
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import unigram_surprisal
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = unigram_surprisal(docs, "doc_id", "text")
+
+    rows = duck.execute("""
+        WITH toks AS (
+          SELECT u.t AS token
+          FROM documents,
+               UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE u.t <> ''
+        )
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    """).fetchall()
+    total = sum(c for _, c in rows)
+    scale = 1 << 20
+    weights = sorted(
+        {
+            (c, int(round((math.log2(total) - math.log2(c)) * scale)))
+            for _, c in rows
+        }
+    )
+    values = ", ".join(f"({c}, {w})" for c, w in weights)
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    wdim(cnt, w) AS (VALUES {values}),
+    per_tok AS (
+      SELECT t.doc_id, w.w
+      FROM toks t JOIN counts c USING (token) JOIN wdim w USING (cnt)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS surprisal_q,
+           CAST(SUM(w) AS DOUBLE) / {float(scale)} / COUNT(*)
+               AS bits_per_token
+    FROM per_tok GROUP BY doc_id
+    """
+    assert_matches_oracle(got, duck, sql)
+    # sanity: scores are positive and bounded by log2(total)
+    import pyspark.sql.functions as F
+
+    mx = got.agg(F.max("bits_per_token")).collect()[0][0]
+    assert 0 < mx <= math.log2(total)

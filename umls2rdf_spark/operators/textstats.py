@@ -386,3 +386,80 @@ def bm25_topk(
         .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram distribution — the statistical language-model quality
+    signal (high bits/token = rare-token soup or noise; low =
+    repetitive boilerplate).
+
+    score(doc) = (1/n) * sum over tokens of -log2(count(tok)/total)
+
+    Engine-exactness: log() differs in the last ulp between libms, so
+    the per-token surprisal is computed ONCE per DISTINCT count value
+    (driver-side Python log2, quantized to int64 at ``quant_bits``
+    fractional bits) and shipped back as a broadcast weight dim. The
+    per-document sum is then pure int64 — order-independent, so the
+    result is bit-identical on any engine or partitioning, and a SQL
+    oracle can inline the identical weight table.
+
+    The driver collect is of DISTINCT token-count VALUES, not tokens:
+    among N total tokens there can be at most ~sqrt(2N) distinct
+    count values (counts c1>c2>... are distinct positive integers
+    summing to <= N), so even a 10^13-token corpus collects a few
+    million ints — bounded, and independent of vocabulary size.
+
+    Output: (id, n_tokens, surprisal_q, bits_per_token) where
+    surprisal_q is the exact int64-quantized total and bits_per_token
+    = surprisal_q / 2^quant_bits / n_tokens as double.
+    """
+    import math
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    occ = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    # persisted: three consumers (total, distinct counts, the score
+    # join) would otherwise each re-tokenize the whole corpus; the
+    # cached frame is vocabulary-sized, not corpus-sized
+    from pyspark import StorageLevel
+
+    counts = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = counts.agg(F.sum("cnt").alias("total")).collect()[0]["total"]
+    if not total:
+        raise ValueError("corpus has no tokens")
+    distinct_counts = [
+        r["cnt"] for r in counts.select("cnt").distinct().collect()
+    ]
+    scale = 1 << quant_bits
+    weights = [
+        (int(c), int(round((math.log2(total) - math.log2(c)) * scale)))
+        for c in distinct_counts
+    ]
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(weights, "cnt bigint, w bigint")
+    per_tok = occ.join(counts, "token").join(F.broadcast(wdim), "cnt")
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("surprisal_q"),
+        )
+        .withColumn(
+            "bits_per_token",
+            F.col("surprisal_q").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_tokens").cast("double"),
+        )
+    )
