@@ -300,3 +300,33 @@ def test_q20_single_fact_scan_conditional_agg(spark):
     plan = _fmt_plan(spark, q20_excess_availability(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_rest_broadcast_dims(spark):
+    """The TPC-H completion set must broadcast its dims — Q2's
+    region-filtered supplier set, Q9's part slice + supplier-nation
+    map, Q16's part slice and denylist — never sort-merge the fact
+    against a dim."""
+    from umls2rdf_spark.plans.tpch_rest import (
+        q2_min_cost_supplier,
+        q9_product_profit,
+        q16_parts_supplier_cnt,
+    )
+
+    for fn, min_bc in (
+        (q2_min_cost_supplier, 2),
+        (q9_product_profit, 2),
+        (q16_parts_supplier_cnt, 2),
+    ):
+        plan = _fmt_plan(spark, fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= min_bc, fn.__name__
+
+
+def test_q13_outer_join_preserves_customer_side(spark):
+    """Q13's zero-order bucket requires the LEFT OUTER join to
+    preserve customers; the order-side filter must sit under the
+    join (on the null-producing side), not above it."""
+    from umls2rdf_spark.plans.tpch_rest import q13_order_distribution
+
+    plan = _fmt_plan(spark, q13_order_distribution(spark, SF_DIR))
+    assert "LeftOuter" in plan, plan

@@ -117,3 +117,27 @@ def test_removal_accounting_on_corpus(spark):
         F.col("clean_text") != F.col("text")
     )
     assert joined.count() == 0  # single-spaced corpus: identity
+
+
+def test_hot_window_does_not_skew(spark):
+    """A single window repeated in EVERY doc (the hot-key case for
+    the window group-by) must still produce correct spans — partial
+    aggregation collapses the hot key map-side, so correctness and
+    the plan shape hold regardless of repetition count."""
+    from umls2rdf_spark.operators.substrings import (
+        remove_repeated_substrings,
+    )
+
+    hot = "w x y z q r"
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i} tail{i}") for i in range(200)],
+        "doc_id bigint, text string",
+    ).repartition(16)
+    out = remove_repeated_substrings(docs, "doc_id", "text", min_len=6)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["n_removed_tokens"] == 6 for r in rows)
+    assert all(
+        r["clean_text"] == f"unique{r['doc_id']} tail{r['doc_id']}"
+        for r in rows
+    )
