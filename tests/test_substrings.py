@@ -141,3 +141,47 @@ def test_hot_window_does_not_skew(spark):
         r["clean_text"] == f"unique{r['doc_id']} tail{r['doc_id']}"
         for r in rows
     )
+
+
+def test_incremental_dedupe_matches_oracle(spark, duck):
+    """Shard-vs-base incremental dedup: base = even doc_ids, shard =
+    odd doc_ids; survivors are odd docs whose text no even doc has,
+    min-id per duplicate text within the shard. Both the on-the-fly
+    and precomputed-index base forms must agree with the oracle."""
+    from umls2rdf_spark.operators.dedup import incremental_dedupe
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    shard = docs.where(F.col("doc_id") % 2 == 1)
+    got = incremental_dedupe(shard, base, "doc_id", "text")
+    sql = """
+    WITH shard AS (SELECT *, md5(text) AS fp FROM documents
+                   WHERE doc_id % 2 = 1),
+    fresh AS (
+      SELECT * FROM shard
+      WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                    AS rn
+          FROM fresh)
+    WHERE rn = 1
+    """
+    assert_matches_oracle(got, duck, sql)
+    survivors = sorted(map(tuple, got.collect()))
+    assert survivors
+
+    # re-ingesting every base doc (new ids, same text) must change
+    # nothing: the base-collision anti-join drops them all
+    reingest = shard.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    got2 = incremental_dedupe(reingest, base, "doc_id", "text")
+    assert sorted(map(tuple, got2.collect())) == survivors
+
+    idx = base.select(F.md5(F.col("text")).alias("text_hash"))
+    via_index = incremental_dedupe(
+        reingest, idx, "doc_id", "text", base_is_fingerprints=True
+    )
+    assert sorted(map(tuple, via_index.collect())) == survivors

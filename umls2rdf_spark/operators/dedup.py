@@ -390,3 +390,41 @@ def connected_components(
             "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
     )
+
+
+def incremental_dedupe(
+    new_docs: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Incremental corpus intake: keep only new-shard documents whose
+    text is (a) absent from the base corpus and (b) the minimum-id
+    representative within the shard — the between-ingests shape of
+    exact dedup (a continuously-fed training corpus dedupes each
+    arriving shard against everything already admitted).
+
+    ``base`` is either the base corpus (fingerprinted on the fly) or,
+    with ``base_is_fingerprints=True``, a precomputed ``text_hash``
+    frame — the production form: the fingerprint INDEX (16 bytes/row)
+    is what you persist between ingests, never the text. Both joins
+    are hash-keyed: the anti-join shuffles shard+index fingerprints
+    (the shard side is the small one in steady state), and the
+    in-shard representative pick is one shard-sized window. New
+    columns are untouched — output is the surviving new_docs rows.
+    """
+    from pyspark.sql import Window
+
+    shard = new_docs.withColumn("__fp", F.md5(F.col(text_col)))
+    if base_is_fingerprints:
+        base_fp = base.select(F.col("text_hash").alias("__fp"))
+    else:
+        base_fp = base.select(F.md5(F.col(text_col)).alias("__fp"))
+    fresh = shard.join(base_fp, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
