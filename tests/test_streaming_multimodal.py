@@ -488,3 +488,44 @@ def test_attribution_batch_twin_matches_duckdb_oracle(spark, duck):
      AND p.ts <= c.ts + INTERVAL 1 HOUR
     """
     assert_matches_oracle(got, duck, sql)
+
+
+def test_streaming_incremental_dedupe_matches_batch(spark, tmp_path):
+    """The streamed shard admitted against a static fingerprint index
+    must equal the batch incremental_dedupe — same base collisions
+    dropped, one survivor per new text."""
+    from umls2rdf_spark.operators.dedup import incremental_dedupe
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import (
+        run_append_to_memory,
+        streaming_incremental_dedupe,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    idx = base.select(F.md5(F.col("text")).alias("text_hash"))
+    shard = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    shard_dir = str(tmp_path / "shard")
+    shard.coalesce(1).write.parquet(shard_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema).format("parquet")
+        .load(shard_dir)
+    )
+    got = run_append_to_memory(
+        streaming_incremental_dedupe(stream, idx),
+        "inc_dedupe_test",
+        spark,
+    )
+    want = incremental_dedupe(
+        spark.read.parquet(shard_dir), idx, "doc_id", "text",
+        base_is_fingerprints=True,
+    )
+    # batch keeps min-id per text; the corpus has no duplicate texts
+    # within the odd shard, so first-arrival == min-id here
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0

@@ -325,3 +325,35 @@ def run_append_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_incremental_dedupe(
+    docs_stream: DataFrame,
+    base_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.incremental_dedupe: admit a
+    live document feed against the standing corpus's fingerprint
+    index.
+
+    Two stages, both streaming-native: a stream-static LEFT ANTI join
+    drops documents whose md5 fingerprint already exists in the base
+    index (the static side re-resolves per micro-batch, so a
+    concurrently-growing index is picked up on the next batch), then
+    ``dropDuplicates`` on the fingerprint removes repeats WITHIN the
+    stream (state grows with distinct new fingerprints — bound it
+    with a watermarked variant when the feed is unbounded).
+
+    The batch twin is incremental_dedupe(base_is_fingerprints=True)
+    up to its min-id representative rule: a stream keeps the FIRST
+    arrival instead (arrival order is the stream's notion of
+    priority), so the equivalence test feeds ids in order.
+    """
+    fp = docs_stream.withColumn("__fp", F.md5(F.col(text_col)))
+    fresh = fp.join(
+        base_fingerprints.select(F.col("text_hash").alias("__fp")),
+        "__fp",
+        "left_anti",
+    )
+    return fresh.dropDuplicates(["__fp"]).drop("__fp")
