@@ -330,3 +330,31 @@ def test_q13_outer_join_preserves_customer_side(spark):
 
     plan = _fmt_plan(spark, q13_order_distribution(spark, SF_DIR))
     assert "LeftOuter" in plan, plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout (the 100 TB table organization): a
+    predicate on the partition column must become a PartitionFilter —
+    pruned at PLANNING time, non-matching directories never listed
+    into the scan — and stay out of the data filters."""
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    scan = spark.read.parquet(out).where(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("lang")
+        == "en"
+    )
+    plan = _fmt_plan(spark, scan)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    # the scan reads only the en partition's files
+    en_rows = docs.where(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("lang")
+        == "en"
+    ).count()
+    assert scan.count() == en_rows
+    # note: DataFrame.inputFiles() reflects the UNPRUNED relation —
+    # the PartitionFilters line above is the planning-time evidence
