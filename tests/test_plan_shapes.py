@@ -358,3 +358,34 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert scan.count() == en_rows
     # note: DataFrame.inputFiles() reflects the UNPRUNED relation —
     # the PartitionFilters line above is the planning-time evidence
+
+
+def test_plan_facts_api(spark):
+    """plan_facts must report the structures the audits grep for:
+    pruned scan columns + pushed filters on q1, broadcast joins on
+    q5, zero Python row evals on both."""
+    from umls2rdf_spark.plans.audit import plan_facts
+
+    facts = plan_facts(
+        entrymod.queries()["q1_pricing_summary"](spark, SF_DIR)
+    )
+    assert facts["scans"], facts
+    assert facts["scans"][0]["read_columns"] is not None
+    assert facts["scans"][0]["read_columns"] <= 7  # pruned projection
+    assert facts["scans"][0]["pushed_filters"]
+    assert facts["python_evals"] == 0
+    assert facts["adaptive_pending"]  # AQE wraps; codegen ids later
+
+    q5 = plan_facts(entrymod.queries()["q5_local_supplier"](spark, SF_DIR))
+    assert q5["broadcast_joins"] >= 4
+    assert q5["python_evals"] == 0
+
+    # a non-adaptive plan (no exchange) exposes its codegen span ids
+    from pyspark.sql import functions as F
+
+    simple = spark.range(10).select((F.col("id") * 2).alias("x")).where(
+        F.col("x") > 2
+    )
+    sf = plan_facts(simple)
+    assert not sf["adaptive_pending"]
+    assert sf["codegen_spans"] >= 1
