@@ -783,7 +783,12 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join (repeated windows); decontaminate broadcast-joins the
     (small) benchmark shingle set; sampling is a map-side hash cut;
     packing windows inside hash shards and broadcasts the shards-row
-    offset table — no single-reducer stage anywhere.
+    offset table — no single-reducer stage anywhere. The one
+    sort-merge join in the static plan is the contaminated-id
+    LeftAnti: its build side is almost always tiny, but hard-hinting
+    broadcast would OOM in the adversarial everything-contaminated
+    case, so it is deliberately left for AQE to convert to broadcast
+    at runtime from the OBSERVED size.
     """
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.withColumn(
