@@ -882,3 +882,44 @@ def test_unigram_surprisal_matches_oracle(spark, duck):
 
     mx = got.agg(F.max("bits_per_token")).collect()[0][0]
     assert 0 < mx <= math.log2(total)
+
+
+def test_frequent_tokens_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import frequent_tokens
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = frequent_tokens(docs.select("doc_id", "text"), "text", k=20)
+    sql = """
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      WHERE u.t <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                AS INT) AS rank
+    FROM toks GROUP BY token
+    ORDER BY rank LIMIT 20
+    """
+    assert_matches_oracle(got, duck, sql)
+
+    by_docs = frequent_tokens(
+        docs.select("doc_id", "text"), "text", k=20, by_docs=True
+    )
+    sql_docs = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, u.t AS token
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      WHERE u.t <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                AS INT) AS rank
+    FROM toks GROUP BY token
+    ORDER BY rank LIMIT 20
+    """
+    assert_matches_oracle(by_docs, duck, sql_docs)

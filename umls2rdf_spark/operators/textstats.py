@@ -463,3 +463,44 @@ def unigram_surprisal(
             / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def frequent_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    by_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies — the vocabulary-audit
+    primitive (stopword discovery, boilerplate spotting, tokenizer
+    sanity checks before a training run).
+
+    One explode + one map-side-combined groupBy; the top-k is a
+    TakeOrdered over the vocabulary-sized count table (never a global
+    sort of the corpus). ``by_docs=True`` counts document frequency
+    (distinct docs containing the token — needs the id column to ride
+    along in ``df``... it counts distinct over all non-token columns'
+    struct, so pre-select (id, text)) instead of raw occurrences.
+    Deterministic ties: count desc, token asc.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    other = [c for c in df.columns if c != text_col]
+    ex = df.select(*other, F.explode(toks).alias("token"))
+    if by_docs:
+        counts = ex.select(*other, "token").distinct().groupBy(
+            "token"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    else:
+        counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    # the rank window runs over the VOCABULARY count table; Spark
+    # plans orderBy+limit as TakeOrdered — no full sort materializes
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
