@@ -923,3 +923,21 @@ def test_frequent_tokens_matches_oracle(spark, duck):
     ORDER BY rank LIMIT 20
     """
     assert_matches_oracle(by_docs, duck, sql_docs)
+
+
+def test_events_hopping_windows_match_oracle(spark, duck):
+    """Hopping windows (1 h length, 15 min slide): every event must
+    land in exactly 4 epoch-aligned windows; the oracle places each
+    event arithmetically and must hash-match Spark's window()."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.plans.analytics_extra import (
+        EVENTS_HOPPING_SQL,
+        events_hopping,
+    )
+
+    got = events_hopping(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(got, duck, EVENTS_HOPPING_SQL)
+    # 4x the tumbling total: length/slide = 4 placements per event
+    n_events = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == 4 * n_events

@@ -231,3 +231,45 @@ ORACLES["json_extract"] = JSON_EXTRACT_SQL
 # corpus_prep demo (plans/llm_demos.py). The merge path itself stays
 # covered by tests/test_operators_unit.py (window-vs-merge equality)
 # and dispatchable via asof_join_auto / asof_join_cogroup.
+
+
+# ── tests-only: hopping (sliding) windows ───────────────────────────
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 1-hour windows sliding every 15
+    minutes — each event lands in exactly 4 overlapping windows
+    (window length an exact multiple of the slide). The streaming
+    twin is the same groupBy under a watermark; the batch form here
+    carries the oracle. Spark's window() assigns via epoch-aligned
+    integer arithmetic, which the SQL oracle reproduces exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n",
+            "total_value",
+        )
+    )
+
+
+EVENTS_HOPPING_SQL = """
+WITH placed AS (
+  SELECT event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         u.k
+  FROM events, UNNEST(range(0, 4)) AS u(k)
+)
+SELECT make_timestamp((us // 900000000 - k) * 900000000) AS bucket,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM placed
+GROUP BY 1, 2
+"""
