@@ -143,6 +143,34 @@ def test_hot_window_does_not_skew(spark):
     )
 
 
+def test_window_shuffle_carries_fingerprints_not_strings(spark):
+    """The scale fix for the hop-1 window table: both the repeat
+    count group-by and the position semi-join must shuffle the
+    16-byte (__h1, __h2) fingerprint, never the raw L-token window
+    string (which would inflate shuffled bytes by ~L× the corpus)."""
+    from umls2rdf_spark.operators.substrings import (
+        repeated_substring_spans,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        repeated_substring_spans(
+            docs, "doc_id", "text", min_len=L, persist=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(__h1" in plan
+    assert "hashpartitioning(win" not in plan
+    # the window string is born and dies map-side: no Exchange input
+    # carries it, so it must not appear in any shuffle partitioning
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "win#" not in line, line
+
+
 def test_incremental_dedupe_matches_oracle(spark, duck):
     """Shard-vs-base incremental dedup: base = even doc_ids, shard =
     odd doc_ids; survivors are odd docs whose text no even doc has,
