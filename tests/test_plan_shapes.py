@@ -258,11 +258,13 @@ def _fmt_plan(spark, df) -> str:
 
 
 def test_boilerplate_removal_broadcasts_frequent_set(spark):
-    """remove_boilerplate_segments: the frequent-segment lookup joins
-    the corpus-sized exploded frame via BROADCAST (the frequent set is
-    bounded by n_segments/max_docs), so the only corpus shuffles are
-    the count-distinct agg and the per-document reassembly — and no
-    Python UDF appears anywhere."""
+    """remove_boilerplate_segments: the frequent-segment lookup
+    carries NO broadcast hint (a boilerplate-heavy corpus can push
+    the frequent set to corpus scale, where a forced broadcast would
+    OOM) — instead AQE must convert the join to broadcast at runtime
+    from the observed size in the common small-set case. Audit the
+    FINAL adaptive plan after execution, and that no Python UDF
+    appears anywhere."""
     from umls2rdf_spark.operators.corpus import remove_boilerplate_segments
     from umls2rdf_spark.sources.parquet import load_table
 
@@ -270,11 +272,13 @@ def test_boilerplate_removal_broadcasts_frequent_set(spark):
         load_table(spark, SF_DIR, "documents"), "doc_id", "text",
         segment_words=3, max_docs=5,
     )
-    plan = _fmt_plan(spark, df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    static = _fmt_plan(spark, df)
+    assert "BatchEvalPython" not in static
+    assert "ArrowEvalPython" not in static
+    df.collect()  # finalize AQE so the runtime join strategy is real
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
 
 
 def test_q11_q15_single_fact_scan_window_over_aggregate(spark):

@@ -289,7 +289,7 @@ def test_centroid_confusion_matches_oracle(spark, duck):
       FROM dist
     )
     SELECT CAST(label AS INT) AS label,
-           CAST(predicted AS BIGINT) AS predicted,
+           CAST(predicted AS INT) AS predicted,
            CAST(COUNT(*) AS BIGINT) AS n,
            label = predicted AS is_correct
     FROM pred WHERE rn = 1

@@ -74,6 +74,10 @@ def centroid_confusion(
     """
     import numpy as np
 
+    # the output label/predicted fields carry the SOURCE label type
+    # (same policy as pq.py for id_col) — a bigint or string label
+    # must not be truncated through a hard-coded int32 Arrow schema
+    label_dtype = dict(vectors.dtypes)[label_col]
     is_test = (
         F.pmod(
             stable_hash40(F.col(id_col).cast("string")), F.lit(test_mod)
@@ -85,7 +89,7 @@ def centroid_confusion(
     cent_map = train_label_centroids(train, vec_col, label_col)
     labels = sorted(cent_map)
     cent = np.array([cent_map[lab] for lab in labels], dtype=np.int64)
-    lab_arr = np.array(labels, dtype=np.int64)
+    lab_arr = np.array(labels)  # dtype follows the label values
 
     def assign(batches):
         import pandas as pd_
@@ -103,12 +107,10 @@ def centroid_confusion(
             )
 
     assigned = test.select(F.col(vec_col), F.col(label_col)).mapInPandas(
-        assign, schema="label int, predicted bigint"
+        assign, schema=f"label {label_dtype}, predicted {label_dtype}"
     )
     return (
         assigned.groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "is_correct", F.col("label").cast("bigint") == F.col("predicted")
-        )
+        .withColumn("is_correct", F.col("label") == F.col("predicted"))
     )

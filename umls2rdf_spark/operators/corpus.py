@@ -230,12 +230,15 @@ def remove_boilerplate_segments(
     a map-side array slice + posexplode (no re-tokenization);
     frequency counting is ONE count-distinct aggregation shuffled on
     the segment string (map-side combined; a hot segment is exactly
-    what the combine collapses); the frequent-segment set is tiny by
-    construction (each member appears in >max_docs documents, so
-    there are at most n_segments/max_docs of them — in practice
-    boilerplate is a few thousand strings) and broadcasts back, so
-    the corpus-sized exploded frame never shuffles for the lookup;
-    reassembly is one groupBy on the document id. No UDFs anywhere.
+    what the combine collapses); the frequent-segment set is bounded
+    at n_segments/max_docs members (each appears in >max_docs
+    documents) — in practice boilerplate is a few thousand strings,
+    but a boilerplate-heavy corpus can push it to corpus scale, so
+    the lookup join carries NO broadcast hint: AQE converts it to a
+    broadcast from the observed size in the common case and falls
+    back to a shuffled join in the adversarial one (the same policy
+    as corpus_prep's decontamination anti-join); reassembly is one
+    groupBy on the document id. No UDFs anywhere.
 
     Output: (id, clean_text, n_dropped) — one row per input document
     (documents whose every segment was boilerplate keep a row with
@@ -261,7 +264,7 @@ def remove_boilerplate_segments(
         .where(F.col("__nd") > max_docs)
         .select("seg", F.lit(True).alias("__boiler"))
     )
-    flagged = segs.join(F.broadcast(frequent), "seg", "left_outer")
+    flagged = segs.join(frequent, "seg", "left_outer")
     keep = F.col("__boiler").isNull()
     # collect_list drops nulls, so when(keep, ...) keeps survivors only
     # while every document retains its group (each has >= 1 segment row)

@@ -24,7 +24,11 @@ def assign_stable_ids(
 ) -> DataFrame:
     """Assign each row a dense 0..n-1 bigint id equal to its rank in
     the global ``(shard, *key_cols)`` order, where shard =
-    stable_hash40(first key) mod ``shards``.
+    stable_hash40(all keys, unit-separator-joined) mod ``shards``.
+    Hashing the FULL composite key keeps shards balanced even when
+    the first key is low-cardinality (a category/lang column leading
+    a composite key would otherwise collapse every row into a few
+    shards and turn the per-shard row_number into a corpus sort).
 
     DETERMINISTIC and partition/order-invariant: the id depends only
     on the key data, never on placement — rerunning on a repartitioned
@@ -40,7 +44,12 @@ def assign_stable_ids(
     itself an expensive pipeline rather than a table scan.
     """
     shard = F.pmod(
-        stable_hash40(F.col(key_cols[0]).cast("string")), F.lit(shards)
+        stable_hash40(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in key_cols]
+            )
+        ),
+        F.lit(shards),
     )
     base = df.withColumn("__shard", shard)
     w = Window.partitionBy("__shard").orderBy(

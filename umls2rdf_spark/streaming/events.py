@@ -40,16 +40,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     batch_ts = dict(spark.read.parquet(path).dtypes).get("ts")
-    if batch_ts == "bigint":  # TIMESTAMP(NANOS) read as long
-        schema = EVENTS_STREAM_SCHEMA
+    # Declare the stream schema from what the batch read actually
+    # reports: bigint (TIMESTAMP(NANOS) under nanosAsLong), naive
+    # timestamp_ntz, or tz-adjusted timestamp. Substituting NTZ for a
+    # tz-adjusted file would error or SHIFT values — pass plain
+    # TimestampType through unchanged instead.
+    if batch_ts == "bigint":
+        ts_field = T.StructField("ts", T.LongType())
+    elif batch_ts == "timestamp_ntz":
+        ts_field = T.StructField("ts", T.TimestampNTZType())
     else:
-        schema = T.StructType(
-            [
-                f if f.name != "ts"
-                else T.StructField("ts", T.TimestampNTZType())
-                for f in EVENTS_STREAM_SCHEMA.fields
-            ]
-        )
+        ts_field = T.StructField("ts", T.TimestampType())
+    schema = T.StructType(
+        [f if f.name != "ts" else ts_field
+         for f in EVENTS_STREAM_SCHEMA.fields]
+    )
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -60,7 +65,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if batch_ts == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_counts(
