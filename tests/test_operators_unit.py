@@ -925,6 +925,66 @@ def test_frequent_tokens_matches_oracle(spark, duck):
     assert_matches_oracle(by_docs, duck, sql_docs)
 
 
+def test_frequent_tokens_large_k_is_takeordered(spark):
+    """k above windowGroupLimitThreshold (1000) must NOT degrade to a
+    single-partition sort of the whole vocabulary: the top-k is a
+    genuine TakeOrdered (per-partition heaps), and the only
+    SinglePartition stage runs over the already-limited k rows."""
+    from tests.conftest import SF_DIR_ORACLE
+    from umls2rdf_spark.operators.textstats import frequent_tokens
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = frequent_tokens(docs.select("doc_id", "text"), "text", k=2000)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the rank window sits ABOVE the TakeOrdered limit in the plan, so
+    # its SinglePartition input is k rows; the vocabulary aggregate
+    # must never feed a single-partition sort directly
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    rows = got.collect()
+    assert rows and rows[0]["rank"] == 1
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_ivf_pq_training_quantize_is_shuffle_free(spark):
+    """Centroid/codebook training quantizes map-side: the persisted
+    quantized frame's plan must contain no Exchange (the old
+    repartition-by-id moved every training vector for a result that
+    is identical under any partitioning — partials are commutative
+    integer sums)."""
+    from tests.conftest import SF_DIR_ORACLE
+    from umls2rdf_spark.operators.pq import train_pq_codebooks
+    from umls2rdf_spark.operators.similarity import train_ivf_centroids
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    for probe in ("ivf", "pq"):
+        captured = {}
+        orig = type(emb).persist
+
+        def capture(df, *a, _c=captured, **kw):
+            _c["plan"] = df._jdf.queryExecution().executedPlan().toString()
+            return orig(df, *a, **kw)
+
+        type(emb).persist = capture
+        try:
+            if probe == "ivf":
+                train_ivf_centroids(
+                    emb, "vec_id", "embedding", cells=4, dim=64, iters=1
+                )
+            else:
+                train_pq_codebooks(
+                    emb, "vec_id", "embedding", m=4, k=4, dim=64, iters=1
+                )
+        finally:
+            type(emb).persist = orig
+        assert "plan" in captured, probe
+        assert "Exchange" not in captured["plan"], (probe, captured["plan"])
+
+
 def test_events_hopping_windows_match_oracle(spark, duck):
     """Hopping windows (1 h length, 15 min slide): every event must
     land in exactly 4 epoch-aligned windows; the oracle places each

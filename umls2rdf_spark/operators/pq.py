@@ -102,9 +102,11 @@ def train_pq_codebooks(
             q = _quantize_np(pdf[vec_col])
             yield pd_.DataFrame({"qvec": list(q)})
 
+    # map-side quantization, no repartition: codebook partials are
+    # commutative integer sums — identical result under any
+    # partitioning, and the shuffle would move every training vector
     quant = (
         src.select(F.col(id_col), F.col(vec_col))
-        .repartition(F.col(id_col))
         .mapInPandas(quantize_batches, schema="qvec array<long>")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

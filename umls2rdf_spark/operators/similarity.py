@@ -489,9 +489,12 @@ def train_ivf_centroids(
             q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
             yield pd_.DataFrame({"qvec": list(q)})
 
+    # quantization is map-side — no repartition: the Lloyd partials
+    # are commutative integer sums reduced on the driver, so the
+    # result is identical under ANY partitioning, and a shuffle here
+    # would move every training vector for nothing
     quant = (
         src.select(F.col(id_col), F.col(vec_col))
-        .repartition(F.col(id_col))
         .mapInPandas(quantize_batches, schema="qvec array<long>")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -476,8 +476,12 @@ def frequent_tokens(
     sanity checks before a training run).
 
     One explode + one map-side-combined groupBy; the top-k is a
-    TakeOrdered over the vocabulary-sized count table (never a global
-    sort of the corpus). ``by_docs=True`` counts document frequency
+    genuine ``orderBy().limit(k)`` TakeOrdered over the
+    vocabulary-sized count table (per-partition heaps + a k-row
+    driver merge — never a full sort, at ANY k); rank is then derived
+    by a window over the ALREADY-LIMITED k rows, so the only
+    single-partition stage touches k rows, not the vocabulary.
+    ``by_docs=True`` counts document frequency
     (distinct docs containing the token — needs the id column to ride
     along in ``df``... it counts distinct over all non-token columns'
     struct, so pre-select (id, text)) instead of raw occurrences.
@@ -497,10 +501,6 @@ def frequent_tokens(
         ).agg(F.count(F.lit(1)).alias("n"))
     else:
         counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    # the rank window runs over the VOCABULARY count table; Spark
-    # plans orderBy+limit as TakeOrdered — no full sort materializes
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
