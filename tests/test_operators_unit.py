@@ -209,6 +209,24 @@ def test_asof_dispatch_estimation(spark):
     assert _scan_only_row_count(ev) == ev.count()
     assert _scan_only_row_count(ev.where(F.col("event_id") > 5)) is None
 
+
+def test_asof_footer_loop_capped_on_many_files(spark, tmp_path):
+    """The footer metadata loop runs sequentially on the driver, so a
+    many-file layout (100 TB = millions of part files) must fall back
+    to a distributed count() instead of a multi-hour driver loop —
+    past max_files the probe returns None and the caller counts."""
+    from umls2rdf_spark.operators.sessionize import _scan_only_row_count
+
+    path = str(tmp_path / "many_files.parquet")
+    spark.range(64).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    n_files = len(df.inputFiles())
+    assert n_files >= 8
+    # under the cap: footer metadata answers exactly, no job
+    assert _scan_only_row_count(df, max_files=n_files) == 64
+    # over the cap: the probe declines and the caller falls back
+    assert _scan_only_row_count(df, max_files=n_files - 1) is None
+
     # skewed right side: 200 keys, one hot key holds 1000 of 1199
     # rows -> mean ~6/key. With n_left=100 and budget 5000 the old
     # mean-based estimate (100*6=600) stayed on the window path; the

@@ -260,19 +260,36 @@ def test_rdflib_branch_with_injected_module():
     assert errs and "rdflib" not in errs[0]
 
 
-def test_rdflib_strict_tier_real_library(spark, tmp_path):
-    """Runs ONLY where rdflib is installed (deployment: pip install
-    rdflib enables the full-W3C-grammar tier; this container gates it
-    out). Mirrors the balanced-garbage case through the real parser."""
-    pytest.importorskip("rdflib")
+def test_rdflib_tier_through_full_validator(spark, tmp_path):
+    """The rdflib tier driven through strict_validate_turtle end to
+    end ON THE WORKERS (not just _rdflib_or_scanner driver-side) with
+    an injected real-interface module — the same balanced-garbage
+    case a deployment with `pip install rdflib` would push through
+    the full-W3C-grammar parser. The shim classes are defined
+    in-function so cloudpickle ships them by value into the task."""
     from umls2rdf_spark.rdf.validate import strict_validate_turtle
+
+    class FakeGraph:
+        def parse(self, data=None, format=None):
+            if "junk" in data:
+                raise ValueError("bad literal near 'junk'")
+
+    class FakeRdflib:
+        Graph = FakeGraph
 
     bad = str(tmp_path / "real_rdflib_bad.ttl")
     os.makedirs(bad, exist_ok=True)
     with open(os.path.join(bad, "part-0.txt"), "w") as f:
         f.write('<http://x> <http://p> "broken"junk .\n')
-    report = strict_validate_turtle(spark, bad)
+    report = strict_validate_turtle(spark, bad, rdflib_mod=FakeRdflib)
     assert not report["ok"], report
+    assert "rdflib:" in (report["sample_errors"] or "")
+    # a clean file through the same injected tier reports ok
+    good = str(tmp_path / "real_rdflib_good.ttl")
+    os.makedirs(good, exist_ok=True)
+    with open(os.path.join(good, "part-0.txt"), "w") as f:
+        f.write("<http://x> <http://p> <http://y> .\n")
+    assert strict_validate_turtle(spark, good, rdflib_mod=FakeRdflib)["ok"]
 
 
 def test_strict_validator_passes_real_export(spark, tmp_path):

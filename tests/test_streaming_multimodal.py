@@ -231,9 +231,49 @@ def test_resize_images_with_shim(spark, media_df):
         assert blob.startswith(b"RESIZED:PNG:64x32:"), (mid, blob)
 
 
-def test_resize_images_without_pil_raises(spark, media_df):
-    """PIL absent and no shim → the Spark task must surface
-    NotImplementedError, not fake a resize."""
+def test_resize_images_stdlib_png(spark):
+    """Without PIL or a shim, resize_images runs the pure-stdlib PNG
+    path: zlib inflate → de-filter → nearest-neighbor index map →
+    filter-0 re-encode, all inside the Spark task. Ground truth: the
+    floor map src=(dst*len)//dst_len over a known gradient."""
+    pixels = [[0, 10, 20, 30], [40, 50, 60, 70], [80, 90, 100, 110]]
+    png = make_png(pixels)
+    rows = [(11, png, ("image/png", "unit"))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from umls2rdf_spark.operators.multimodal import resize_images
+
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_images(df, 2, 2).collect()
+    }
+    assert set(out) == {11}
+    # decode the emitted PNG with the same stdlib parsing the feature
+    # test uses: IHDR dims + inflated filter-0 scanlines
+    import struct
+    import zlib
+
+    b = out[11]
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", b[pos + 8:pos + 16])
+        elif typ == b"IDAT":
+            idat += b[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    assert (w, h) == (2, 2)
+    raw = zlib.decompress(idat)
+    got = [list(raw[r * 3 + 1:(r + 1) * 3]) for r in range(2)]
+    # ys = (0*3)//2, (1*3)//2 = rows 0,1; xs = (0*4)//2,(1*4)//2 = 0,2
+    assert got == [[0, 20], [40, 60]]
+
+
+def test_resize_images_non_png_raises_without_pil(spark, media_df):
+    """Bytes that are not a supported PNG must surface
+    NotImplementedError from the stdlib path, never a silently faked
+    resize (media_df's blobs are not valid PNGs)."""
     import pytest
 
     from umls2rdf_spark.operators.multimodal import _try_pil, resize_images
@@ -241,7 +281,7 @@ def test_resize_images_without_pil_raises(spark, media_df):
     if _try_pil() is not None:
         pytest.skip("PIL present in this environment")
     out = resize_images(media_df, 8, 8)
-    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
         out.collect()
 
 

@@ -127,15 +127,22 @@ def resize_images(
 ) -> DataFrame:
     """Decode → resize → re-encode an image binary column, Arrow-
     batched via mapInPandas. Uses PIL imported ON THE WORKER when
-    available; without it the task raises ``NotImplementedError`` at
-    plan-execution time with a clear message (never silently fakes a
-    resize — unlike feature extraction, the output here IS the
-    decoded media).
+    available; without it, a pure-stdlib PNG codec (zlib inflate →
+    de-filter → numpy nearest-neighbor index map → filter-0 deflate)
+    handles 8-bit grayscale/RGB PNGs, so the real resize path runs
+    even in PIL-less containers. Bytes that are not a supported PNG
+    raise ``NotImplementedError`` at plan-execution time with a clear
+    message (never silently fakes a resize — unlike feature
+    extraction, the output here IS the decoded media).
 
     ``image_module`` injects a PIL-compatible shim (``.open(buf)`` →
     object with ``.resize((w,h))`` and ``.save(buf, format=...)``) so
     the full Spark path — Arrow in, resize loop, binary column out —
-    is unit-testable in PIL-less environments.
+    is unit-testable against any decoder.
+
+    Nearest-neighbor mapping (stdlib path): source index =
+    ``(dst_index * src_len) // dst_len`` — the floor map, exact in
+    integers, deterministic everywhere.
     """
     df = df.repartition(F.col("media_id"))
 
@@ -144,6 +151,120 @@ def resize_images(
 
         import pandas as pd
 
+        # the codec is defined INSIDE the closure so the task is
+        # self-contained under cloudpickle — workers need neither PIL
+        # nor this package on sys.path
+        def decode_png(b: bytes):
+            import struct
+            import zlib
+
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise NotImplementedError(
+                    "stdlib resize path supports PNG bytes only "
+                    "(install PIL or inject image_module for other "
+                    "formats)"
+                )
+            pos, idat = 8, b""
+            w = h = bitd = colt = None
+            while pos + 8 <= len(b):
+                (length,) = struct.unpack(">I", b[pos:pos + 4])
+                typ = b[pos + 4:pos + 8]
+                data = b[pos + 8:pos + 8 + length]
+                if typ == b"IHDR":
+                    w, h, bitd, colt = struct.unpack(">IIBB", data[:10])
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                pos += 12 + length
+            if w is None or bitd != 8 or colt not in (0, 2):
+                raise NotImplementedError(
+                    "stdlib resize path supports 8-bit grayscale/RGB "
+                    f"PNG only (got bit depth {bitd}, color type {colt})"
+                )
+            ch = 1 if colt == 0 else 3
+            raw = zlib.decompress(idat)
+            stride = w * ch
+            out = bytearray()
+            prev = bytearray(stride)
+            p = 0
+            for _ in range(h):
+                f = raw[p]
+                p += 1
+                line = bytearray(raw[p:p + stride])
+                p += stride
+                if f == 1:  # Sub
+                    for i in range(ch, stride):
+                        line[i] = (line[i] + line[i - ch]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        up = prev[i]
+                        c = prev[i - ch] if i >= ch else 0
+                        pa = abs(up - c)
+                        pb = abs(a - c)
+                        pc = abs(a + up - 2 * c)
+                        if pa <= pb and pa <= pc:
+                            pr = a
+                        elif pb <= pc:
+                            pr = up
+                        else:
+                            pr = c
+                        line[i] = (line[i] + pr) & 0xFF
+                elif f != 0:
+                    raise NotImplementedError(f"PNG filter type {f}")
+                out += line
+                prev = line
+            return w, h, ch, bytes(out)
+
+        def encode_png(w: int, h: int, ch: int, raw: bytes) -> bytes:
+            import struct
+            import zlib
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(
+                        ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+                    )
+                )
+
+            ihdr = struct.pack(
+                ">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0
+            )
+            stride = w * ch
+            body = b"".join(
+                b"\x00" + raw[r * stride:(r + 1) * stride]
+                for r in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(body))
+                + chunk(b"IEND", b"")
+            )
+
+        def stdlib_resize(b: bytes) -> bytes:
+            import numpy as np
+
+            if fmt.upper() != "PNG":
+                raise NotImplementedError(
+                    "stdlib resize path re-encodes PNG only"
+                )
+            w, h, ch, raw = decode_png(b)
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+            ys = (np.arange(height) * h) // max(height, 1)
+            xs = (np.arange(width) * w) // max(width, 1)
+            res = arr[ys][:, xs]
+            return encode_png(width, height, ch, res.tobytes())
+
         Image = image_module
         if Image is None:
             try:
@@ -151,21 +272,19 @@ def resize_images(
             except Exception:
                 Image = None
         for pdf in batches:
-            if Image is None:
-                raise NotImplementedError(
-                    "resize_images requires PIL (or an image_module "
-                    "shim), which is not available in this environment; "
-                    "see image_features for the stubbed decode pattern"
-                )
             ids, blobs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                img = Image.open(io.BytesIO(b))
-                resized = img.resize((width, height))
-                buf = io.BytesIO()
-                resized.save(buf, format=fmt)
+                if Image is None:
+                    blob = stdlib_resize(b)
+                else:
+                    img = Image.open(io.BytesIO(b))
+                    resized = img.resize((width, height))
+                    buf = io.BytesIO()
+                    resized.save(buf, format=fmt)
+                    blob = buf.getvalue()
                 ids.append(mid)
-                blobs.append(buf.getvalue())
+                blobs.append(blob)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

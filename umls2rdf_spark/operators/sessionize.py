@@ -82,12 +82,20 @@ def asof_join(
     ).drop("__rn")
 
 
-def _scan_only_row_count(df: DataFrame) -> int | None:
+MAX_FOOTER_FILES = 10_000
+
+
+def _scan_only_row_count(
+    df: DataFrame, max_files: int = MAX_FOOTER_FILES
+) -> int | None:
     """Exact row count from parquet footer metadata when the frame is
     a pure scan/projection — no Spark job, no data read. Returns None
     (caller falls back to count()) when the plan filters, joins or
-    aggregates (footers would over-count) or the source isn't parquet
-    files."""
+    aggregates (footers would over-count), the source isn't parquet
+    files, or the layout has more than ``max_files`` files — the
+    footer reads run sequentially on the driver, so past ~10k files a
+    distributed count() job is faster than a driver metadata loop (at
+    100 TB / millions of files the loop would take hours)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
@@ -103,7 +111,7 @@ def _scan_only_row_count(df: DataFrame) -> int | None:
 
         total = 0
         files = df.inputFiles()
-        if not files:
+        if not files or len(files) > max_files:
             return None
         for uri in files:
             if not uri.endswith(".parquet"):

@@ -186,25 +186,33 @@ def validate_turtle_text(text: str, origin: str = "") -> list[str]:
     return errors
 
 
-def _rdflib_or_scanner(text: str, origin: str) -> list[str]:
+def _rdflib_or_scanner(
+    text: str, origin: str, rdflib_mod=None
+) -> list[str]:
     """Parse with rdflib when available (full W3C grammar), else the
     built-in scanner. Import inside the worker function: executors
-    may lack the library independently of the driver."""
-    try:
-        import rdflib
-
-        g = rdflib.Graph()
+    may lack the library independently of the driver.
+    ``rdflib_mod`` injects an rdflib-compatible module (``.Graph()``
+    with ``.parse(data=, format=)``) so the rdflib tier is testable
+    on workers in containers without the library."""
+    if rdflib_mod is None:
         try:
-            g.parse(data=text, format="turtle")
-            return []
-        except Exception as exc:  # noqa: BLE001 — rdflib raises many types
-            return [f"{origin}: rdflib: {exc}"[:500]]
-    except ImportError:
-        return validate_turtle_text(text, origin)
+            import rdflib as rdflib_mod
+        except ImportError:
+            return validate_turtle_text(text, origin)
+    g = rdflib_mod.Graph()
+    try:
+        g.parse(data=text, format="turtle")
+        return []
+    except Exception as exc:  # noqa: BLE001 — rdflib raises many types
+        return [f"{origin}: rdflib: {exc}"[:500]]
 
 
 def strict_validate_turtle(
-    spark: SparkSession, path: str, prefixes: str | None = None
+    spark: SparkSession,
+    path: str,
+    prefixes: str | None = None,
+    rdflib_mod=None,
 ) -> Row:
     """Distributed strict validation: one whole-text row per part
     file, tokenizer/rdflib parse per file inside mapInPandas (Arrow
@@ -231,7 +239,9 @@ def strict_validate_turtle(
             out = []
             for file, content in zip(pdf["file"], pdf["value"]):
                 origin = file.rsplit("/", 1)[-1]
-                errs = _rdflib_or_scanner(prefixes + content, origin)
+                errs = _rdflib_or_scanner(
+                    prefixes + content, origin, rdflib_mod
+                )
                 out.append((origin, len(errs), "\n".join(errs[:5])))
             yield pd.DataFrame(
                 out, columns=["file", "n_errors", "sample"]
