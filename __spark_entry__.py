@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from umls2rdf_spark.plans import (
     analytics_extra,
+    completion,
     llm_demos,
     reference_demos,
     surface_extra,
@@ -48,6 +49,7 @@ def queries() -> dict[str, QueryFn]:
     out.update(llm_demos.QUERIES)
     out.update(tpch_extra.QUERIES)
     out.update(surface_extra.QUERIES)
+    out.update(completion.QUERIES)
     return out
 
 
@@ -63,4 +65,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(llm_demos.ORACLES)
     out.update(tpch_extra.ORACLES)
     out.update(surface_extra.ORACLES)
+    out.update(completion.oracles())
     return out

@@ -43,6 +43,24 @@ def test_at_most_fifty_queries():
     )
 
 
+def test_completion_fingerprint_specs_match_live_schemas(spark):
+    """The composed tpch_completion oracle concatenates columns in a
+    hardcoded order with hardcoded float markers; both must match the
+    live plan schemas or the checksum silently diverges on the next
+    schema change."""
+    from umls2rdf_spark.plans.completion import _TPCH_COLS, _TPCH_FLOATS
+    from umls2rdf_spark.plans.tpch_extra import TESTS_ONLY_QUERIES
+
+    assert set(_TPCH_COLS) == set(TESTS_ONLY_QUERIES)
+    assert set(_TPCH_FLOATS) == set(TESTS_ONLY_QUERIES)
+    for name, fn in TESTS_ONLY_QUERIES.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns == _TPCH_COLS[name], name
+        doubles = {f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "double"}
+        assert doubles == set(_TPCH_FLOATS[name]), name
+
+
 def test_cluster_profile_keys_apply():
     """Every key in the 100 TB deployment profile must be a conf
     Spark actually accepts (catches typo'd/renamed keys at test time

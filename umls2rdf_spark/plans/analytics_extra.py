@@ -134,16 +134,17 @@ WHERE rn = 1
 """
 
 
+# events_windowed / session_window_agg moved under the composed
+# event_windows key (plans/completion.py) together with the hopping
+# windows — one driver slot now hashes all three window families.
 QUERIES = {
     "top_customer_per_nation": top_customer_per_nation,
-    "events_windowed": events_windowed,
     "sessionize": sessionize_demo,
     "asof_join": asof_join_demo,
 }
 
 ORACLES = {
     "top_customer_per_nation": TOP_CUSTOMER_SQL,
-    "events_windowed": EVENTS_WINDOWED_SQL,
     "sessionize": SESSIONIZE_SQL,
     "asof_join": ASOF_JOIN_SQL,
 }
@@ -218,8 +219,6 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
-QUERIES["session_window_agg"] = session_window_agg
-ORACLES["session_window_agg"] = SESSION_WINDOW_SQL
 QUERIES["json_extract"] = json_extract
 ORACLES["json_extract"] = JSON_EXTRACT_SQL
 

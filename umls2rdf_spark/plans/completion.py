@@ -1,0 +1,656 @@
+"""Composed coverage demos: fingerprint-union keys that put the
+tests-only SURVEY §2 rows under the driver's CORRECTNESS gate.
+
+The driver caps the contract at 50 queries() keys, but §2 has 95
+rows. These demos compose many full pipelines into one key each by
+reducing every pipeline's result to (section, n_rows, checksum) and
+unioning the sections — the DuckDB oracle performs the identical
+reduction over the identical oracle SQL, so a checksum match verifies
+every section's full output value-for-value (stable_hash40 of a
+canonical row string, summed; a single changed cell in any section
+breaks its checksum).
+
+Canonical row string: every column cast to its engine-portable
+string form (ints/strings/dates/timestamps: plain CAST; doubles:
+``FLOOR(x * 1e6)`` first — floor of an identical IEEE double is
+identical everywhere, with no round-half mode ambiguity), NULLs
+sentineled, joined with the unit separator. Checksum = SUM of 40-bit
+md5-prefix hashes — order-insensitive, bounded (2^40 x rows << 2^63).
+
+Keys:
+- ``tpch_completion`` — the 13 TPC-H shapes beyond the individually
+  keyed ones (Q2, Q7-Q9, Q11, Q13, Q15-Q18, Q20-Q22), each a section.
+- ``text_scoring`` — minhash LSH pairs, simhash, TF-IDF, BM25,
+  unigram surprisal, nearest-centroid confusion, incremental dedup,
+  top-k vocabulary (SURVEY C2, C3, C21, C22, C25-C28).
+- ``event_windows`` — tumbling, session, and hopping window
+  aggregations over events (SURVEY B6, B22, B23b).
+- ``pq_topk`` — product-quantization ADC top-k with the deterministic
+  seed codebooks, full-value oracle (SURVEY C6c; the trained-codebook
+  path is replica-tested in tests/test_pq.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_sql
+from umls2rdf_spark.sources.parquet import load_table
+
+_SEP = "\x1f"
+_NULL = "<NULL>"
+_FLOAT_SCALE = "1000000.0"
+
+
+def fingerprint_section(
+    df: DataFrame, section: str, float_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Reduce a result frame to one (section, n_rows, checksum) row.
+
+    The reduction is a single map-side-combined aggregation over the
+    section's plan — composing N sections into one demo adds no
+    shuffle beyond each pipeline's own.
+    """
+    parts = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if field.name in float_cols:
+            c = F.floor(c * F.lit(1000000.0)).cast("bigint")
+        parts.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
+    h = stable_hash40(F.concat_ws(_SEP, *parts))
+    return (
+        df.select(h.alias("__h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("__h"), F.lit(0))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .select(
+            F.lit(section).alias("section"),
+            "n_rows",
+            "checksum",
+        )
+    )
+
+
+def fingerprint_sql(
+    section: str,
+    inner_sql: str,
+    cols: list[str],
+    float_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`fingerprint_section` wrapped around an
+    existing oracle SELECT. ``cols`` must list the oracle's output
+    columns in the SAME order as the Spark frame's columns."""
+    parts = []
+    for c in cols:
+        e = (
+            f'CAST(FLOOR("{c}" * {_FLOAT_SCALE}) AS BIGINT)'
+            if c in float_cols
+            else f'"{c}"'
+        )
+        parts.append(f"COALESCE(CAST({e} AS VARCHAR), '{_NULL}')")
+    cat = "concat_ws(chr(31), " + ", ".join(parts) + ")"
+    h = stable_hash40_sql("__row")
+    return f"""
+SELECT '{section}' AS section,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM({h}), 0) AS BIGINT) AS checksum
+FROM (SELECT {cat} AS __row FROM ({inner_sql}) AS __inner) AS __rows
+"""
+
+
+def _union(sections: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), sections)
+
+
+# ── tpch_completion: B24-B36 under one driver key ───────────────────
+# (query key, float-typed output columns) — column order comes from
+# the plan functions themselves at build time.
+_TPCH_FLOATS = {
+    "q2_min_cost_supplier": ("s_acctbal", "supply_cost"),
+    "q7_volume_shipping": ("revenue",),
+    "q8_market_share": ("mkt_share",),
+    "q9_product_profit": ("sum_profit",),
+    "q11_important_stock": ("value",),
+    "q13_order_distribution": (),
+    "q15_top_supplier": ("total_revenue",),
+    "q16_parts_supplier_cnt": (),
+    "q17_small_quantity": ("avg_yearly",),
+    "q18_large_orders": ("total_price", "sum_qty"),
+    "q20_excess_availability": ("s_acctbal",),
+    "q21_waiting_supplier": (),
+    "q22_dormant_customers": ("totacctbal",),
+}
+
+
+def tpch_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 13 remaining TPC-H shapes (SURVEY B24-B36) as fingerprint
+    sections of one driver key: correlated scalar subqueries (Q2,
+    Q17), semi/anti-join HAVING (Q18, Q21, Q22), nation-pair and
+    market-share rollups (Q7-Q9), view-max (Q15), NOT IN denylists
+    (Q16, Q20), zero-inclusive distributions (Q13), and global-scalar
+    HAVING (Q11). Each section is the full production plan from
+    plans/tpch_extra.py / plans/tpch_rest.py — the checksum pins
+    every output cell of every shape."""
+    from umls2rdf_spark.plans.tpch_extra import TESTS_ONLY_QUERIES
+
+    sections = [
+        fingerprint_section(
+            TESTS_ONLY_QUERIES[name](spark, sf_dir),
+            name,
+            _TPCH_FLOATS[name],
+        )
+        for name in sorted(_TPCH_FLOATS)
+    ]
+    return _union(sections)
+
+
+def _tpch_completion_sql() -> str:
+    from umls2rdf_spark.plans.tpch_extra import TESTS_ONLY_ORACLES
+
+    pieces = [
+        fingerprint_sql(
+            name,
+            TESTS_ONLY_ORACLES[name],
+            _TPCH_COLS[name],
+            _TPCH_FLOATS[name],
+        )
+        for name in sorted(_TPCH_FLOATS)
+    ]
+    return "\nUNION ALL\n".join(pieces)
+
+
+# Output column ORDER of each shape (mirrors the plan functions; the
+# contract test asserts this stays in sync with the live schemas).
+_TPCH_COLS = {
+    "q2_min_cost_supplier": [
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+        "supply_cost",
+    ],
+    "q7_volume_shipping": [
+        "supp_nation", "cust_nation", "l_year", "revenue",
+    ],
+    "q8_market_share": ["o_year", "mkt_share"],
+    "q9_product_profit": ["nation", "o_year", "sum_profit"],
+    "q11_important_stock": ["p_partkey", "value"],
+    "q13_order_distribution": ["c_count", "custdist"],
+    "q15_top_supplier": ["s_suppkey", "s_name", "total_revenue"],
+    "q16_parts_supplier_cnt": [
+        "p_brand", "p_type", "p_size", "supplier_cnt",
+    ],
+    "q17_small_quantity": ["avg_yearly"],
+    "q18_large_orders": [
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+        "total_price", "sum_qty",
+    ],
+    "q20_excess_availability": ["s_name", "s_acctbal"],
+    "q21_waiting_supplier": ["s_name", "numwait"],
+    "q22_dormant_customers": ["cgroup", "numcust", "totacctbal"],
+}
+
+
+# ── text_scoring: C2, C3, C21, C22, C25-C28 under one driver key ───
+_BM25_TERMS = ["spark", "window", "hash"]
+_TFIDF_K = 3
+_BM25_K = 15
+_FREQ_K = 20
+_SURPRISAL_SCALE = 1 << 20
+
+
+def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight full text/dedup scoring pipelines as fingerprint
+    sections of one driver key:
+
+    - ``minhash_pairs`` — minhash signatures + LSH banding candidate
+      pairs (SURVEY C2; the same chain ngram_jaccard verifies),
+    - ``simhash`` — 64-bit simhash fingerprints (C3),
+    - ``tfidf`` — per-doc top-3 TF-IDF with exact-integer inputs
+      (C21),
+    - ``bm25`` — BM25 retrieval, per-term contributions quantized to
+      int64 before the doc sum (C22),
+    - ``surprisal`` — unigram cross-entropy, int64-quantized weight
+      dim (C25),
+    - ``centroid_confusion`` — nearest-centroid hold-out confusion
+      matrix over embeddings (C26),
+    - ``incremental_dedupe`` — shard-vs-base ingest dedup, base =
+      even doc_ids (C27),
+    - ``frequent_tokens`` — corpus top-20 vocabulary audit (C28).
+    """
+    from umls2rdf_spark.operators.classify import centroid_confusion
+    from umls2rdf_spark.operators.dedup import incremental_dedupe
+    from umls2rdf_spark.operators.textstats import (
+        bm25_topk,
+        frequent_tokens,
+        tfidf_topk,
+        unigram_surprisal,
+    )
+    from umls2rdf_spark.plans.llm_demos import dedup_minhash, dedup_simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    shard = docs.where(F.col("doc_id") % 2 == 1)
+    sections = [
+        fingerprint_section(
+            dedup_minhash(spark, sf_dir), "minhash_pairs"
+        ),
+        fingerprint_section(dedup_simhash(spark, sf_dir), "simhash"),
+        fingerprint_section(
+            tfidf_topk(docs, "doc_id", "text", k=_TFIDF_K),
+            "tfidf",
+            ("tfidf",),
+        ),
+        fingerprint_section(
+            bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K),
+            "bm25",
+        ),
+        fingerprint_section(
+            unigram_surprisal(docs, "doc_id", "text"),
+            "surprisal",
+            ("bits_per_token",),
+        ),
+        fingerprint_section(
+            centroid_confusion(emb, "vec_id", "embedding", "label"),
+            "centroid_confusion",
+        ),
+        fingerprint_section(
+            incremental_dedupe(shard, base, "doc_id", "text"),
+            "incremental_dedupe",
+        ),
+        fingerprint_section(
+            frequent_tokens(
+                docs.select("doc_id", "text"), "text", k=_FREQ_K
+            ),
+            "frequent_tokens",
+        ),
+    ]
+    return _union(sections)
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS token
+  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+'))
+       AS u(t)
+  WHERE u.t <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, doc_freq, tfidf, rank
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf * n.n_docs AS DOUBLE)
+           / CAST(dfreq.doc_freq AS DOUBLE) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                    / CAST(dfreq.doc_freq AS DOUBLE) DESC,
+                    tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+WHERE rank <= {_TFIDF_K}
+"""
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+tf AS (
+  SELECT b.doc_id, dl.dl, u.t AS token, COUNT(*) AS tf
+  FROM base b JOIN dl ON b.doc_id = dl.doc_id,
+       UNNEST(b.toks) AS u(t)
+  WHERE u.t IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl)
+SELECT doc_id, score_q, n_terms_hit
+FROM (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(FLOOR(
+           1000000.0
+           * (CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE))
+           * (CAST(22 * tf * total_tokens AS DOUBLE)
+              / CAST(10 * tf * total_tokens + 3 * total_tokens
+                     + 9 * dl * n_docs AS DOUBLE))
+         ) AS BIGINT)) AS BIGINT) AS score_q,
+         COUNT(*) AS n_terms_hit
+  FROM tf JOIN dfreq USING (token) CROSS JOIN totals
+  GROUP BY 1
+)
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+# The weight dim is computed with log2 in DuckDB; the Spark operator
+# computes it with Python math.log2 on the driver. Both call the same
+# platform libm, and the quantization boundary (an exact .5 at 2^-20)
+# is measure-zero, so the int64 weight tables agree.
+_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS token
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total FROM counts),
+wdim AS (
+  SELECT cnt,
+         CAST(round((log2(CAST(total AS DOUBLE))
+                     - log2(CAST(cnt AS DOUBLE)))
+                    * {_SURPRISAL_SCALE}) AS BIGINT) AS w
+  FROM (SELECT DISTINCT cnt FROM counts) CROSS JOIN tot
+),
+per_tok AS (
+  SELECT t.doc_id, w.w
+  FROM toks t JOIN counts c USING (token) JOIN wdim w USING (cnt)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS surprisal_q,
+       CAST(SUM(w) AS DOUBLE) / {float(_SURPRISAL_SCALE)}
+         / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+FROM per_tok GROUP BY doc_id
+"""
+
+
+def _centroid_sql() -> str:
+    h = stable_hash40_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+         {h} % 5 AS bucket
+  FROM embeddings
+),
+trc AS (
+  SELECT label, CAST(u.i AS INT) AS pos,
+         SUM(qv[CAST(u.i AS INT)]) AS s, COUNT(*) AS n
+  FROM q, UNNEST(range(1, len(qv)+1)) AS u(i)
+  WHERE bucket <> 0
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         (s - ((s % n) + n) % n) // n AS cc
+  FROM trc
+),
+dist AS (
+  SELECT t.vec_id, t.label, c.clabel,
+         SUM((t.c - c.cc) * (t.c - c.cc)) AS d2
+  FROM (SELECT vec_id, label, CAST(u.i AS INT) AS pos,
+               qv[CAST(u.i AS INT)] AS c
+        FROM q, UNNEST(range(1, len(qv)+1)) AS u(i)
+        WHERE bucket = 0) t
+  JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, clabel) AS rn
+  FROM dist
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(predicted AS INT) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       label = predicted AS is_correct
+FROM pred WHERE rn = 1
+GROUP BY 1, 2, 4
+"""
+
+
+_INCREMENTAL_SQL = """
+WITH shard AS (SELECT *, md5(text) AS fp FROM documents
+               WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT * FROM shard
+  WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                AS rn
+      FROM fresh)
+WHERE rn = 1
+"""
+
+_FREQ_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS token
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+            AS INT) AS rank
+FROM toks GROUP BY token
+ORDER BY rank LIMIT {_FREQ_K}
+"""
+
+
+def _text_scoring_sql() -> str:
+    from umls2rdf_spark.plans.llm_demos import (
+        DEDUP_MINHASH_SQL,
+        DEDUP_SIMHASH_SQL,
+    )
+
+    pieces = [
+        fingerprint_sql(
+            "minhash_pairs", DEDUP_MINHASH_SQL, ["id_a", "id_b"]
+        ),
+        fingerprint_sql(
+            "simhash", DEDUP_SIMHASH_SQL, ["doc_id", "simhash"]
+        ),
+        fingerprint_sql(
+            "tfidf",
+            _TFIDF_SQL,
+            ["doc_id", "token", "tf", "doc_freq", "tfidf", "rank"],
+            ("tfidf",),
+        ),
+        fingerprint_sql(
+            "bm25", _BM25_SQL, ["doc_id", "score_q", "n_terms_hit"]
+        ),
+        fingerprint_sql(
+            "surprisal",
+            _SURPRISAL_SQL,
+            ["doc_id", "n_tokens", "surprisal_q", "bits_per_token"],
+            ("bits_per_token",),
+        ),
+        fingerprint_sql(
+            "centroid_confusion",
+            _centroid_sql(),
+            ["label", "predicted", "n", "is_correct"],
+        ),
+        fingerprint_sql(
+            "incremental_dedupe",
+            _INCREMENTAL_SQL,
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+        fingerprint_sql(
+            "frequent_tokens", _FREQ_SQL, ["token", "n", "rank"]
+        ),
+    ]
+    return "\nUNION ALL\n".join(pieces)
+
+
+# ── event_windows: B6 + B22 + B23b under one driver key ─────────────
+def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three window families over events as fingerprint sections
+    of one driver key: tumbling 1-hour buckets (SURVEY B6), native
+    gap-merged 30-minute session windows (B22), and hopping 1-hour/
+    15-minute sliding windows where every event lands in exactly 4
+    epoch-aligned windows (B23b). Streaming twins of the tumbling and
+    session shapes run under watermarks in streaming/events.py with
+    batch-equality tests."""
+    from umls2rdf_spark.plans.analytics_extra import (
+        events_hopping,
+        events_windowed,
+        session_window_agg,
+    )
+
+    return _union(
+        [
+            fingerprint_section(
+                events_windowed(spark, sf_dir),
+                "tumbling",
+                ("total_value",),
+            ),
+            fingerprint_section(
+                session_window_agg(spark, sf_dir), "session"
+            ),
+            fingerprint_section(
+                events_hopping(spark, sf_dir),
+                "hopping",
+                ("total_value",),
+            ),
+        ]
+    )
+
+
+def _event_windows_sql() -> str:
+    from umls2rdf_spark.plans.analytics_extra import (
+        EVENTS_HOPPING_SQL,
+        EVENTS_WINDOWED_SQL,
+        SESSION_WINDOW_SQL,
+    )
+
+    pieces = [
+        fingerprint_sql(
+            "tumbling",
+            EVENTS_WINDOWED_SQL,
+            ["bucket", "event_type", "n", "total_value"],
+            ("total_value",),
+        ),
+        fingerprint_sql(
+            "session",
+            SESSION_WINDOW_SQL,
+            ["user_id", "session_start", "n_events"],
+        ),
+        fingerprint_sql(
+            "hopping",
+            EVENTS_HOPPING_SQL,
+            ["bucket", "event_type", "n", "total_value"],
+            ("total_value",),
+        ),
+    ]
+    return "\nUNION ALL\n".join(pieces)
+
+
+# ── pq_topk: C6c product quantization under a full-value oracle ────
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DIM = 64
+_PQ_QUERIES = 10
+_PQ_TOPK = 3
+
+
+def _seed_books() -> list[list[list[int]]]:
+    from umls2rdf_spark.operators.pq import pq_seed
+
+    sub = _PQ_DIM // _PQ_M
+    return [
+        [[pq_seed(mm, i, j) for j in range(sub)] for i in range(_PQ_K)]
+        for mm in range(_PQ_M)
+    ]
+
+
+def pq_topk_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k over embeddings with the deterministic seed
+    codebooks (pq_seed constants — the same generated table the SQL
+    oracle inlines): encode every vector to its m=4 nearest codewords
+    (exact int64 subspace L2, ties lowest), score every (query,
+    corpus) pair from per-query broadcast LUTs, keep top-3 per query.
+    Codebook TRAINING (distributed integer Lloyd's) is deterministic
+    and replica-tested in tests/test_pq.py; the seed books keep the
+    driver oracle static."""
+    from umls2rdf_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _PQ_QUERIES)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", _seed_books(),
+        k=_PQ_TOPK, dim=_PQ_DIM,
+    )
+
+
+def _pq_topk_sql() -> str:
+    books = _seed_books()
+    sub = _PQ_DIM // _PQ_M
+    values = ", ".join(
+        f"({mm}, {c}, {j}, {books[mm][c][j]})"
+        for mm in range(_PQ_M)
+        for c in range(_PQ_K)
+        for j in range(sub)
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+books(mm, c, j, w) AS (VALUES {values}),
+d2 AS (
+  SELECT q.vec_id, b.mm, b.c,
+         SUM((q.v[b.mm * {sub} + b.j + 1] - b.w)
+             * (q.v[b.mm * {sub} + b.j + 1] - b.w)) AS d2
+  FROM qv q CROSS JOIN books b
+  GROUP BY 1, 2, 3),
+enc AS (
+  SELECT vec_id, mm, c AS code FROM (
+    SELECT vec_id, mm, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, mm
+                              ORDER BY d2, c) AS rn
+    FROM d2)
+  WHERE rn = 1),
+luts AS (
+  SELECT q.vec_id AS query_id, b.mm, b.c,
+         SUM(q.v[b.mm * {sub} + b.j + 1] * b.w) AS dot
+  FROM qv q CROSS JOIN books b
+  WHERE q.vec_id < {_PQ_QUERIES}
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.dot) AS adc
+  FROM enc e
+  JOIN luts l ON l.mm = e.mm AND l.c = e.code
+  WHERE l.query_id <> e.vec_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(adc AS BIGINT) AS adc_score
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_TOPK}
+"""
+
+
+QUERIES = {
+    "tpch_completion": tpch_completion,
+    "text_scoring": text_scoring,
+    "event_windows": event_windows,
+    "pq_topk": pq_topk_demo,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "tpch_completion": _tpch_completion_sql(),
+        "text_scoring": _text_scoring_sql(),
+        "event_windows": _event_windows_sql(),
+        "pq_topk": _pq_topk_sql(),
+    }
