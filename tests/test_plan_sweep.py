@@ -1,0 +1,115 @@
+"""plan_facts sweep over EVERY driver demo — not just the hand-picked
+audits in test_plan_shapes.py.
+
+Three 100 TB-critical invariants, asserted for all 50 queries() keys:
+
+1. ``python_evals == 0`` — no row-at-a-time Python UDF anywhere in a
+   relational plan (Arrow ``mapInPandas`` batches are allowed and
+   counted separately).
+2. No BroadcastNestedLoopJoin except the four audited deliberate
+   ones (a broadcast fixed query set x corpus scoring pass, and
+   Q22's 1-row global-scalar attach) — an unplanned BNLJ is a
+   cartesian product at corpus scale.
+3. Every parquet scan carries a pushed or partition filter, unless
+   the (key, table) pair is in FULL_SCAN_OK — ops whose semantics
+   consume the whole table (dedup over all documents, full-corpus
+   feature extraction, whole-table export) have no predicate to push,
+   and each pair below was audited to be exactly that case.
+
+Facts are computed once per key (session cache) so the sweep costs
+one plan build per demo, not one per assertion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+from umls2rdf_spark.plans.audit import plan_facts
+
+ALL_KEYS = sorted(entrymod.queries())
+
+# (key -> tables allowed to scan with no pushed/partition filter).
+# Every entry is an op that semantically consumes the full table:
+# grouping/ranking over every row, dedup/fingerprint/feature passes
+# over the whole corpus, whole-table pivot/escape/export demos.
+FULL_SCAN_OK = {
+    "group_collect": {"orders.parquet"},
+    "ranked_top1": {"orders.parquet"},
+    "tiebreak_cascade": {"customer.parquet"},
+    "triple_gen": {"customer.parquet"},
+    "triple_dedupe": {"orders.parquet"},
+    "turtle_escape": {"documents.parquet"},
+    "first_match_priority": {"orders.parquet"},
+    "kv_pivot": {"events.parquet"},
+    "dim_lookup": {"documents.parquet"},
+    "turtle_export": {"customer.parquet"},
+    "sessionize": {"events.parquet"},
+    "json_extract": {"events.parquet"},
+    "dedup_exact": {"documents.parquet"},
+    "dedup_embedding": {"embeddings.parquet"},
+    "ngram_jaccard": {"documents.parquet"},
+    "ann_lsh_topk": {"embeddings.parquet"},
+    "text_features": {"documents.parquet"},
+    "ann_ivf_topk": {"embeddings.parquet"},
+    "dedup_clusters": {"documents.parquet"},
+    "split_assign": {"documents.parquet"},
+    "corpus_prep": {"documents.parquet"},
+    "skew_salted_agg": {"lineitem.parquet"},
+    # exact percentile needs every order's price; the two scans are
+    # the counting pass + the value lookup pass
+    "histogram": {"orders.parquet"},
+    "text_scoring": {"documents.parquet"},
+}
+
+# key -> exact allowed BroadcastNestedLoopJoin count. Each is a
+# broadcast of a bounded side (fixed query set / 1-row global
+# scalar) against one big-side pass — deliberate, not a planner slip.
+ALLOWED_BNLJ = {
+    "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
+    "pq_topk": 1,           # broadcast per-query LUTs x code table
+    "text_scoring": 2,      # tfidf/bm25 broadcast 1-row totals attach
+    "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
+}
+
+_FACTS: dict[str, dict] = {}
+
+
+def facts_for(spark, name: str) -> dict:
+    if name not in _FACTS:
+        df = entrymod.queries()[name](spark, SF_DIR)
+        _FACTS[name] = plan_facts(df)
+    return _FACTS[name]
+
+
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_no_python_row_udfs(spark, name):
+    assert facts_for(spark, name)["python_evals"] == 0
+
+
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_no_unplanned_nested_loop_joins(spark, name):
+    got = facts_for(spark, name)["nested_loop_joins"]
+    allowed = ALLOWED_BNLJ.get(name, 0)
+    assert got <= allowed, (
+        f"{name}: {got} BroadcastNestedLoopJoin nodes, "
+        f"{allowed} audited as deliberate"
+    )
+
+
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_scans_filtered_or_whitelisted(spark, name):
+    unfiltered = sorted(
+        {
+            s["location"]
+            for s in facts_for(spark, name)["scans"]
+            if not s["pushed_filters"] and not s["partition_filters"]
+        }
+    )
+    extra = [t for t in unfiltered if t not in FULL_SCAN_OK.get(name, set())]
+    assert not extra, (
+        f"{name}: unfiltered scans {extra} not audited as "
+        "semantically-full-table (add to FULL_SCAN_OK only after "
+        "confirming no predicate could push)"
+    )

@@ -1,0 +1,207 @@
+"""10x correctness gate: re-run the DuckDB oracle compare on a 10x
+replica of sf0.1, not just re-time it.
+
+Wall-clock scaling (SCALE.md) shows the plans stay cheap at 10x, but
+the salted/adaptive paths (AQE skew splits, LSH bucket salting,
+stable-id sharding, counting-percentile cut search) change BEHAVIOR
+with data size — that is exactly where partition-order or
+boundary-condition bugs would hide while the sf0.01 gate stays green.
+This tool builds the replica, runs each selected queries() key on it
+with Spark AND its oracle_sql() with DuckDB on the SAME parquet
+files, and compares row count, column names, and a canonical value
+checksum — the same three facts the driver's CORRECTNESS gate records.
+
+Replica construction (key-shifted union, the same scheme as the
+SCALE.md timing sweep): ``copies`` shifted copies of every fact/doc
+table, surrogate int64 keys offset by ``copy_index * KEY_OFFSET`` so
+referential joins stay consistent within a copy and never collide
+across copies; the tiny dims (nation, region) stay single-copy and
+nationkey references are left unshifted. Text/vector payloads are
+replicated verbatim — dedup-family ops therefore see every document
+exactly ``copies`` times, a deliberately adversarial duplicate
+distribution for the dedup/LSH paths.
+
+Value canonicalization (applied identically to both sides, so any
+engine rounding difference within 1e-6 is forgiven, matching the
+composed-demo convention in plans/completion.py): doubles ->
+floor(x * 1e6) as int; timestamps -> ISO string; lists canonicalized
+element-wise; NULL -> sentinel. Columns sorted by name, rows sorted
+as strings, md5 over the concatenation.
+
+Usage:
+    python tools/scale_oracle.py [--copies 10] [--src /root/testdata/sf0.1]
+        [--dst /tmp/sf1x] [--keys k1,k2,...] [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+KEY_OFFSET = 1_000_000_000
+
+# int64 surrogate keys to shift per table; dims absent here are
+# copied once, unshifted.
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+SINGLE_COPY = ["nation", "region"]
+
+# The scale-sensitive keys: every query whose plan has an adaptive /
+# salted / iterative / counting path, plus the composed demos that
+# carry the tests-only SURVEY rows.
+DEFAULT_KEYS = [
+    "transitive_closure",
+    "corpus_prep",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "asof_join",
+    "ann_lsh_topk",
+    "ann_cosine_topk",
+    "ngram_jaccard",
+    "dedup_embedding",
+    "histogram",
+    "skew_salted_agg",
+    "tpch_completion",
+    "text_scoring",
+    "event_windows",
+    "pq_topk",
+]
+
+
+def build_replica(src: str, dst: str, copies: int) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in SINGLE_COPY:
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")
+    for t, keys in SHIFT_COLS.items():
+        base = pq.read_table(f"{src}/{t}.parquet")
+        parts = []
+        for i in range(copies):
+            tbl = base
+            for k in keys:
+                col = tbl[k]
+                shifted = pc.add(col, pa.scalar(i * KEY_OFFSET, type=col.type))
+                tbl = tbl.set_column(tbl.schema.get_field_index(k), k, shifted)
+            parts.append(tbl)
+        pq.write_table(pa.concat_tables(parts), f"{dst}/{t}.parquet")
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return str(math.floor(v * 1_000_000))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
+    return str(v)
+
+
+def frame_facts(cols: list[str], rows) -> tuple[int, list[str], str]:
+    """(n_rows, sorted column names, canonical md5) for a result set
+    given as an iterable of row tuples aligned with ``cols``."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    lines = sorted(
+        "\x1f".join(_canon(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.md5("\n".join(lines).encode()).hexdigest()[:16]
+    return len(lines), names, digest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1x")
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_build:
+        t0 = time.time()
+        build_replica(args.src, args.dst, args.copies)
+        print(f"replica built at {args.dst} in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from umls2rdf_spark.schemas import TESTDATA_TABLES as TABLES
+    from umls2rdf_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-oracle", shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.dst}/{t}.parquet'"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    results = []
+    for key in args.keys.split(","):
+        t0 = time.time()
+        try:
+            df = qs[key](spark, args.dst)
+            cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            s_n, s_names, s_hash = frame_facts(cols, s_rows)
+            rel = con.execute(oracles[key])
+            o_cols = [d[0] for d in rel.description]
+            o_n, o_names, o_hash = frame_facts(o_cols, rel.fetchall())
+            ok = (s_n == o_n) and (s_names == o_names) and (s_hash == o_hash)
+            results.append(
+                (key, s_n, o_n, s_names == o_names, s_hash == o_hash,
+                 ok, time.time() - t0, None)
+            )
+        except Exception as e:  # record, keep sweeping
+            results.append((key, -1, -1, False, False, False,
+                            time.time() - t0, f"{type(e).__name__}: {e}"))
+
+    fail = 0
+    if args.markdown:
+        print("| query | rows (spark=oracle) | schema | values | wall (s) |")
+        print("|---|---|---|---|---|")
+    for key, s_n, o_n, sch, hsh, ok, wall, err in results:
+        if not ok:
+            fail += 1
+        if args.markdown:
+            rows = f"{s_n}={o_n}" if s_n == o_n else f"**{s_n}≠{o_n}**"
+            print(f"| {key} | {rows} | {'✓' if sch else '✗'} | "
+                  f"{'✓' if hsh else '✗'} | {wall:.1f} |")
+        else:
+            print(key, "OK" if ok else f"FAIL rows={s_n}/{o_n} "
+                  f"schema={sch} hash={hsh} err={err}", f"{wall:.1f}s")
+        if err:
+            print(f"  {key}: {err}", file=sys.stderr)
+    print(f"{len(results) - fail}/{len(results)} green", file=sys.stderr)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
