@@ -84,7 +84,14 @@ DEFAULT_KEYS = [
 ]
 
 
-def build_replica(src: str, dst: str, copies: int) -> None:
+def build_replica(
+    src: str, dst: str, copies: int, perturb_docs: bool = False
+) -> None:
+    """``perturb_docs`` appends a per-copy tag to documents.text so
+    the replica holds NEAR-duplicates instead of exact ones — without
+    it, exact 10x duplication makes the repeated-substring stage
+    (correctly) delete the whole corpus, which turns the corpus_prep
+    compare into a trivially-matching 0=0."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -101,6 +108,27 @@ def build_replica(src: str, dst: str, copies: int) -> None:
                 col = tbl[k]
                 shifted = pc.add(col, pa.scalar(i * KEY_OFFSET, type=col.type))
                 tbl = tbl.set_column(tbl.schema.get_field_index(k), k, shifted)
+            if perturb_docs and t == "documents":
+                # per-ROW unique 7-token tail derived from the shifted
+                # doc_id: survives boilerplate removal (each 3-gram
+                # occurs once) and substring dedup (each run occurs
+                # once), so the cleaned corpus is non-empty even
+                # though the replicated shared text is (correctly)
+                # removed. A per-COPY constant tag would not work: it
+                # appears in every doc of the copy, gets stripped as
+                # boilerplate, and the copies collapse back to exact
+                # duplicates.
+                idx = tbl.schema.get_field_index("text")
+                ids = pc.cast(tbl["doc_id"], pa.string())
+                pieces = [tbl["text"].cast(pa.string())]
+                for p in ("ua", "ub", "uc", "ud", "ue", "uf", "ug"):
+                    pieces.append(
+                        pc.binary_join_element_wise(
+                            pa.scalar(p), ids, ""
+                        )
+                    )
+                tagged = pc.binary_join_element_wise(*pieces, " ")
+                tbl = tbl.set_column(idx, "text", tagged)
             parts.append(tbl)
         pq.write_table(pa.concat_tables(parts), f"{dst}/{t}.parquet")
 
@@ -140,12 +168,13 @@ def main() -> int:
     ap.add_argument("--dst", default="/tmp/sf1x")
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--perturb-docs", action="store_true")
     ap.add_argument("--markdown", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_build:
         t0 = time.time()
-        build_replica(args.src, args.dst, args.copies)
+        build_replica(args.src, args.dst, args.copies, args.perturb_docs)
         print(f"replica built at {args.dst} in {time.time()-t0:.1f}s",
               file=sys.stderr)
 
