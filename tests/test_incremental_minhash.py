@@ -1,0 +1,119 @@
+"""incremental_minhash_dedupe: constructed near-dup fixtures, the
+precomputed-index path, and the re-ingest no-op property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.operators.dedup import (
+    band_signatures,
+    incremental_minhash_dedupe,
+    minhash_signatures,
+)
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank while the morning sun rises slowly over distant hills"
+)
+NEAR_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank while the evening sun rises slowly over distant hills"
+)
+OTHER_TEXT = (
+    "completely different content about distributed query engines "
+    "running columnar scans with vectorized execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    base = spark.createDataFrame(
+        [(0, BASE_TEXT), (2, OTHER_TEXT)], ["doc_id", "text"]
+    )
+    shard = spark.createDataFrame(
+        [
+            (1, BASE_TEXT),    # exact dup of base 0
+            (3, NEAR_TEXT),    # near-dup of base 0 (one word changed)
+            (5, NEAR_TEXT),    # near-dup of shard 3 (and of base 0)
+            (7, "a short isolated unique document with novel words"),
+        ],
+        ["doc_id", "text"],
+    )
+    return base, shard
+
+
+def survivors(out):
+    return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+
+def test_exact_and_near_dups_dropped(spark, frames):
+    base, shard = frames
+    out = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5
+    )
+    assert survivors(out) == [7]
+
+
+def test_threshold_one_keeps_near_dups(spark, frames):
+    """At min_jaccard=1.0 only the exact duplicate can be dropped:
+    the near-dup's shingle sets differ, so verification rescues it
+    even though LSH banding proposed it."""
+    base, shard = frames
+    out = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=1.0
+    )
+    assert 1 not in survivors(out)
+    assert {3, 7} <= set(survivors(out))
+
+
+def test_precomputed_index_path_equivalent(spark, frames):
+    """base_index= (the production form: the persisted band-sig
+    index) must admit exactly the same shard rows as deriving the
+    index from base_docs on the fly."""
+    base, shard = frames
+    idx = band_signatures(
+        minhash_signatures(base, "doc_id", "text"), "doc_id"
+    )
+    on_the_fly = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5
+    )
+    from_index = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5, base_index=idx
+    )
+    assert survivors(on_the_fly) == survivors(from_index)
+
+
+def test_reingest_is_noop(spark, frames):
+    """Admitted docs folded into the base; re-ingesting the same
+    shard (shifted ids, same texts) must admit nothing."""
+    base, shard = frames
+    admitted = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5
+    )
+    grown = base.unionByName(admitted)
+    reingest = shard.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000)
+    )
+    out = incremental_minhash_dedupe(
+        reingest, grown, "doc_id", "text", min_jaccard=0.5
+    )
+    assert survivors(out) == []
+
+
+def test_band_collision_only_mode(spark, frames):
+    """min_jaccard=None drops on banding alone (no verify joins) —
+    strictly more aggressive than any verified threshold."""
+    base, shard = frames
+    banded = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=None
+    )
+    verified = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5
+    )
+    assert set(survivors(banded)) <= set(survivors(verified))
+
+
+def test_requires_base_source():
+    with pytest.raises(ValueError):
+        incremental_minhash_dedupe(None, None, "doc_id", "text")

@@ -121,15 +121,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame, id_col: str, rows_per_band: int = 1
 ) -> DataFrame:
-    """LSH banding: docs sharing any identical band signature become
-    candidate pairs (id_a < id_b, distinct)."""
+    """(id, band, band_sig) from a :func:`minhash_signatures` frame —
+    the LSH band index. This is also the frame a continuously-fed
+    corpus PERSISTS between ingests (bands x ~8 bytes per admitted
+    doc; see :func:`incremental_minhash_dedupe`), the near-dup
+    analogue of the 16-byte exact-fingerprint index."""
     banded = signatures.withColumn(
         "band", (F.col("perm_id") / rows_per_band).cast("int")
     )
-    band_sigs = banded.groupBy(id_col, "band").agg(
+    return banded.groupBy(id_col, "band").agg(
         F.concat_ws(
             "-",
             F.transform(
@@ -140,6 +143,14 @@ def lsh_candidate_pairs(
             ),
         ).alias("band_sig")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 1
+) -> DataFrame:
+    """LSH banding: docs sharing any identical band signature become
+    candidate pairs (id_a < id_b, distinct)."""
+    band_sigs = band_signatures(signatures, id_col, rows_per_band)
     a = band_sigs.select(
         F.col(id_col).alias("id_a"), "band", "band_sig"
     )
@@ -428,3 +439,109 @@ def incremental_dedupe(
         .where(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
+
+
+def incremental_minhash_dedupe(
+    new_docs: DataFrame,
+    base_docs: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    rows_per_band: int = 1,
+    min_jaccard: float | None = None,
+    base_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup intake: admit only new-shard documents
+    that are not near-duplicates of the standing corpus or of a
+    lower-id shard sibling — the between-ingests shape of minhash/LSH
+    dedup, completing :func:`incremental_dedupe` (which is exact-only)
+    for the continuous-crawl case where re-fetched pages differ by a
+    timestamp or ad block.
+
+    The thing a production corpus persists between ingests is the
+    band-signature INDEX (:func:`band_signatures` — bands x ~8 bytes
+    per admitted doc, never the text); pass it as ``base_index`` and
+    the base corpus is touched only to fetch the few candidate docs
+    the verify stage needs. Without ``base_index`` the index is
+    derived from ``base_docs`` on the fly.
+
+    Candidates = shard band-sigs hash-joined against the base index
+    (shard side small in steady state) plus within-shard LSH pairs —
+    never all-pairs. With ``min_jaccard`` set, candidates are
+    verified by exact shingle Jaccard (:func:`jaccard_verify_pairs`)
+    over the shard shingles plus ONLY the semi-joined candidate base
+    docs, so verify cost is bounded by the banding, not the corpus.
+
+    Drop rule (deterministic, conservative): a shard doc is dropped
+    if it matches the base or ANY lower-id shard doc — including one
+    whose own match got it dropped. This is dedup_clusters'
+    cluster-wide convention, not sequential admission (where a doc
+    whose only match was itself rejected would be re-admitted);
+    sequential semantics would need an id-ordered dependency chain,
+    which at corpus scale is a serial scan. Shard and base ids must
+    be disjoint (distinct ingests always are).
+
+    Returns the surviving ``new_docs`` rows unchanged.
+    """
+    if base_index is None:
+        if base_docs is None:
+            raise ValueError("need base_docs or base_index")
+        base_index = band_signatures(
+            minhash_signatures(
+                base_docs, id_col, text_col,
+                num_perm=num_perm, shingle_n=shingle_n,
+            ),
+            id_col,
+            rows_per_band,
+        )
+    shard_shingles = shingle_rows(
+        new_docs.repartition(F.col(id_col)), id_col, text_col, shingle_n
+    ).distinct()
+    shard_sigs = minhash_signatures(
+        new_docs, id_col, text_col,
+        num_perm=num_perm, shingle_n=shingle_n, shingles=shard_shingles,
+    )
+    shard_bands = band_signatures(shard_sigs, id_col, rows_per_band)
+
+    base_pairs = (
+        shard_bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+        .join(
+            base_index.select(
+                F.col(id_col).alias("id_b"), "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shard_pairs = lsh_candidate_pairs(shard_sigs, id_col, rows_per_band)
+
+    if min_jaccard is not None:
+        if base_docs is None:
+            raise ValueError("verification needs base_docs")
+        cand_ids = base_pairs.select(
+            F.col("id_b").alias(id_col)
+        ).distinct()
+        cand_docs = base_docs.join(cand_ids, id_col, "left_semi")
+        cand_shingles = shingle_rows(
+            cand_docs.repartition(F.col(id_col)), id_col, text_col, shingle_n
+        ).distinct()
+        verify_shingles = shard_shingles.unionByName(cand_shingles)
+        base_pairs = jaccard_verify_pairs(
+            None, base_pairs, id_col, text_col,
+            shingle_n=shingle_n, min_jaccard=min_jaccard,
+            shingles=verify_shingles,
+        ).select("id_a", "id_b")
+        shard_pairs = jaccard_verify_pairs(
+            None, shard_pairs, id_col, text_col,
+            shingle_n=shingle_n, min_jaccard=min_jaccard,
+            shingles=shard_shingles,
+        ).select("id_a", "id_b")
+
+    drop = (
+        base_pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(shard_pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return new_docs.join(drop, id_col, "left_anti")

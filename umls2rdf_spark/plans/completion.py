@@ -37,7 +37,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_sql
+from umls2rdf_spark.functions.hashing import (
+    MERSENNE_61,
+    perm_params,
+    stable_hash40,
+    stable_hash40_sql,
+)
 from umls2rdf_spark.sources.parquet import load_table
 
 _SEP = "\x1f"
@@ -194,8 +199,10 @@ _TPCH_COLS = {
 }
 
 
-# ── text_scoring: C2, C3, C21, C22, C25-C28 under one driver key ───
+# ── text_scoring: C2, C3, C21, C22, C25-C29 under one driver key ───
 _BM25_TERMS = ["spark", "window", "hash"]
+_IMH_PERM = 8  # must equal llm_demos._NUM_PERM so the SQL CTEs match
+_IMH_JACCARD = 0.5
 _TFIDF_K = 3
 _BM25_K = 15
 _FREQ_K = 20
@@ -219,10 +226,20 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       matrix over embeddings (C26),
     - ``incremental_dedupe`` — shard-vs-base ingest dedup, base =
       even doc_ids (C27),
-    - ``frequent_tokens`` — corpus top-20 vocabulary audit (C28).
+    - ``frequent_tokens`` — corpus top-20 vocabulary audit (C28),
+    - ``incremental_minhash`` — NEAR-dup ingest dedup: the odd shard
+      against the even base's persisted band-signature index, LSH
+      candidates verified at exact Jaccard ≥ 0.5 (C29; the
+      production path — base_index precomputed, base text touched
+      only for semi-joined verify candidates).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
-    from umls2rdf_spark.operators.dedup import incremental_dedupe
+    from umls2rdf_spark.operators.dedup import (
+        band_signatures,
+        incremental_dedupe,
+        incremental_minhash_dedupe,
+        minhash_signatures,
+    )
     from umls2rdf_spark.operators.textstats import (
         bm25_topk,
         frequent_tokens,
@@ -267,6 +284,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs.select("doc_id", "text"), "text", k=_FREQ_K
             ),
             "frequent_tokens",
+        ),
+        fingerprint_section(
+            incremental_minhash_dedupe(
+                shard, base, "doc_id", "text",
+                num_perm=_IMH_PERM, min_jaccard=_IMH_JACCARD,
+                base_index=band_signatures(
+                    minhash_signatures(
+                        base, "doc_id", "text", num_perm=_IMH_PERM
+                    ),
+                    "doc_id",
+                ),
+            ),
+            "incremental_minhash",
         ),
     ]
     return _union(sections)
@@ -441,6 +471,61 @@ FROM toks GROUP BY token
 ORDER BY rank LIMIT {_FREQ_K}
 """
 
+_IMH_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in perm_params(_IMH_PERM)
+)
+# Shard = odd doc_ids vs base = even. Drop rule mirrors the operator:
+# a shard doc goes if a verified pair links it to the base (it is
+# id_a) or to a LOWER-id shard doc (it is id_b).
+_IMH_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM documents),
+indexed AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 2, 0))) AS i
+  FROM filtered),
+shingles AS (
+  SELECT DISTINCT doc_id, f[i] || ' ' || f[i+1] || ' ' || f[i+2] AS shingle
+  FROM indexed),
+hashed AS (
+  SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
+perms(perm_id, a, b) AS (VALUES {_IMH_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR
+        (b.doc_id % 2 = 1 AND a.doc_id < b.doc_id))),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter USING (id_a, id_b)
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  WHERE CAST(COALESCE(inter.inter, 0) AS DOUBLE)
+        / CAST(za.sz + zb.sz - COALESCE(inter.inter, 0) AS DOUBLE)
+        >= {_IMH_JACCARD}),
+dropped AS (
+  SELECT id_a AS doc_id FROM verified WHERE id_b % 2 = 0
+  UNION
+  SELECT id_b AS doc_id FROM verified WHERE id_b % 2 = 1)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
 
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.plans.llm_demos import (
@@ -482,6 +567,11 @@ def _text_scoring_sql() -> str:
         ),
         fingerprint_sql(
             "frequent_tokens", _FREQ_SQL, ["token", "n", "rank"]
+        ),
+        fingerprint_sql(
+            "incremental_minhash",
+            _IMH_SQL,
+            ["doc_id", "text", "lang", "source", "n_chars"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
