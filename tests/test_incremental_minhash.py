@@ -117,3 +117,23 @@ def test_band_collision_only_mode(spark, frames):
 def test_requires_base_source():
     with pytest.raises(ValueError):
         incremental_minhash_dedupe(None, None, "doc_id", "text")
+
+
+def test_mapside_signatures_row_identical_zero_exchanges(spark, frames):
+    """minhash_signatures_mapside must produce byte-identical rows to
+    the explode+groupBy path with ZERO Exchange nodes — it is the
+    streaming-legal and index-build-cheap variant."""
+    from umls2rdf_spark.operators.dedup import minhash_signatures_mapside
+    from umls2rdf_spark.plans.audit import plan_facts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        tuple(r)
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    )
+    b_df = minhash_signatures_mapside(docs, "doc_id", "text")
+    b = sorted(tuple(r) for r in b_df.collect())
+    assert a == b and len(a) > 0
+    facts = plan_facts(b_df)
+    assert facts["exchanges"] == 0
+    assert facts["python_evals"] == 0

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import (
+    MERSENNE_61,
     perm_hash,
     perm_params,
     stable_hash40,
@@ -112,6 +113,61 @@ def minhash_signatures(
         for i, a, b in perm_params(num_perm)
     ]
     per_doc = hashed.groupBy(id_col).agg(*min_exprs)
+    stack_args: list[Column] = []
+    for i, _, _ in perm_params(num_perm):
+        stack_args.extend([F.lit(i), F.col(f"m{i}")])
+    return per_doc.select(
+        F.col(id_col),
+        F.stack(F.lit(num_perm), *stack_args).alias("perm_id", "minhash"),
+    )
+
+
+def minhash_signatures_mapside(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Row-identical to :func:`minhash_signatures`, computed entirely
+    MAP-SIDE: tokens → distinct shingle array → 40-bit hashes →
+    per-permutation ``array_min`` as higher-order functions inside
+    one projection. Zero shuffles, no explode.
+
+    The groupBy variant spreads one document's shingles across tasks,
+    which matters only for pathological single-doc sizes; for typical
+    corpus documents this is the cheaper path (the signature index
+    build becomes scan-speed), and it is the streaming-legal one — a
+    stateless projection needs no watermark or state store, so the
+    continuous-ingest loop can band-sign arriving docs per
+    micro-batch. Docs with no shingles produce no rows (either
+    variant). Equivalence is pinned by tests.
+    """
+    tarr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    parts = ", ".join(f"__t[i+{j}]" for j in range(shingle_n))
+    sh_expr = (
+        f"CASE WHEN size(__t) >= {shingle_n} THEN "
+        f"array_distinct(transform(sequence(0, size(__t)-{shingle_n}), "
+        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
+    )
+    h_expr = (
+        "transform(__s, s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) "
+        "AS BIGINT))"
+    )
+    min_cols = [
+        F.array_min(
+            F.expr(f"transform(__h, h -> pmod({a} * h + {b}, "
+                   f"{MERSENNE_61}))")
+        ).alias(f"m{i}")
+        for i, a, b in perm_params(num_perm)
+    ]
+    per_doc = (
+        df.select(F.col(id_col), tarr.alias("__t"))
+        .select(F.col(id_col), F.expr(sh_expr).alias("__s"))
+        .where(F.size("__s") > 0)
+        .select(F.col(id_col), F.expr(h_expr).alias("__h"))
+        .select(F.col(id_col), *min_cols)
+    )
     stack_args: list[Column] = []
     for i, _, _ in perm_params(num_perm):
         stack_args.extend([F.lit(i), F.col(f"m{i}")])

@@ -364,3 +364,86 @@ def streaming_incremental_dedupe(
         "left_anti",
     )
     return fresh.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def run_incremental_minhash_ingest(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    rows_per_band: int = 1,
+    min_jaccard: float | None = 0.5,
+) -> None:
+    """The complete continuous NEAR-dup intake loop, streaming form of
+    operators.dedup.incremental_minhash_dedupe: each micro-batch is
+    deduped against the standing corpus, and the admitted documents
+    GROW the standing state for the next batch.
+
+    Standing state (both plain parquet tables a batch consumer can
+    read at any time):
+
+    - ``{state_dir}/corpus`` — admitted documents,
+    - ``{state_dir}/index``  — their band-signature index, built with
+      the map-side signature path (zero-shuffle projection).
+
+    Cross-batch near-dup semantics come from the index growth, not
+    from stream state — no watermark or state store; the multi-stage
+    dedup (banding joins, Jaccard verify) runs as a BATCH plan inside
+    foreachBatch, the standard shape for per-batch logic Structured
+    Streaming's operator set cannot express. Writes are keyed by the
+    checkpointed batch id (``batch_id=N`` subdirs, same idempotent
+    pattern as :func:`make_idempotent_batch_writer`): an at-least-once
+    replay overwrites its own epoch instead of double-admitting, and
+    a replayed epoch sees the same standing state because its own
+    prior partial writes are excluded from the base (filtered out by
+    batch id) before deduping.
+    """
+    from umls2rdf_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_dedupe,
+        minhash_signatures_mapside,
+    )
+
+    corpus_dir = f"{state_dir}/corpus"
+    index_dir = f"{state_dir}/index"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        empty = batch_df.limit(0)
+        try:
+            base = spark.read.parquet(corpus_dir).where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
+            index = spark.read.parquet(index_dir).where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
+        except Exception:  # first batch: no standing state yet
+            base, index = empty, None
+        admitted = incremental_minhash_dedupe(
+            batch_df, base, id_col, text_col,
+            num_perm=num_perm, shingle_n=shingle_n,
+            rows_per_band=rows_per_band, min_jaccard=min_jaccard,
+            base_index=index,
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        sigs = minhash_signatures_mapside(
+            spark.read.parquet(f"{corpus_dir}/batch_id={batch_id}"),
+            id_col, text_col,
+            num_perm=num_perm, shingle_n=shingle_n,
+        )
+        band_signatures(sigs, id_col, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
