@@ -543,8 +543,10 @@ def incremental_minhash_dedupe(
     if base_index is None:
         if base_docs is None:
             raise ValueError("need base_docs or base_index")
+        # signature-only consumer: the map-side variant builds the
+        # index at scan speed (no shingle explode, no shuffle)
         base_index = band_signatures(
-            minhash_signatures(
+            minhash_signatures_mapside(
                 base_docs, id_col, text_col,
                 num_perm=num_perm, shingle_n=shingle_n,
             ),

@@ -238,7 +238,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_signatures,
         incremental_dedupe,
         incremental_minhash_dedupe,
-        minhash_signatures,
+        minhash_signatures_mapside,
     )
     from umls2rdf_spark.operators.textstats import (
         bm25_topk,
@@ -290,7 +290,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shard, base, "doc_id", "text",
                 num_perm=_IMH_PERM, min_jaccard=_IMH_JACCARD,
                 base_index=band_signatures(
-                    minhash_signatures(
+                    minhash_signatures_mapside(
                         base, "doc_id", "text", num_perm=_IMH_PERM
                     ),
                     "doc_id",
