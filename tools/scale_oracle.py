@@ -192,8 +192,9 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    keys = list(qs) if args.keys == "all" else args.keys.split(",")
     results = []
-    for key in args.keys.split(","):
+    for key in keys:
         t0 = time.time()
         try:
             df = qs[key](spark, args.dst)
