@@ -139,7 +139,18 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
-        return str(math.floor(v * 1_000_000))
+        if v == 0:
+            return "0"
+        # 12 significant digits, RELATIVE: the driver's sf0.01 gate
+        # compares doubles exactly and passes, but at 10x magnitudes
+        # Spark and DuckDB can disagree by ONE ULP when a DECIMAL
+        # sum's scale reduction rounds differently (HALF_UP vs
+        # half-even; observed on q1 sum_charge: ...010.94159 vs
+        # ...010.941593). An absolute floor(x*1e6) is meaningless
+        # past 2^53 and flags that noise; 12 significant digits
+        # forgives last-ulp rounding at any magnitude and still
+        # catches every real defect.
+        return f"{v:.12e}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
@@ -187,8 +198,15 @@ def main() -> int:
     spark = get_spark(app_name="scale-oracle", shuffle_partitions=32)
     con = duckdb.connect()
     for t in TABLES:
+        # materialized, not views: DuckDB inlines a parquet view per
+        # reference, and some oracle shapes (e.g. a window CTE joined
+        # twice back to the base table) hit a planner pathology at
+        # replica scale — 45 min where the same query on a temp table
+        # takes 0.1 s. Same rows either way; the driver's sf0.01 gate
+        # uses views and is unaffected at its size.
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.dst}/{t}.parquet'"
+            f"CREATE TEMP TABLE {t} AS "
+            f"SELECT * FROM '{args.dst}/{t}.parquet'"
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -196,11 +214,15 @@ def main() -> int:
     results = []
     for key in keys:
         t0 = time.time()
+        print(f"[{time.strftime('%H:%M:%S')}] {key}: spark...",
+              file=sys.stderr, flush=True)
         try:
             df = qs[key](spark, args.dst)
             cols = df.columns
             s_rows = [tuple(r) for r in df.collect()]
             s_n, s_names, s_hash = frame_facts(cols, s_rows)
+            print(f"[{time.strftime('%H:%M:%S')}] {key}: oracle...",
+                  file=sys.stderr, flush=True)
             rel = con.execute(oracles[key])
             o_cols = [d[0] for d in rel.description]
             o_n, o_names, o_hash = frame_facts(o_cols, rel.fetchall())
