@@ -137,3 +137,41 @@ def test_mapside_signatures_row_identical_zero_exchanges(spark, frames):
     facts = plan_facts(b_df)
     assert facts["exchanges"] == 0
     assert facts["python_evals"] == 0
+
+
+def test_admission_is_partitioning_invariant(spark):
+    """The admitted set must not depend on physical layout — same
+    result at 1 partition and 16, shuffled input order. Guards the
+    drop rule against any accidental order dependence (first-wins
+    instead of min-id, nondeterministic tie-breaks)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    def doc(i):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(30)]
+        return (i, " ".join(words))
+
+    rows = [doc(i) for i in range(60)]
+    # inject near-dup structure: clones with one word changed
+    for i in range(60, 80):
+        src_id, text = rows[i - 60]
+        words = text.split()
+        words[rng.randrange(len(words))] = "mutated"
+        rows.append((i, " ".join(words)))
+    base_rows = rows[:40]
+    shard_rows = rows[40:]
+
+    results = []
+    for n_parts, seed in ((1, 0), (16, 1)):
+        shuffled = list(shard_rows)
+        random.Random(seed).shuffle(shuffled)
+        base = spark.createDataFrame(base_rows, ["doc_id", "text"]).repartition(n_parts)
+        shard = spark.createDataFrame(shuffled, ["doc_id", "text"]).repartition(n_parts)
+        out = incremental_minhash_dedupe(
+            shard, base, "doc_id", "text", min_jaccard=0.4
+        )
+        results.append(survivors(out))
+    assert results[0] == results[1]
+    assert 0 < len(results[0]) < len(shard_rows)  # non-trivial case
