@@ -130,9 +130,9 @@ def minhash_signatures_mapside(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Row-identical to :func:`minhash_signatures`, computed entirely
-    MAP-SIDE: tokens → distinct shingle array → 40-bit hashes →
-    per-permutation ``array_min`` as higher-order functions inside
-    one projection. Zero shuffles, no explode.
+    MAP-SIDE: tokens → distinct shingle array → 40-bit hashes → all k
+    permutation minima in one ``aggregate`` traversal with a k-slot
+    accumulator. Zero shuffles, no explode.
 
     The groupBy variant spreads one document's shingles across tasks,
     which matters only for pathological single-doc sizes; for typical
@@ -143,34 +143,45 @@ def minhash_signatures_mapside(
     micro-batch. Docs with no shingles produce no rows (either
     variant). Equivalence is pinned by tests.
     """
-    tarr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    parts = ", ".join(f"__t[i+{j}]" for j in range(shingle_n))
-    sh_expr = (
-        f"CASE WHEN size(__t) >= {shingle_n} THEN "
-        f"array_distinct(transform(sequence(0, size(__t)-{shingle_n}), "
-        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
+    # The whole chain is ONE nested expression with every
+    # intermediate bound as a lambda variable (transform over a
+    # singleton array). Writing it as a chain of selects lets
+    # CollapseProject inline the token-array expression into every
+    # ``t[i+j]`` subscript of the shingle lambda — the split+filter
+    # re-runs O(tokens) times per document (measured 20x slower).
+    # A lambda variable holds the EVALUATED value, so tokens are
+    # split once, each shingle md5-hashed once (the hash transform
+    # is the aggregate's single input), and all k permutation minima
+    # update in one traversal of a k-slot accumulator. M61 is a safe
+    # +inf seed: every pmod result is < M61.
+    params = perm_params(num_perm)
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    parts = ", ".join(f"t[i+{j}]" for j in range(shingle_n))
+    shingles = (
+        f"array_distinct(transform(sequence(0, size(t)-{shingle_n}), "
+        f"i -> concat_ws(' ', {parts})))"
     )
-    h_expr = (
-        "transform(__s, s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) "
-        "AS BIGINT))"
+    hashed = (
+        f"transform({shingles}, "
+        "s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT))"
     )
-    min_cols = [
-        F.array_min(
-            F.expr(f"transform(__h, h -> pmod({a} * h + {b}, "
-                   f"{MERSENNE_61}))")
-        ).alias(f"m{i}")
-        for i, a, b in perm_params(num_perm)
-    ]
-    per_doc = (
-        df.select(F.col(id_col), tarr.alias("__t"))
-        .select(F.col(id_col), F.expr(sh_expr).alias("__s"))
-        .where(F.size("__s") > 0)
-        .select(F.col(id_col), F.expr(h_expr).alias("__h"))
-        .select(F.col(id_col), *min_cols)
+    seed = "array(" + ", ".join(
+        f"CAST({MERSENNE_61} AS BIGINT)" for _ in params
+    ) + ")"
+    upd = ", ".join(
+        f"least(acc[{i}], pmod({a} * h + {b}, {MERSENNE_61}))"
+        for i, (_, a, b) in enumerate(params)
+    )
+    full = (
+        f"transform(array({toks}), "
+        f"t -> aggregate({hashed}, {seed}, (acc, h) -> array({upd})))[0]"
+    )
+    per_doc = df.where(F.expr(f"size({toks}) >= {shingle_n}")).select(
+        F.col(id_col), F.expr(full).alias("__m")
     )
     stack_args: list[Column] = []
-    for i, _, _ in perm_params(num_perm):
-        stack_args.extend([F.lit(i), F.col(f"m{i}")])
+    for i, _, _ in params:
+        stack_args.extend([F.lit(i), F.col("__m")[i]])
     return per_doc.select(
         F.col(id_col),
         F.stack(F.lit(num_perm), *stack_args).alias("perm_id", "minhash"),
@@ -185,6 +196,15 @@ def band_signatures(
     corpus PERSISTS between ingests (bands x ~8 bytes per admitted
     doc; see :func:`incremental_minhash_dedupe`), the near-dup
     analogue of the 16-byte exact-fingerprint index."""
+    if rows_per_band == 1:
+        # one signature row per (doc, band): the groupBy below would
+        # shuffle the whole signature table just to build 1-row
+        # groups — this projection is row-identical and shuffle-free
+        return signatures.select(
+            F.col(id_col),
+            F.col("perm_id").cast("int").alias("band"),
+            F.col("minhash").cast("string").alias("band_sig"),
+        )
     banded = signatures.withColumn(
         "band", (F.col("perm_id") / rows_per_band).cast("int")
     )
@@ -553,12 +573,11 @@ def incremental_minhash_dedupe(
             id_col,
             rows_per_band,
         )
-    shard_shingles = shingle_rows(
-        new_docs.repartition(F.col(id_col)), id_col, text_col, shingle_n
-    ).distinct()
-    shard_sigs = minhash_signatures(
+    # signatures map-side (scan speed, zero shuffle); the shingle
+    # explode is built only if the verify stage needs it
+    shard_sigs = minhash_signatures_mapside(
         new_docs, id_col, text_col,
-        num_perm=num_perm, shingle_n=shingle_n, shingles=shard_shingles,
+        num_perm=num_perm, shingle_n=shingle_n,
     )
     shard_bands = band_signatures(shard_sigs, id_col, rows_per_band)
 
@@ -578,6 +597,10 @@ def incremental_minhash_dedupe(
     if min_jaccard is not None:
         if base_docs is None:
             raise ValueError("verification needs base_docs")
+        shard_shingles = shingle_rows(
+            new_docs.repartition(F.col(id_col)), id_col, text_col,
+            shingle_n,
+        ).distinct()
         cand_ids = base_pairs.select(
             F.col("id_b").alias(id_col)
         ).distinct()

@@ -22,6 +22,7 @@ from umls2rdf_spark.operators.dedup import (
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_mapside,
     simhash,
 )
 from umls2rdf_spark.operators.similarity import (
@@ -81,7 +82,9 @@ GROUP BY 1
 
 # ── C2 dedup_minhash ────────────────────────────────────────────────
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(
+    # map-side signature variant: zero shuffles before the band join
+    # (row-identical to minhash_signatures; pinned by test)
+    sigs = minhash_signatures_mapside(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
@@ -637,7 +640,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components; every document gets a cluster id (min doc_id
     of its component)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=_NUM_PERM)
+    sigs = minhash_signatures_mapside(
+        docs, "doc_id", "text", num_perm=_NUM_PERM
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
     labels = connected_components(
         pairs, docs.select(F.col("doc_id")), node_col="doc_id"
