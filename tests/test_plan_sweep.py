@@ -60,7 +60,10 @@ FULL_SCAN_OK = {
     # exact percentile needs every order's price; the two scans are
     # the counting pass + the value lookup pass
     "histogram": {"orders.parquet"},
-    "text_scoring": {"documents.parquet"},
+    # every section consumes the whole corpus: scoring/dedup over all
+    # documents; semantic_dedup's train+assign+dedup over all
+    # embeddings (audited: no predicate exists to push)
+    "text_scoring": {"documents.parquet", "embeddings.parquet"},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a
@@ -69,7 +72,8 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 2,      # tfidf/bm25 broadcast 1-row totals attach
+    "text_scoring": 3,      # tfidf/bm25 1-row totals + mixture's
+                            # 1-row feasibility-min attach
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

@@ -1,0 +1,225 @@
+"""Corpus selection + semantic dedup: oracle parity and the
+properties that make them safe at scale (partition invariance,
+prefix/subset behavior, no-upsample feasibility)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE
+from umls2rdf_spark.operators.selection import (
+    resample_mixture,
+    resample_mixture_sql,
+    select_to_token_budget,
+    select_to_token_budget_sql,
+)
+from umls2rdf_spark.operators.similarity import semantic_dedup
+from umls2rdf_spark.sources.parquet import load_table
+
+_TOKED_SQL = (
+    "(SELECT *, CAST(len(list_filter(string_split(text, ' '), "
+    "t -> t <> '')) AS INT) AS ntok FROM documents)"
+)
+
+
+def _toked(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    return docs.withColumn(
+        "ntok",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
+
+
+# ── select_to_token_budget ──────────────────────────────────────────
+@pytest.mark.parametrize("budget", [0, 5_000, 12_000, 10_000_000])
+def test_token_budget_matches_oracle(spark, duck, budget):
+    got = sorted(
+        (r.doc_id, r.ntok)
+        for r in select_to_token_budget(
+            _toked(spark), "doc_id", "ntok", "n_chars", budget
+        ).collect()
+    )
+    sql = select_to_token_budget_sql(
+        _TOKED_SQL, "doc_id", "ntok", "n_chars", budget,
+        cols="doc_id, ntok",
+    )
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_token_budget_is_prefix_and_monotone(spark):
+    """A smaller budget's selection is a subset of a larger one, and
+    the admitted token total never exceeds the budget."""
+    toked = _toked(spark)
+    small = {
+        r.doc_id
+        for r in select_to_token_budget(
+            toked, "doc_id", "ntok", "n_chars", 5_000
+        ).collect()
+    }
+    rows = select_to_token_budget(
+        toked, "doc_id", "ntok", "n_chars", 12_000
+    ).collect()
+    large = {r.doc_id for r in rows}
+    assert small <= large
+    assert sum(r.ntok for r in rows) <= 12_000
+
+
+def test_token_budget_partition_invariant(spark):
+    """Same selection regardless of input partitioning/order — the
+    admission order is data-derived (score, id-hash shard, id)."""
+    toked = _toked(spark)
+    a = {
+        r.doc_id
+        for r in select_to_token_budget(
+            toked.repartition(17), "doc_id", "ntok", "n_chars", 9_000
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in select_to_token_budget(
+            toked.orderBy(F.col("doc_id").desc()).coalesce(1),
+            "doc_id", "ntok", "n_chars", 9_000,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_token_budget_rejects_negative(spark):
+    with pytest.raises(ValueError):
+        select_to_token_budget(
+            _toked(spark), "doc_id", "ntok", "n_chars", -1
+        )
+
+
+# ── resample_mixture ────────────────────────────────────────────────
+_PARTS = {"src0": 4, "src1": 2, "src2": 2, "src3": 1, "src4": 1}
+
+
+def test_mixture_matches_oracle(spark, duck):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = sorted(
+        r.doc_id
+        for r in resample_mixture(
+            docs, "source", "doc_id", _PARTS
+        ).collect()
+    )
+    sql = resample_mixture_sql(
+        "documents", "source", "doc_id", _PARTS, cols="t.doc_id"
+    )
+    exp = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_mixture_no_upsample_and_binding_domain_full(spark):
+    """No domain exceeds its input count; the scarcest domain
+    relative to its weight is kept in full; unlisted domains drop."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    out = resample_mixture(docs, "source", "doc_id", _PARTS).collect()
+    from collections import Counter
+
+    kept = Counter(r.source for r in out)
+    orig = Counter(
+        r.source for r in docs.select("source").collect()
+    )
+    assert set(kept) <= set(_PARTS)
+    for d, n in kept.items():
+        assert n <= orig[d]
+    # equal counts and src0 has the max weight -> src0 is binding:
+    # its keep threshold is within floor-rounding of precision, so
+    # nearly all of it survives (hash membership, not exact count)
+    assert kept["src0"] >= 0.9 * orig["src0"]
+    # and the weighted ordering shows through: src0 keeps more than
+    # the half-weight domains
+    assert kept["src0"] > kept["src1"]
+
+
+def test_mixture_deterministic_rerun(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    a = sorted(
+        r.doc_id
+        for r in resample_mixture(
+            docs.repartition(13), "source", "doc_id", _PARTS
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in resample_mixture(docs, "source", "doc_id", _PARTS)
+        .collect()
+    )
+    assert a == b
+
+
+def test_mixture_rejects_bad_weights(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    with pytest.raises(ValueError):
+        resample_mixture(docs, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        resample_mixture(docs, "source", "doc_id", {"src0": -1})
+
+
+# ── semantic_dedup ──────────────────────────────────────────────────
+def test_semantic_dedup_matches_sql_lloyd_oracle(spark, duck):
+    """The full pipeline — distributed integer Lloyd training, cell
+    assignment, within-cell cosine drops — against the oracle that
+    re-derives the SAME training from the data as SQL CTEs."""
+    from umls2rdf_spark.plans.completion import (
+        _SD_CELLS,
+        _SD_ITERS,
+        _SD_MIN_COS,
+        _semantic_dedup_sql,
+    )
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    got = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", min_cos=_SD_MIN_COS,
+            cells=_SD_CELLS, iters=_SD_ITERS,
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in duck.execute(_semantic_dedup_sql()).fetchall()
+    )
+    assert got == exp
+    assert len(got) == emb.count()
+    # non-trivial at this threshold: something dropped, most kept
+    n_drop = sum(1 for _, _, k in got if not k)
+    assert 0 < n_drop < len(got) / 2
+
+
+def test_semantic_dedup_min_id_kept_per_cell(spark):
+    """The lowest id in every cell always survives (it has no
+    lower-id member to match)."""
+    from umls2rdf_spark.plans.completion import _SD_MIN_COS
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    rows = semantic_dedup(
+        emb, "vec_id", "embedding", min_cos=_SD_MIN_COS
+    ).collect()
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for r in rows:
+        by_cell[r.cell].append(r)
+    for cell_rows in by_cell.values():
+        lowest = min(cell_rows, key=lambda r: r.vec_id)
+        assert lowest.keep
+
+
+def test_semantic_dedup_exact_duplicates_collapse(spark):
+    """Two copies of the same vector always land in one cell and the
+    higher id is dropped at any positive threshold."""
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").limit(50)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = emb.unionByName(dup)
+    rows = semantic_dedup(
+        both, "vec_id", "embedding", min_cos=0.99
+    ).collect()
+    by_id = {r.vec_id: r for r in rows}
+    for r in emb.select("vec_id").collect():
+        a, b = by_id[r.vec_id], by_id[r.vec_id + 10_000]
+        assert a.cell == b.cell
+        assert a.keep and not b.keep

@@ -1,0 +1,246 @@
+"""Corpus selection operators: token-budget curation and domain
+mixture resampling — the "decide what goes into the training run"
+steps that sit after cleaning/dedup in an LLM data pipeline (no
+counterpart in the reference; 100 TB extensions).
+
+Both are engine-exact by construction (integer arithmetic,
+deterministic hash tie-breaks), so DuckDB oracles reproduce them
+bit-for-bit under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import stable_hash40
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    score_col: str,
+    budget: int,
+    shards: int = 64,
+    persist: bool = True,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget: admit documents in (score DESC, shard, id) order while
+    the running token total stays <= ``budget`` — the standard
+    "take the best data until the budget is full" curation step.
+
+    Admission order within a score class is (stable_hash40(id) mod
+    ``shards``, id): deterministic and partition-invariant because
+    the key is data, and it is exactly what makes the cumulative sum
+    scale — the global running total decomposes into
+
+    - per-(score, shard) local cumsums (window inside one shuffle
+      partition each),
+    - a (|score classes| x shards)-row totals frame whose running
+      offsets are one window over a bounded frame,
+    - a broadcast join lifting local cumsum to global position.
+
+    No single-reducer pass ever sees the corpus: the same two-level
+    scan as pack_sequences. ``score_col`` must be integer/bucketed
+    (quality scores always are) — the totals frame is bounded by
+    |distinct scores| x shards, the same boundedness argument as
+    unigram_surprisal's distinct-count frame. A doc is admitted iff
+    its global inclusive cumsum <= budget; once the budget is
+    crossed every later doc in the order has a larger cumsum, so
+    admission is a clean prefix.
+
+    Returns the admitted rows with their input columns.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    shard = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.lit(shards)
+    ).cast("int")
+    base = df.withColumn("__shard", shard)
+    w_local = (
+        Window.partitionBy(score_col, "__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "__cum", F.sum(F.col(ntok_col).cast("bigint")).over(w_local)
+    )
+    if persist:
+        # the totals branch and the output branch both read this
+        # frame; without the persist each recomputes the upstream
+        # pipeline (same rationale as pack_sequences)
+        from pyspark import StorageLevel
+
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = local.groupBy(score_col, "__shard").agg(
+        F.max("__cum").alias("__tot")
+    )
+    # running offset over the bounded (score x shard) frame — score
+    # DESC first (better data first), shard ASC inside a class
+    w_off = (
+        Window.orderBy(F.col(score_col).desc(), F.col("__shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select(score_col, "__shard", "__off")
+    out = local.join(F.broadcast(offs), [score_col, "__shard"])
+    return out.where(
+        F.col("__off") + F.col("__cum") <= F.lit(int(budget))
+    ).select(*df.columns)
+
+
+def select_to_token_budget_sql(
+    table: str,
+    id_col: str,
+    ntok_col: str,
+    score_col: str,
+    budget: int,
+    shards: int = 64,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`select_to_token_budget`: one global
+    window cumsum over the identical (score DESC, shard, id) order —
+    the oracle can afford the global sort the operator avoids."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    h = stable_hash40_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, SUM(CAST({ntok_col} AS BIGINT)) OVER (
+      ORDER BY {score_col} DESC, ({h}) % {shards}, {id_col}
+      ROWS UNBOUNDED PRECEDING) AS __cum
+  FROM {table}
+) WHERE __cum <= {budget}
+"""
+
+
+def resample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target_parts: dict[str, int],
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each
+    domain so the surviving corpus approaches the target mixture
+    ``target_parts`` (integer weight per domain, e.g. {web: 6,
+    code: 3, wiki: 1}) WITHOUT upsampling anything — the data-mixing
+    step (DoReMi / The Pile-style recipes) before training.
+
+    The largest feasible total T under "no domain is upsampled" puts
+    the scarcest domain (min count/parts) in almost fully (exactly
+    full when its count divides evenly; floor rounding of T costs at
+    most one part otherwise); every other domain is hash-thresholded
+    to its share. All sizing arithmetic
+    is DECIMAL(38,0) floor-division in-plan (counts frame is
+    |domains| rows, broadcast; the feasibility min is a 1-row
+    broadcast cross join — no driver collect), so the per-domain
+    keep thresholds are exact integers any engine reproduces.
+    Membership is stable_hash40(id) mod precision < threshold: the
+    same id always samples the same way (re-runs and incremental
+    rebuilds see a consistent subset), and realized counts
+    concentrate at threshold/precision like stratified_sample.
+    Domains absent from ``target_parts`` are dropped (weight 0).
+
+    Returns the surviving rows with their input columns.
+    """
+    if not target_parts:
+        raise ValueError("target_parts must be non-empty")
+    if any(p < 0 for p in target_parts.values()):
+        raise ValueError("target parts must be >= 0")
+    total_parts = sum(target_parts.values())
+    if total_parts <= 0:
+        raise ValueError("target parts must sum > 0")
+
+    parts_map = F.create_map(
+        *[
+            x
+            for d, p in sorted(target_parts.items())
+            for x in (F.lit(d), F.lit(int(p)))
+        ]
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt"))
+        .withColumn(
+            "__parts",
+            F.coalesce(
+                parts_map[F.col(domain_col)], F.lit(0)
+            ).cast("decimal(38,0)"),
+        )
+    )
+    # feasible totals per domain: T_d = cnt_d * P div parts_d; the
+    # global T = min over weighted domains. 1-row frame, broadcast.
+    feas = counts.where(F.col("__parts") > 0).agg(
+        F.min(
+            F.expr(f"__cnt * {total_parts} div __parts")
+        ).alias("__T")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(feas))
+        # threshold_d = parts_d * T * precision div (P * cnt_d),
+        # <= precision by construction of T
+        .withColumn(
+            "__thresh",
+            F.expr(
+                f"CAST(__parts * __T * {precision} "
+                f"div ({total_parts} * __cnt) AS BIGINT)"
+            ),
+        )
+        .select(domain_col, "__thresh")
+    )
+    bucket = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.lit(precision)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("__thresh"))
+        .select(*df.columns)
+    )
+
+
+def resample_mixture_sql(
+    table: str,
+    domain_col: str,
+    id_col: str,
+    target_parts: dict[str, int],
+    precision: int = 1_000_000,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`resample_mixture` — identical integral
+    floor-division sizing (HUGEINT here, DECIMAL(38,0) ``div`` on
+    the Spark side; DuckDB's ``//`` on DECIMAL does NOT truncate, so
+    the integer type is load-bearing), identical hash membership."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    total_parts = sum(target_parts.values())
+    parts_case = " ".join(
+        f"WHEN '{d}' THEN {int(p)}"
+        for d, p in sorted(target_parts.items())
+    )
+    h = stable_hash40_sql(f"CAST(t.{id_col} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS dom,
+         CAST(COUNT(*) AS HUGEINT) AS cnt,
+         CAST(CASE {domain_col} {parts_case} ELSE 0 END
+              AS HUGEINT) AS parts
+  FROM {table}
+  GROUP BY {domain_col}
+),
+feas AS (
+  SELECT MIN(cnt * {total_parts} // parts) AS T
+  FROM counts WHERE parts > 0
+),
+rates AS (
+  SELECT dom,
+         CAST(parts * T * {precision}
+              // ({total_parts} * cnt) AS BIGINT) AS thresh
+  FROM counts CROSS JOIN feas
+)
+SELECT {cols} FROM {table} t
+JOIN rates r ON r.dom = t.{domain_col}
+WHERE ({h}) % {precision} < r.thresh
+"""

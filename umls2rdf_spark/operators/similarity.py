@@ -694,3 +694,100 @@ def ivf_cosine_topk(
     # global re-rank across the nprobe probed cells; each neighbor
     # appears at most once (corpus membership is single-cell)
     return _rank_topk(local, k)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    cells: int | None = 8,
+    iters: int = 3,
+    dim: int = 64,
+    centroids: list[list[int]] | None = None,
+    train_mod: int | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with k-means,
+    then inside each cluster drop every vector whose exact quantized
+    cosine with a LOWER-id cluster member is >= ``min_cos`` — the
+    cluster-wide min-id representative convention shared with
+    dedup_clusters/incremental dedup (not sequential admission).
+
+    Returns one row per input vector: (id, cell, keep boolean).
+
+    Scale shape: training is :func:`train_ivf_centroids` (single-
+    stage partial-sums jobs, bounded driver reduce — pass
+    ``train_mod`` to hash-sample the training pass at corpus scale);
+    assignment + quantization are one map-side pass; the only
+    pairwise work is within a cell, so sizing ``cells ~ n /
+    target_cell_size`` bounds every task. A pathologically dense
+    cluster can be split with ``max_cell`` (deterministic id-hash
+    salting, same helper as the LSH paths) at the documented cost of
+    missing cross-salt pairs. Everything is exact int64 / IEEE-double
+    arithmetic with deterministic tie-breaks, so a SQL oracle
+    reproduces the output bit-for-bit (the Lloyd iterations are
+    SQL-expressible — see plans/completion.py semantic_dedup_sql).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, id_col, vec_col,
+            cells=cells, iters=iters, dim=dim, train_mod=train_mod,
+        )
+    cent = np.array(centroids, dtype=np.int64)
+
+    def featurize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            # exact int64 squared-L2; argmin ties -> lowest cell id,
+            # matching the trainer and its local replica
+            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "qvec": list(q),
+                    "norm2": (q * q).sum(axis=1),
+                    "bucket": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
+    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+        featurize, schema=feat_schema
+    )
+    feat = salt_oversized_buckets(feat, id_col, max_cell)
+    group_cols = ["bucket"] if max_cell is None else ["bucket", "salt"]
+    threshold = float(min_cos)
+
+    def cell_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].values.astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        cell = pdf["bucket"].values.astype(np.int32)[order]
+        n = len(ids)
+        if n == 1:
+            return pd.DataFrame(
+                {id_col: ids, "cell": cell, "keep": [True]}
+            )
+        q = np.vstack(pdf["qvec"].values).astype(np.int64)[order]
+        n2 = pdf["norm2"].values.astype(np.float64)[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q @ q.T) / np.sqrt(np.outer(n2, n2))
+        # keep[i] iff no lower-id member matches (NaN from a zero
+        # vector compares False, mirroring SQL)
+        dup = np.tril(cos >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "cell": cell, "keep": ~dup}
+        )
+
+    return feat.groupBy(*group_cols).applyInPandas(
+        cell_keep, schema=f"{id_col} long, cell int, keep boolean"
+    )

@@ -199,7 +199,7 @@ _TPCH_COLS = {
 }
 
 
-# ── text_scoring: C2, C3, C21, C22, C25-C29 under one driver key ───
+# ── text_scoring: C2, C3, C21, C22, C25-C32 under one driver key ───
 _BM25_TERMS = ["spark", "window", "hash"]
 _IMH_PERM = 8  # must equal llm_demos._NUM_PERM so the SQL CTEs match
 _IMH_JACCARD = 0.5
@@ -207,6 +207,21 @@ _TFIDF_K = 3
 _BM25_K = 15
 _FREQ_K = 20
 _SURPRISAL_SCALE = 1 << 20
+# semantic dedup (SemDeDup): same cells/iters as the IVF demo; the
+# synthetic embeddings top out near cos 0.42, so 0.3 is the
+# non-trivial threshold (same constant as dedup_embedding)
+_SD_CELLS = 8
+_SD_ITERS = 3
+_SD_DIM = 64
+_SD_MIN_COS = 0.3
+# token-budget selection: ~44% of the sf0.01 corpus tokens, so the
+# admission boundary is exercised at every SF
+_TB_BUDGET = 12_000
+_TB_SHARDS = 64
+# mixture resampling: weighted subset of the 20 source domains;
+# unlisted domains drop (weight 0)
+_MIX_PARTS = {"src0": 4, "src1": 2, "src2": 2, "src3": 1, "src4": 1}
+_MIX_PRECISION = 1_000_000
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +246,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       against the even base's persisted band-signature index, LSH
       candidates verified at exact Jaccard ≥ 0.5 (C29; the
       production path — base_index precomputed, base text touched
-      only for semi-joined verify candidates).
+      only for semi-joined verify candidates),
+    - ``semantic_dedup`` — SemDeDup over embeddings: distributed
+      integer Lloyd's k-means, within-cluster exact quantized cosine
+      drops vs the min-id representative; the oracle re-runs the
+      SAME Lloyd iterations as SQL CTEs, so training + assignment +
+      dedup are all value-verified at any SF (C30),
+    - ``token_budget`` — greedy quality-first selection under a
+      global token budget via the two-level sharded cumsum (C31),
+    - ``mixture`` — deterministic domain-mixture resampling with
+      exact DECIMAL sizing arithmetic (C32).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.dedup import (
@@ -240,6 +264,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_minhash_dedupe,
         minhash_signatures_mapside,
     )
+    from umls2rdf_spark.operators.selection import (
+        resample_mixture,
+        select_to_token_budget,
+    )
+    from umls2rdf_spark.operators.similarity import semantic_dedup
     from umls2rdf_spark.operators.textstats import (
         bm25_topk,
         frequent_tokens,
@@ -252,6 +281,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = docs.where(F.col("doc_id") % 2 == 0)
     shard = docs.where(F.col("doc_id") % 2 == 1)
+    toked = docs.withColumn(
+        "ntok",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
     sections = [
         fingerprint_section(
             dedup_minhash(spark, sf_dir), "minhash_pairs"
@@ -297,6 +330,27 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
             "incremental_minhash",
+        ),
+        fingerprint_section(
+            semantic_dedup(
+                emb, "vec_id", "embedding", min_cos=_SD_MIN_COS,
+                cells=_SD_CELLS, iters=_SD_ITERS, dim=_SD_DIM,
+            ),
+            "semantic_dedup",
+        ),
+        fingerprint_section(
+            select_to_token_budget(
+                toked, "doc_id", "ntok", "n_chars",
+                budget=_TB_BUDGET, shards=_TB_SHARDS,
+            ),
+            "token_budget",
+        ),
+        fingerprint_section(
+            resample_mixture(
+                docs, "source", "doc_id", _MIX_PARTS,
+                precision=_MIX_PRECISION,
+            ),
+            "mixture",
         ),
     ]
     return _union(sections)
@@ -527,7 +581,109 @@ WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def _semantic_dedup_sql() -> str:
+    """SQL twin of the semantic_dedup section: the SAME deterministic
+    integer Lloyd's iterations the distributed trainer runs, unrolled
+    as CTE chains (assign with c_{k-1} → per-cell floor-div mean →
+    c_k, empty cells carrying forward), then final assignment and
+    within-cell cosine drops. Training is re-derived from the data
+    INSIDE the query, so the oracle is valid at any SF — unlike an
+    inlined centroid table. Floor division is spelled with the
+    modulo correction (exact, engine-neutral); the cosine double is
+    built from exact int dot/norms like every other vector oracle."""
+    from umls2rdf_spark.operators.similarity import ivf_centroid
+
+    init = ", ".join(
+        f"({i}, {j + 1}, {ivf_centroid(i, j)})"
+        for i in range(_SD_CELLS)
+        for j in range(_SD_DIM)
+    )
+    ctes = [
+        """qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings)""",
+        """comps AS (
+  SELECT vec_id, CAST(u.i AS INT) AS pos, v[CAST(u.i AS INT)] AS comp
+  FROM qv, UNNEST(range(1, len(v)+1)) AS u(i))""",
+        "norms AS (SELECT vec_id, SUM(comp*comp) AS norm2 "
+        "FROM comps GROUP BY 1)",
+        f"c0(cell_id, pos, c) AS (VALUES {init})",
+    ]
+    for k in range(1, _SD_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""d{k} AS (
+  SELECT v.vec_id, ct.cell_id,
+         SUM((v.comp - ct.c) * (v.comp - ct.c)) AS d2
+  FROM comps v JOIN c{p} ct ON ct.pos = v.pos
+  GROUP BY 1, 2)""")
+        ctes.append(f"""a{k} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cell_id) AS rn
+    FROM d{k})
+  WHERE rn = 1)""")
+        ctes.append(f"""u{k} AS (
+  SELECT a.cell_id, m.pos, SUM(m.comp) AS s, COUNT(*) AS n
+  FROM comps m JOIN a{k} a USING (vec_id)
+  GROUP BY 1, 2)""")
+        ctes.append(f"""c{k} AS (
+  SELECT p.cell_id, p.pos,
+         CAST(COALESCE(
+           (u.s - ((u.s % u.n) + u.n) % u.n) // u.n, p.c
+         ) AS BIGINT) AS c
+  FROM c{p} p LEFT JOIN u{k} u
+    ON u.cell_id = p.cell_id AND u.pos = p.pos)""")
+    fin = _SD_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+df AS (
+  SELECT v.vec_id, ct.cell_id,
+         SUM((v.comp - ct.c) * (v.comp - ct.c)) AS d2
+  FROM comps v JOIN c{fin} ct ON ct.pos = v.pos
+  GROUP BY 1, 2),
+af AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cell_id) AS rn
+    FROM df)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM (SELECT q.vec_id, q.v, s.cell_id FROM qv q
+        JOIN af s USING (vec_id)) a
+  JOIN (SELECT q.vec_id, q.v, s.cell_id FROM qv q
+        JOIN af s USING (vec_id)) b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE CAST(list_inner_product(a.v, b.v) AS DOUBLE)
+        / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) >= {_SD_MIN_COS})
+SELECT q.vec_id, CAST(af.cell_id AS INT) AS cell,
+       (dr.vec_id IS NULL) AS keep
+FROM qv q
+JOIN af ON af.vec_id = q.vec_id
+LEFT JOIN dropped dr ON dr.vec_id = q.vec_id"""
+    )
+
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_TOKED_SQL = (
+    "(SELECT *, CAST(len(list_filter(string_split(text, ' '), "
+    "t -> t <> '')) AS INT) AS ntok FROM documents)"
+)
+
+
 def _text_scoring_sql() -> str:
+    from umls2rdf_spark.operators.selection import (
+        resample_mixture_sql,
+        select_to_token_budget_sql,
+    )
     from umls2rdf_spark.plans.llm_demos import (
         DEDUP_MINHASH_SQL,
         DEDUP_SIMHASH_SQL,
@@ -572,6 +728,29 @@ def _text_scoring_sql() -> str:
             "incremental_minhash",
             _IMH_SQL,
             ["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+        fingerprint_sql(
+            "semantic_dedup",
+            _semantic_dedup_sql(),
+            ["vec_id", "cell", "keep"],
+        ),
+        fingerprint_sql(
+            "token_budget",
+            select_to_token_budget_sql(
+                _TOKED_SQL, "doc_id", "ntok", "n_chars",
+                budget=_TB_BUDGET, shards=_TB_SHARDS,
+                cols=", ".join(_DOC_COLS + ["ntok"]),
+            ),
+            _DOC_COLS + ["ntok"],
+        ),
+        fingerprint_sql(
+            "mixture",
+            resample_mixture_sql(
+                "documents", "source", "doc_id", _MIX_PARTS,
+                precision=_MIX_PRECISION,
+                cols=", ".join(f"t.{c}" for c in _DOC_COLS),
+            ),
+            _DOC_COLS,
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
