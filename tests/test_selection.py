@@ -223,3 +223,120 @@ def test_semantic_dedup_exact_duplicates_collapse(spark):
         a, b = by_id[r.vec_id], by_id[r.vec_id + 10_000]
         assert a.cell == b.cell
         assert a.keep and not b.keep
+
+
+# ── decontaminate_bloom ─────────────────────────────────────────────
+def _doc_slices(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corp = docs.where(F.col("doc_id") % 17 != 0)
+    return docs, bench, corp
+
+
+def test_bloom_decontam_matches_sql_oracle(spark, duck):
+    from umls2rdf_spark.operators.corpus import (
+        bloom_positions,
+        decontaminate_bloom,
+    )
+    from umls2rdf_spark.plans.completion import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_N,
+        _bloom_decontam_sql,
+    )
+
+    _, bench, corp = _doc_slices(spark)
+    pos = bloom_positions(
+        bench, "doc_id", "text",
+        shingle_n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+    got = sorted(
+        (r.doc_id, r.n_hit_ngrams)
+        for r in decontaminate_bloom(
+            corp, pos, "doc_id", "text",
+            shingle_n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K,
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in duck.execute(_bloom_decontam_sql()).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every document the exact n-gram decontaminate flags is also
+    flagged by the bloom variant (bloom membership can only
+    over-approximate the benchmark shingle set)."""
+    from umls2rdf_spark.operators.corpus import (
+        bloom_positions,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    _, bench, corp = _doc_slices(spark)
+    exact = {
+        r.doc_id
+        for r in decontaminate(
+            corp, bench, "doc_id", "text", "doc_id", "text",
+            shingle_n=4,
+        ).collect()
+    }
+    pos = bloom_positions(bench, "doc_id", "text", shingle_n=4)
+    bloom = {
+        r.doc_id
+        for r in decontaminate_bloom(
+            corp, pos, "doc_id", "text", shingle_n=4
+        ).collect()
+    }
+    assert exact, "fixture must produce real contamination"
+    assert exact <= bloom
+
+
+def test_bloom_tiny_filter_fp_deterministic(spark):
+    """A deliberately undersized filter (m_bits=64) produces false
+    positives — and two independent runs produce the IDENTICAL flag
+    set, because bloom FPs here are a pure function of the data."""
+    from umls2rdf_spark.operators.corpus import (
+        bloom_positions,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    _, bench, corp = _doc_slices(spark)
+
+    def run():
+        pos = bloom_positions(
+            bench, "doc_id", "text", shingle_n=4, m_bits=64
+        )
+        return {
+            r.doc_id
+            for r in decontaminate_bloom(
+                corp, pos, "doc_id", "text", shingle_n=4, m_bits=64
+            ).collect()
+        }
+
+    a, b = run(), run()
+    assert a == b
+    exact = {
+        r.doc_id
+        for r in decontaminate(
+            corp, bench, "doc_id", "text", "doc_id", "text",
+            shingle_n=4,
+        ).collect()
+    }
+    # 64 bits vs thousands of shingles: saturated filter, so the FP
+    # set is strictly larger than the exact set
+    assert exact < a
+
+
+def test_bloom_positions_bounded(spark):
+    from umls2rdf_spark.operators.corpus import bloom_positions
+
+    _, bench, _ = _doc_slices(spark)
+    pos = bloom_positions(
+        bench, "doc_id", "text", shingle_n=4, m_bits=128
+    )
+    vals = [r.pos for r in pos.collect()]
+    assert len(vals) == len(set(vals)) <= 128
+    assert all(0 <= v < 128 for v in vals)

@@ -315,3 +315,118 @@ def stratified_sample(
     else:
         cut = F.lit(int(float(fractions) * precision))
     return df.where(bucket < cut)
+
+
+def bloom_positions(
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter bit positions of every distinct benchmark
+    ``shingle_n``-gram — the CONSTANT-SIZE decontamination index.
+
+    :func:`decontaminate` broadcasts the raw benchmark shingle
+    strings, which stops scaling when the benchmark suite grows past
+    broadcast range. This index is a (pos int) frame bounded by
+    ``m_bits`` rows (~8 MB at the 2^20 default) REGARDLESS of
+    benchmark size: each shingle sets ``k`` salted-hash bits, and
+    the frame is the distinct set of set bits — the relational form
+    of a bloom bitmap, identical membership semantics, exact SQL
+    oracle. Persist it once per benchmark-suite release.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    shingles = (
+        shingle_rows(benchmark, bench_id_col, bench_text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    pos = [
+        F.pmod(
+            stable_hash40(
+                F.concat(F.lit(f"{i}|"), F.col("shingle"))
+            ),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+    return (
+        shingles.select(F.explode(F.array(*pos)).alias("pos"))
+        .distinct()
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    positions: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Bloom-filter test-set decontamination: flag corpus documents
+    with >= ``min_hits`` distinct ``shingle_n``-grams whose ``k``
+    bloom bits are ALL set in ``positions`` (from
+    :func:`bloom_positions` — same ``shingle_n``/``m_bits``/``k``).
+
+    Bloom semantics: no false negatives (every doc
+    :func:`decontaminate` would flag is flagged here), false
+    positives deterministic and rate-bounded by (k x n_shingles /
+    m_bits)^k — the standard trade for an index whose size is capped
+    by ``m_bits``, not by the benchmark suite.
+
+    Shape at scale: the corpus probe rows (k per distinct shingle)
+    meet the broadcast positions index MAP-SIDE — non-members drop
+    before any shuffle, so the (doc, shingle) count==k aggregation
+    shuffles only candidate hits (true overlaps + the few FPs), a
+    vanishing fraction of the corpus.
+
+    Returns (id, n_hit_ngrams) for flagged documents; anti-join the
+    corpus against it to drop them — the same contract as
+    :func:`decontaminate`.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cs = shingle_rows(
+        corpus.repartition(F.col(id_col)), id_col, text_col, shingle_n
+    ).distinct()
+    probes = cs.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        stable_hash40(
+                            F.concat(F.lit(f"{i}|"), F.col("shingle"))
+                        ),
+                        F.lit(m_bits),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    # bloom membership = every one of the k probes finds its bit
+    # set. Each salt contributes exactly one probe row per
+    # (doc, shingle) and positions is distinct, so the join matches
+    # each probe at most once and count(*)==k <=> all k probes hit
+    # (two salts colliding onto one pos simply check the same set
+    # bit twice -- both match iff it is set, exactly bitmap
+    # semantics)
+    hits = (
+        probes.join(F.broadcast(positions), "pos")
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__nmatch"))
+        .where(F.col("__nmatch") == k)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .where(F.col("n_hit_ngrams") >= min_hits)
+    )

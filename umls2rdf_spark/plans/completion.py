@@ -222,6 +222,12 @@ _TB_SHARDS = 64
 # unlisted domains drop (weight 0)
 _MIX_PARTS = {"src0": 4, "src1": 2, "src2": 2, "src3": 1, "src4": 1}
 _MIX_PRECISION = 1_000_000
+# bloom decontamination: benchmark = every 17th doc; 4-grams give a
+# non-trivial overlap on the synthetic corpus (8-grams barely touch)
+_BLOOM_N = 4
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+_BLOOM_BENCH_MOD = 17
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,7 +261,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``token_budget`` — greedy quality-first selection under a
       global token budget via the two-level sharded cumsum (C31),
     - ``mixture`` — deterministic domain-mixture resampling with
-      exact DECIMAL sizing arithmetic (C32).
+      exact DECIMAL sizing arithmetic (C32),
+    - ``bloom_decontam`` — bloom-filter decontamination: the
+      constant-size positions index vs every-17th-doc benchmark,
+      corpus probes dropped map-side at the broadcast join (C33).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.dedup import (
@@ -263,6 +272,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_dedupe,
         incremental_minhash_dedupe,
         minhash_signatures_mapside,
+    )
+    from umls2rdf_spark.operators.corpus import (
+        bloom_positions,
+        decontaminate_bloom,
     )
     from umls2rdf_spark.operators.selection import (
         resample_mixture,
@@ -351,6 +364,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 precision=_MIX_PRECISION,
             ),
             "mixture",
+        ),
+        fingerprint_section(
+            decontaminate_bloom(
+                docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD != 0),
+                bloom_positions(
+                    docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0),
+                    "doc_id", "text",
+                    shingle_n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K,
+                ),
+                "doc_id", "text",
+                shingle_n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K,
+            ),
+            "bloom_decontam",
         ),
     ]
     return _union(sections)
@@ -672,6 +698,53 @@ LEFT JOIN dropped dr ON dr.vec_id = q.vec_id"""
     )
 
 
+def _bloom_decontam_sql() -> str:
+    """SQL twin of the bloom_decontam section: identical salted-hash
+    bit positions over identical word n-grams, bloom membership as
+    count(*)==k against the distinct positions set — the relational
+    bitmap. Deterministic false positives replicate exactly."""
+    n, m, k = _BLOOM_N, _BLOOM_M, _BLOOM_K
+    parts = "||' '||".join(f"f[i+{j}]" for j in range(n))
+
+    def pos_expr(i: int) -> str:
+        salted = "'" + str(i) + "|' || shingle"
+        return f"({stable_hash40_sql(salted)}) % {m}"
+
+    bsel = "\n    UNION ALL\n    ".join(
+        f"SELECT {pos_expr(i)} AS pos FROM bsh" for i in range(k)
+    )
+    psel = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, shingle, {pos_expr(i)} AS pos FROM csh"
+        for i in range(k)
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM documents),
+idx AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - {n - 1}, 0))) AS i
+  FROM f),
+sh AS (SELECT DISTINCT doc_id, {parts} AS shingle FROM idx),
+bsh AS (SELECT DISTINCT shingle FROM sh
+        WHERE doc_id % {_BLOOM_BENCH_MOD} = 0),
+csh AS (SELECT doc_id, shingle FROM sh
+        WHERE doc_id % {_BLOOM_BENCH_MOD} <> 0),
+bpos AS (SELECT DISTINCT pos FROM (
+    {bsel})),
+probes AS (
+    {psel}),
+hits AS (
+  SELECT p.doc_id, p.shingle
+  FROM probes p JOIN bpos USING (pos)
+  GROUP BY 1, 2
+  HAVING COUNT(*) = {k})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+FROM hits GROUP BY 1 HAVING COUNT(*) >= 1
+"""
+
+
 _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 _TOKED_SQL = (
     "(SELECT *, CAST(len(list_filter(string_split(text, ' '), "
@@ -751,6 +824,11 @@ def _text_scoring_sql() -> str:
                 cols=", ".join(f"t.{c}" for c in _DOC_COLS),
             ),
             _DOC_COLS,
+        ),
+        fingerprint_sql(
+            "bloom_decontam",
+            _bloom_decontam_sql(),
+            ["doc_id", "n_hit_ngrams"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
