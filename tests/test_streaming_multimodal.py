@@ -468,6 +468,65 @@ def test_streaming_corpus_ingest_matches_batch(spark):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_bloom_gated_ingest_matches_batch(spark):
+    """Intake with the bloom decontamination gate: the stream-static
+    broadcast bitmap probe is stateless, so the streamed result must
+    equal the batch twin — and the gate's flag set must equal the
+    relational count==k decontaminate_bloom form it replaces."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_positions,
+        decontaminate_bloom,
+    )
+    from umls2rdf_spark.streaming.events import (
+        corpus_ingest_stream,
+        read_documents_stream,
+        run_append_to_memory,
+    )
+
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = batch_docs.where(F.col("doc_id") % 17 == 0)
+    corp = batch_docs.where(F.col("doc_id") % 17 != 0)
+    pos = bloom_positions(
+        bench, "doc_id", "text", shingle_n=4
+    ).persist()
+    bitmap = bloom_bitmap(pos).persist()
+    bitmap.count()
+
+    stream = read_documents_stream(spark, SF_DIR).where(
+        F.col("doc_id") % 17 != 0
+    )
+    got = {
+        r["doc_id"]
+        for r in run_append_to_memory(
+            corpus_ingest_stream(stream, bloom=bitmap),
+            "bloom_ingest_test",
+            spark,
+        ).collect()
+    }
+    expected = {
+        r["doc_id"]
+        for r in corpus_ingest_stream(corp, bloom=bitmap).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # the bitmap gate drops exactly the relational form's flag set
+    ungated = {
+        r["doc_id"] for r in corpus_ingest_stream(corp).collect()
+    }
+    flagged = {
+        r.doc_id
+        for r in decontaminate_bloom(
+            corp, pos, "doc_id", "text", shingle_n=4
+        ).collect()
+    }
+    assert ungated - got == flagged & ungated
+    pos.unpersist()
+    bitmap.unpersist()
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Stream-STREAM interval join (click→purchase attribution): the
     streaming pair set must equal the identical expressions run in

@@ -430,3 +430,81 @@ def decontaminate_bloom(
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
         .where(F.col("n_hit_ngrams") >= min_hits)
     )
+
+
+def bloom_bitmap(
+    positions: DataFrame, m_bits: int = 1 << 20
+) -> DataFrame:
+    """Pack a :func:`bloom_positions` frame into ONE row holding the
+    real bitmap (``bloom`` array<bigint>, m_bits/64 words) — the form
+    that broadcasts everywhere (128 KB at 2^20 bits) and makes
+    membership a pure per-row expression, which is what the
+    STREAMING intake path needs (a stateless column map; the
+    relational count==k form needs an aggregation a stream cannot
+    run in append mode).
+
+    The word OR-fold is a single-reducer agg over <= m_bits/64 rows
+    — bounded by construction, never by data size.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    nwords = m_bits // 64
+    words = positions.select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("bit"),
+    ).groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("__m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {nwords - 1}), "
+            "i -> coalesce(__m[i], CAST(0 AS BIGINT)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_contaminated(
+    text_col: str,
+    bloom_col: str = "bloom",
+    shingle_n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+):
+    """Boolean Column: does ``text_col`` contain ANY ``shingle_n``-gram
+    whose ``k`` bloom bits are all set in ``bloom_col`` (array<bigint>
+    from :func:`bloom_bitmap`, attached via a broadcast cross join)?
+
+    One nested expression with every intermediate bound as a lambda
+    variable (the minhash_signatures_mapside lesson: chained HOF
+    selects re-evaluate the producer per consumer) — tokens split
+    once, each shingle hashed k times, each probe one word-index +
+    bit-shift. Entirely stateless codegen, so it runs unchanged
+    under Structured Streaming. Flag semantics are row-identical to
+    ``decontaminate_bloom(min_hits=1)`` (pinned by test).
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    parts = ", ".join(f"t[i+{j}]" for j in range(shingle_n))
+    shingles = (
+        f"CASE WHEN size(t) >= {shingle_n} THEN "
+        f"array_distinct(transform(sequence(0, size(t)-{shingle_n}), "
+        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
+    )
+
+    def bit_set(i: int) -> str:
+        pos = (
+            f"pmod(CAST(conv(substring(md5(concat('{i}|', s)), 1, 10), "
+            f"16, 10) AS BIGINT), {m_bits})"
+        )
+        return (
+            f"(shiftright({bloom_col}[CAST(p{i} / 64 AS INT)], "
+            f"CAST(p{i} % 64 AS INT)) & 1) = 1"
+        ).replace(f"p{i}", f"({pos})")
+
+    member = " AND ".join(bit_set(i) for i in range(k))
+    return F.expr(
+        f"exists(transform(array({toks}), t -> {shingles})[0], "
+        f"s -> {member})"
+    )

@@ -295,20 +295,52 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
+def corpus_ingest_stream(
+    docs: DataFrame,
+    bloom: DataFrame | None = None,
+    bloom_shingle_n: int = 4,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 3,
+) -> DataFrame:
     """Streaming corpus intake: PII scrub + fused per-doc features,
-    keeping docs above a minimal quality bar.
+    keeping docs above a minimal quality bar — optionally dropping
+    benchmark-contaminated docs against a ``bloom`` bitmap
+    (:func:`~umls2rdf_spark.operators.corpus.bloom_bitmap`, one
+    broadcast 128 KB row) BEFORE they ever land in the corpus.
 
     Every stage is a stateless column map (regexp chain, one
-    tokenization, ratio arithmetic), so the EXACT batch operators run
-    unchanged under Structured Streaming — no watermark, no state
-    store; per-microbatch cost is the same scan-speed codegen as the
-    batch path. Stateful corpus stages (dedup, packing) stay in the
-    batch layer over the ingested table — they need global order or
-    cross-shard joins that a stream cannot see.
+    tokenization, ratio arithmetic; the bloom check is k hash+bit
+    probes per distinct shingle after a stream-static broadcast
+    cross join), so the EXACT batch operators run unchanged under
+    Structured Streaming — no watermark, no state store;
+    per-microbatch cost is the same scan-speed codegen as the batch
+    path. The relational count==k decontamination form needs an
+    aggregation a stream cannot run in append mode — the bitmap form
+    is the stream-legal equivalent (flag-identical, pinned by test).
+    Stateful corpus stages (dedup, packing) stay in the batch layer
+    over the ingested table — they need global order or cross-shard
+    joins that a stream cannot see.
+
+    The bloom gate runs on the RAW text, before scrubbing — the
+    benchmark index was built from raw benchmark text, and scrub
+    placeholders would perturb the n-grams being probed.
     """
+    from umls2rdf_spark.operators.corpus import bloom_contaminated
     from umls2rdf_spark.operators.textstats import scrub_text, text_features
 
+    if bloom is not None:
+        docs = (
+            docs.crossJoin(F.broadcast(bloom))
+            .where(
+                ~bloom_contaminated(
+                    "text", "bloom",
+                    shingle_n=bloom_shingle_n,
+                    m_bits=bloom_m_bits,
+                    k=bloom_k,
+                )
+            )
+            .drop("bloom")
+        )
     clean = scrub_text(docs, "text")
     feats = text_features(clean, "doc_id", "text")
     return feats.where(
