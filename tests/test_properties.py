@@ -381,3 +381,109 @@ def test_remove_boilerplate_matches_replica(spark, token_docs, W, K):
         ).collect()
     }
     assert got == _py_remove_boiler(docs, W, K)
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # id
+            st.integers(min_value=0, max_value=50),      # ntok
+            st.integers(min_value=0, max_value=5),       # score class
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=0, max_value=800),
+    shards=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_token_budget_matches_replica(spark, items, budget, shards):
+    """select_to_token_budget equals the pure-Python greedy prefix
+    over (score DESC, id-hash shard, id) for arbitrary inputs —
+    including empty frames, zero budgets, zero-token rows and heavy
+    score-class collisions (the two-level decomposition's edge
+    cases)."""
+    import hashlib
+
+    from umls2rdf_spark.operators.selection import select_to_token_budget
+
+    df = spark.createDataFrame(items, "id long, ntok long, score long")
+    got = sorted(
+        r["id"]
+        for r in select_to_token_budget(
+            df, "id", "ntok", "score", budget, shards=shards
+        ).collect()
+    )
+
+    def h40(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+
+    order = sorted(items, key=lambda t: (-t[2], h40(t[0]) % shards, t[0]))
+    exp, cum = [], 0
+    for i, n, _ in order:
+        cum += n
+        if cum <= budget:
+            exp.append(i)
+    assert got == sorted(exp)
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),           # id
+            st.sampled_from(["web", "code", "wiki", "books"]),    # dom
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.fixed_dictionaries(
+        {},
+        optional={
+            "web": st.integers(min_value=1, max_value=5),
+            "code": st.integers(min_value=1, max_value=5),
+            "wiki": st.integers(min_value=1, max_value=5),
+        },
+    ),
+)
+@settings(**_SETTINGS)
+def test_resample_mixture_matches_replica(spark, items, parts):
+    """resample_mixture equals the pure-Python sizing + hash
+    membership replica for arbitrary domain distributions and weight
+    dicts (domains can be absent from the data, the dict, or both)."""
+    import hashlib
+
+    from collections import Counter
+
+    from umls2rdf_spark.operators.selection import resample_mixture
+
+    if not parts:
+        parts = {"web": 1}
+    precision = 1_000_000
+    df = spark.createDataFrame(items, "id long, dom string")
+    got = sorted(
+        r["id"]
+        for r in resample_mixture(
+            df, "dom", "id", parts, precision=precision
+        ).collect()
+    )
+
+    def h40(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+
+    counts = Counter(d for _, d in items)
+    P = sum(parts.values())
+    weighted = [d for d in counts if parts.get(d, 0) > 0]
+    if weighted:
+        T = min(counts[d] * P // parts[d] for d in weighted)
+        exp = [
+            i
+            for i, d in items
+            if parts.get(d, 0) > 0
+            and h40(i) % precision
+            < parts[d] * T * precision // (P * counts[d])
+        ]
+    else:
+        exp = []
+    assert got == sorted(exp)
