@@ -493,17 +493,19 @@ def bloom_contaminated(
         f"i -> concat_ws(' ', {parts}))) ELSE array() END"
     )
 
-    def bit_set(i: int) -> str:
-        pos = (
-            f"pmod(CAST(conv(substring(md5(concat('{i}|', s)), 1, 10), "
-            f"16, 10) AS BIGINT), {m_bits})"
-        )
-        return (
-            f"(shiftright({bloom_col}[CAST(p{i} / 64 AS INT)], "
-            f"CAST(p{i} % 64 AS INT)) & 1) = 1"
-        ).replace(f"p{i}", f"({pos})")
-
-    member = " AND ".join(bit_set(i) for i in range(k))
+    # the k probe positions are bound ONCE via transform (each md5
+    # evaluated once, not once per bitmap subscript), then forall
+    # tests every bound position's bit
+    pos_list = ", ".join(
+        f"pmod(CAST(conv(substring(md5(concat('{i}|', s)), 1, 10), "
+        f"16, 10) AS BIGINT), {m_bits})"
+        for i in range(k)
+    )
+    member = (
+        f"forall(transform(array({pos_list}), "
+        f"p -> (shiftright({bloom_col}[CAST(p / 64 AS INT)], "
+        f"CAST(p % 64 AS INT)) & 1) = 1), b -> b)"
+    )
     return F.expr(
         f"exists(transform(array({toks}), t -> {shingles})[0], "
         f"s -> {member})"
