@@ -50,6 +50,10 @@ def select_to_token_budget(
     crossed every later doc in the order has a larger cumsum, so
     admission is a clean prefix.
 
+    ``score_col`` must be non-null (a NULL score class would not
+    match its own offset row in the equi-join); score it 0 upstream
+    if "unscored" should mean "last in line".
+
     Returns the admitted rows with their input columns.
     """
     if budget < 0:
