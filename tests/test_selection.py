@@ -340,3 +340,44 @@ def test_bloom_positions_bounded(spark):
     vals = [r.pos for r in pos.collect()]
     assert len(vals) == len(set(vals)) <= 128
     assert all(0 <= v < 128 for v in vals)
+
+
+# ── LSH banding recall calibration (quality evidence) ──────────────
+def test_minhash_banding_recall_vs_exact_jaccard(spark, duck):
+    """Candidate recall of the 8-band/1-row LSH against the exact
+    all-pairs Jaccard ground truth: every truly-high-similarity pair
+    (j >= 0.5, where a band match has >= 1-(1-j)^8 = 99.6%
+    probability) must surface as a candidate on this corpus — the
+    minhash analogue of the IVF/LSH rank-1 recall calibrations.
+    Deterministic: fixed data, fixed permutation constants."""
+    from umls2rdf_spark.plans.llm_demos import dedup_minhash
+
+    exact = {
+        (a, b)
+        for a, b, _ in duck.execute("""
+WITH f AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t <> '') AS f
+           FROM documents),
+idx AS (SELECT doc_id, f,
+               unnest(generate_series(1, greatest(len(f)-2, 0))) AS i
+        FROM f),
+sh AS (SELECT DISTINCT doc_id, f[i]||' '||f[i+1]||' '||f[i+2] AS s
+       FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n AS DOUBLE)/(za.sz+zb.sz-n) AS j
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE CAST(n AS DOUBLE)/(za.sz+zb.sz-n) >= 0.5
+""").fetchall()
+    }
+    assert len(exact) >= 20, "fixture must contain true near-dups"
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup_minhash(spark, SF_DIR_ORACLE).collect()
+    }
+    missed = exact - cands
+    assert not missed, f"banding missed true pairs: {sorted(missed)[:5]}"

@@ -13,8 +13,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 2^61 - 1, Mersenne prime — modulus for the universal hash family.
-MERSENNE_61 = (1 << 61) - 1
+# 2^40 + 15, prime — modulus for the minhash permutation family.
+# The modulus MUST sit BELOW the a*h product range (a < 2^20,
+# h < 2^40 -> a*h+b < 2^60, still overflow-free in int64): an
+# earlier 2^61-1 modulus never wrapped, so every "permutation" was
+# order-PRESERVING in h — all k minima came from the same min-hash
+# shingle, the bands were perfectly correlated, and banding recall
+# collapsed to single-permutation recall (caught by the exact-
+# Jaccard recall calibration: a j=0.9 pair missed all 8 bands).
+# With p just above the 40-bit hash range, a*h wraps ~a times per
+# permutation and the maps genuinely scramble order.
+PERM_MODULUS = (1 << 40) + 15
 HASH_HEX_CHARS = 10  # 40 bits
 
 
@@ -52,5 +61,7 @@ def perm_params(k: int) -> list[tuple[int, int, int]]:
 
 
 def perm_hash(h: Column, a: Column, b: Column) -> Column:
-    """(a*h + b) mod M61 — overflow-free in 64-bit by construction."""
-    return F.pmod(a * h + b, F.lit(MERSENNE_61))
+    """(a*h + b) mod PERM_MODULUS — overflow-free in 64-bit by
+    construction (a < 2^20, h < 2^40), and genuinely wrapping (see
+    the PERM_MODULUS comment)."""
+    return F.pmod(a * h + b, F.lit(PERM_MODULUS))

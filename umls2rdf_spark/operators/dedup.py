@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import (
-    MERSENNE_61,
+    PERM_MODULUS,
     perm_hash,
     perm_params,
     stable_hash40,
@@ -152,8 +152,8 @@ def minhash_signatures_mapside(
     # A lambda variable holds the EVALUATED value, so tokens are
     # split once, each shingle md5-hashed once (the hash transform
     # is the aggregate's single input), and all k permutation minima
-    # update in one traversal of a k-slot accumulator. M61 is a safe
-    # +inf seed: every pmod result is < M61.
+    # update in one traversal of a k-slot accumulator. PERM_MODULUS
+    # is a safe +inf seed: every pmod result is below it.
     params = perm_params(num_perm)
     toks = f"filter(split({text_col}, ' '), t -> t <> '')"
     parts = ", ".join(f"t[i+{j}]" for j in range(shingle_n))
@@ -166,10 +166,10 @@ def minhash_signatures_mapside(
         "s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT))"
     )
     seed = "array(" + ", ".join(
-        f"CAST({MERSENNE_61} AS BIGINT)" for _ in params
+        f"CAST({PERM_MODULUS} AS BIGINT)" for _ in params
     ) + ")"
     upd = ", ".join(
-        f"least(acc[{i}], pmod({a} * h + {b}, {MERSENNE_61}))"
+        f"least(acc[{i}], pmod({a} * h + {b}, {PERM_MODULUS}))"
         for i, (_, a, b) in enumerate(params)
     )
     full = (

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import (
-    MERSENNE_61,
+    PERM_MODULUS,
     perm_params,
     stable_hash40,
     stable_hash40_sql,
@@ -572,7 +572,7 @@ hashed AS (
   SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
 perms(perm_id, a, b) AS (VALUES {_IMH_PERM_VALUES}),
 sigs AS (
-  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  SELECT doc_id, perm_id, MIN((a * h + b) % {PERM_MODULUS}) AS minhash
   FROM hashed CROSS JOIN perms GROUP BY 1, 2),
 bands AS (
   SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig

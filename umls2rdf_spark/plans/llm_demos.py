@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import (
-    MERSENNE_61,
+    PERM_MODULUS,
     perm_params,
     stable_hash40_sql,
 )
@@ -110,7 +110,7 @@ hashed AS (
   SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
 perms(perm_id, a, b) AS (VALUES {_PERM_VALUES}),
 sigs AS (
-  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  SELECT doc_id, perm_id, MIN((a * h + b) % {PERM_MODULUS}) AS minhash
   FROM hashed CROSS JOIN perms
   GROUP BY 1, 2),
 bands AS (
@@ -207,7 +207,7 @@ hashed AS (
   SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
 perms(perm_id, a, b) AS (VALUES {_PERM_VALUES}),
 sigs AS (
-  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  SELECT doc_id, perm_id, MIN((a * h + b) % {PERM_MODULUS}) AS minhash
   FROM hashed CROSS JOIN perms
   GROUP BY 1, 2),
 bands AS (
@@ -668,7 +668,7 @@ hashed AS (
   SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
 perms(perm_id, a, b) AS (VALUES {_PERM_VALUES}),
 sigs AS (
-  SELECT doc_id, perm_id, MIN((a * h + b) % {MERSENNE_61}) AS minhash
+  SELECT doc_id, perm_id, MIN((a * h + b) % {PERM_MODULUS}) AS minhash
   FROM hashed CROSS JOIN perms
   GROUP BY 1, 2),
 bands AS (
