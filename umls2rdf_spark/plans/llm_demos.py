@@ -635,15 +635,30 @@ ORACLES["ann_ivf_topk"] = ANN_IVF_SQL
 from umls2rdf_spark.operators.dedup import connected_components
 
 
+_CLUSTER_JACCARD = 0.5
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: minhash candidate pairs closed into
-    connected components; every document gets a cluster id (min doc_id
-    of its component)."""
+    """Near-duplicate clusters, the full production pipeline: minhash
+    LSH candidates -> exact-Jaccard VERIFY (>= 0.5) -> connected
+    components; every document gets a cluster id (min doc_id of its
+    component).
+
+    The verify stage is load-bearing, not decoration: with k
+    genuinely independent bands, a single colliding min-shingle in
+    ANY band makes a candidate pair, and closing unverified
+    candidates transitively chained 84% of this corpus into one
+    mega-cluster. Verification bounds every edge at real similarity
+    before the closure."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures_mapside(
         docs, "doc_id", "text", num_perm=_NUM_PERM
     )
-    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
+    cands = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
+    pairs = jaccard_verify_pairs(
+        docs, cands, "doc_id", "text",
+        shingle_n=3, min_jaccard=_CLUSTER_JACCARD,
+    ).select("id_a", "id_b")
     labels = connected_components(
         pairs, docs.select(F.col("doc_id")), node_col="doc_id"
     )
@@ -674,11 +689,27 @@ sigs AS (
 bands AS (
   SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig
   FROM sigs),
-pairs AS (
+cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
               AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter USING (id_a, id_b)
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  WHERE CAST(COALESCE(inter.inter, 0) AS DOUBLE)
+        / CAST(za.sz + zb.sz - COALESCE(inter.inter, 0) AS DOUBLE)
+        >= {_CLUSTER_JACCARD}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs),
