@@ -381,3 +381,26 @@ WHERE CAST(n AS DOUBLE)/(za.sz+zb.sz-n) >= 0.5
     }
     missed = exact - cands
     assert not missed, f"banding missed true pairs: {sorted(missed)[:5]}"
+
+
+def test_semantic_dedup_salting_only_misses_pairs(spark):
+    """max_cell salting splits cells by id-hash, which can only MISS
+    cross-salt pairs — so the salted drop set is a subset of the
+    unsalted one, and every vector still appears exactly once."""
+    from umls2rdf_spark.plans.completion import _SD_MIN_COS
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    full = semantic_dedup(
+        emb, "vec_id", "embedding", min_cos=_SD_MIN_COS
+    ).collect()
+    salted = semantic_dedup(
+        emb, "vec_id", "embedding", min_cos=_SD_MIN_COS, max_cell=40
+    ).collect()
+    assert len(salted) == len(full) == emb.count()
+    drop_full = {r.vec_id for r in full if not r.keep}
+    drop_salted = {r.vec_id for r in salted if not r.keep}
+    assert drop_salted <= drop_full
+    # cell assignment is unaffected by salting
+    cells_full = {r.vec_id: r.cell for r in full}
+    for r in salted:
+        assert cells_full[r.vec_id] == r.cell
