@@ -404,3 +404,17 @@ def test_semantic_dedup_salting_only_misses_pairs(spark):
     cells_full = {r.vec_id: r.cell for r in full}
     for r in salted:
         assert cells_full[r.vec_id] == r.cell
+
+
+def test_mixture_all_weighted_domains_absent_is_empty(spark, duck):
+    """Weights referencing only domains absent from the data: the
+    feasibility min is over an empty set (NULL threshold), so nothing
+    survives — identically in Spark and the oracle."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    parts = {"no_such_domain": 3}
+    got = resample_mixture(docs, "source", "doc_id", parts).count()
+    sql = resample_mixture_sql(
+        "documents", "source", "doc_id", parts, cols="t.doc_id"
+    )
+    exp = len(duck.execute(sql).fetchall())
+    assert got == exp == 0
