@@ -418,3 +418,62 @@ def test_mixture_all_weighted_domains_absent_is_empty(spark, duck):
     )
     exp = len(duck.execute(sql).fetchall())
     assert got == exp == 0
+
+
+# ── epoch_shuffle ───────────────────────────────────────────────────
+@pytest.mark.parametrize("seed", [0, 7])
+def test_epoch_shuffle_matches_oracle(spark, duck, seed):
+    from umls2rdf_spark.operators.selection import (
+        epoch_shuffle,
+        epoch_shuffle_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = sorted(
+        (r.doc_id, r.epoch_pos)
+        for r in epoch_shuffle(docs, "doc_id", seed=seed)
+        .select("doc_id", "epoch_pos")
+        .collect()
+    )
+    sql = epoch_shuffle_sql(
+        "documents", "doc_id", seed=seed, cols="doc_id"
+    )
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+    # a permutation of 0..n-1
+    assert sorted(p for _, p in got) == list(range(len(got)))
+
+
+def test_epoch_shuffle_bucket_and_partition_invariant(spark):
+    """buckets is a pure parallelism knob and placement never leaks
+    into the order: any bucket count and any input partitioning give
+    the identical position assignment; different seeds differ."""
+    from umls2rdf_spark.operators.selection import epoch_shuffle
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    a = sorted(
+        (r.doc_id, r.epoch_pos)
+        for r in epoch_shuffle(docs, "doc_id", seed=3, buckets=16)
+        .select("doc_id", "epoch_pos").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.epoch_pos)
+        for r in epoch_shuffle(
+            docs.repartition(17), "doc_id", seed=3, buckets=4096
+        ).select("doc_id", "epoch_pos").collect()
+    )
+    assert a == b
+    c = sorted(
+        (r.doc_id, r.epoch_pos)
+        for r in epoch_shuffle(docs, "doc_id", seed=4)
+        .select("doc_id", "epoch_pos").collect()
+    )
+    assert a != c
+
+
+def test_epoch_shuffle_rejects_bad_buckets(spark):
+    from umls2rdf_spark.operators.selection import epoch_shuffle
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    with pytest.raises(ValueError):
+        epoch_shuffle(docs, "doc_id", buckets=3)

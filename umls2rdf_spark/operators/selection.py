@@ -248,3 +248,78 @@ SELECT {cols} FROM {table} t
 JOIN rates r ON r.dom = t.{domain_col}
 WHERE ({h}) % {precision} < r.thresh
 """
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    buckets: int = 4096,
+    persist: bool = True,
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row's global
+    position under the pseudorandom order (stable_hash40(seed|id),
+    id) — the "shuffle the corpus once per epoch" step before
+    sequence packing, reproducible anywhere (a new ``seed`` is a new
+    epoch order; the same seed always replays the same order).
+
+    No global sort: the order key's TOP bits pick one of ``buckets``
+    range-aligned buckets (``hkey div (2^40/buckets)`` — a modulo
+    would interleave ranges and break the decomposition), so the
+    global rank is bucket offsets (one window over a <= buckets-row
+    count frame) + a within-bucket row_number — the same two-level
+    scan as select_to_token_budget, with hash-uniform bucket sizes
+    by construction. ``buckets`` is a pure parallelism knob: any
+    value yields the identical order.
+
+    Returns the input columns plus ``epoch_pos`` (0-based).
+    ``buckets`` must be a power of two dividing 2^40.
+    """
+    if buckets <= 0 or (1 << 40) % buckets != 0:
+        raise ValueError("buckets must be a power of two <= 2^40")
+    width = (1 << 40) // buckets
+    hkey = stable_hash40(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    base = df.withColumn("__hk", hkey).withColumn(
+        "__b", F.expr(f"__hk div {width}").cast("int")
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__b", "__off")
+    w_rank = Window.partitionBy("__b").orderBy("__hk", id_col)
+    return (
+        base.join(F.broadcast(offs), "__b")
+        .withColumn(
+            "epoch_pos",
+            (F.col("__off") + F.row_number().over(w_rank) - 1)
+            .cast("bigint"),
+        )
+        .select(*df.columns, "epoch_pos")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, id_col: str, seed: int = 0, cols: str = "*"
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle`: one global window rank
+    over the identical (hash, id) order."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    h = stable_hash40_sql(
+        f"'{seed}|' || CAST({id_col} AS VARCHAR)"
+    )
+    return f"""
+SELECT {cols},
+       CAST(ROW_NUMBER() OVER (ORDER BY {h}, {id_col}) - 1 AS BIGINT)
+         AS epoch_pos
+FROM {table}
+"""

@@ -228,6 +228,8 @@ _BLOOM_N = 4
 _BLOOM_M = 1 << 20
 _BLOOM_K = 3
 _BLOOM_BENCH_MOD = 17
+# epoch shuffle: deterministic training-order seed
+_EPOCH_SEED = 7
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +266,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact DECIMAL sizing arithmetic (C32),
     - ``bloom_decontam`` — bloom-filter decontamination: the
       constant-size positions index vs every-17th-doc benchmark,
-      corpus probes dropped map-side at the broadcast join (C33).
+      corpus probes dropped map-side at the broadcast join (C33),
+    - ``epoch_shuffle`` — deterministic training-order positions
+      under the seeded hash order, two-level rank (no global sort)
+      (C34).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.dedup import (
@@ -278,6 +283,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_bloom,
     )
     from umls2rdf_spark.operators.selection import (
+        epoch_shuffle,
         resample_mixture,
         select_to_token_budget,
     )
@@ -377,6 +383,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shingle_n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K,
             ),
             "bloom_decontam",
+        ),
+        fingerprint_section(
+            epoch_shuffle(
+                docs.select("doc_id", "source"), "doc_id",
+                seed=_EPOCH_SEED,
+            ),
+            "epoch_shuffle",
         ),
     ]
     return _union(sections)
@@ -754,6 +767,7 @@ _TOKED_SQL = (
 
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.selection import (
+        epoch_shuffle_sql,
         resample_mixture_sql,
         select_to_token_budget_sql,
     )
@@ -829,6 +843,14 @@ def _text_scoring_sql() -> str:
             "bloom_decontam",
             _bloom_decontam_sql(),
             ["doc_id", "n_hit_ngrams"],
+        ),
+        fingerprint_sql(
+            "epoch_shuffle",
+            epoch_shuffle_sql(
+                "documents", "doc_id", seed=_EPOCH_SEED,
+                cols="doc_id, source",
+            ),
+            ["doc_id", "source", "epoch_pos"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
