@@ -29,14 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from umls2rdf_spark.functions.hashing import stable_hash40
+from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_py
 
 
 def pq_seed(m: int, i: int, j: int) -> int:
     """Deterministic init for component ``j`` of codeword ``i`` in
     subspace ``m`` — engine-neutral integers in the quantized value
-    range, same spirit as similarity.ivf_centroid."""
-    return (m * 97003 + i * 2654435761 + j * 40503) % 2001 - 1000
+    range, md5-derived like similarity.ivf_centroid (a linear-
+    congruential grid makes codewords shifted copies of one
+    progression — near-parallel codebooks)."""
+    return stable_hash40_py(f"pq-{m}-{i}-{j}") % 2001 - 1000
 
 
 def _quantize_np(vec_series):

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from umls2rdf_spark.functions.hashing import stable_hash40
+from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_py
 from umls2rdf_spark.functions.vectors import quantize
 
 
@@ -117,11 +117,19 @@ def cosine_topk(
 
 
 def hyperplane_bucket_expr(dim: int, planes: int):
-    """Deterministic pseudo-random hyperplanes: component j of plane i
-    is ((i*2654435761 + j*40503) mod 1009) - 504 (integer,
-    engine-neutral)."""
+    """Deterministic pseudo-random hyperplanes: component j of plane
+    i is md5-derived (engine-neutral — the same constants are inlined
+    into oracle SQL).
+
+    md5 derivation is load-bearing, not style: the earlier
+    linear-congruential grid ((i*A + j*B) mod 1009 - 504) made every
+    plane a shifted copy of ONE arithmetic progression — pairwise
+    plane |cosine| up to 0.995 (vs ~0.12 for independent planes), so
+    the "planes" sign bits were nearly redundant and bucket quality
+    silently collapsed, the same failure class as the non-wrapping
+    minhash modulus."""
     def coeff(i: int, j: int) -> int:
-        return (i * 2654435761 + j * 40503) % 1009 - 504
+        return stable_hash40_py(f"plane-{i}-{j}") % 1009 - 504
 
     return coeff
 
@@ -313,8 +321,11 @@ def _grouped_topk(
 def ivf_centroid(cell: int, j: int) -> int:
     """Deterministic pseudo-random centroid grid: component j of cell
     centroid i — engine-neutral integers matching the quantized
-    embedding range (±~500)."""
-    return (cell * 48271 + j * 16807) % 1001 - 500
+    embedding range (±~500). md5-derived so the seed cells are
+    actually spread (the earlier linear-congruential grid made cells
+    shifted copies of one progression — near-parallel seeds cluster
+    the initial assignment; see hyperplane_bucket_expr)."""
+    return stable_hash40_py(f"ivf-{cell}-{j}") % 1001 - 500
 
 
 def auto_cells(n: int) -> int:
