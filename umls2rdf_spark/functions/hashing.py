@@ -51,11 +51,15 @@ def stable_hash40_py(s: str) -> int:
 
 def perm_params(k: int) -> list[tuple[int, int, int]]:
     """Deterministic (perm_id, a, b) universal-hash parameters,
-    a odd, both < 2^20 — same table is inlined into oracle SQL."""
+    a odd, both < 2^20 (the a bound keeps a*h+b < 2^60, int64-safe)
+    — the same table is inlined into oracle SQL. md5-derived per
+    permutation: a linearly-generated (a_i, b_i) family is the same
+    silent-correlation class as the non-wrapping modulus and the
+    LCG hyperplanes (shifted copies of one progression)."""
     out = []
     for i in range(k):
-        a = (2 * i + 1) * 40503 % (1 << 20) | 1
-        b = (i * 997 + 131071) % (1 << 20)
+        a = stable_hash40_py(f"perm-a-{i}") % (1 << 20) | 1
+        b = stable_hash40_py(f"perm-b-{i}") % (1 << 20)
         out.append((i, a, b))
     return out
 
