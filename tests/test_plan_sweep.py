@@ -72,8 +72,9 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 3,      # tfidf/bm25 1-row totals + mixture's
-                            # 1-row feasibility-min attach
+    "text_scoring": 4,      # tfidf/bm25 1-row totals, mixture's
+                            # 1-row feasibility-min, and the
+                            # classifier's 1-row class-totals attach
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

@@ -477,3 +477,78 @@ def test_epoch_shuffle_rejects_bad_buckets(spark):
     docs = load_table(spark, SF_DIR_ORACLE, "documents")
     with pytest.raises(ValueError):
         epoch_shuffle(docs, "doc_id", buckets=3)
+
+
+# ── quality classifier (unigram log-odds) ───────────────────────────
+def test_quality_classifier_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.textstats import (
+        score_log_odds,
+        token_log_odds,
+    )
+    from umls2rdf_spark.plans.completion import _QC_SQL
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    weights = token_log_odds(
+        docs.withColumn("__lbl", F.col("lang") == "en"),
+        "doc_id", "text", "__lbl",
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.logodds_q)
+        for r in score_log_odds(
+            docs, weights, "doc_id", "text"
+        ).collect()
+    )
+    exp = sorted(
+        (r[0], r[1], r[2]) for r in duck.execute(_QC_SQL).fetchall()
+    )
+    assert got == exp
+
+
+def test_quality_classifier_separates_classes(spark):
+    """The trained log-odds scores must actually separate the
+    classes: English documents (the positive label) average a higher
+    length-normalized score than non-English ones, and the sign
+    test beats chance by a wide margin."""
+    from umls2rdf_spark.operators.textstats import (
+        score_log_odds,
+        token_log_odds,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    weights = token_log_odds(
+        docs.withColumn("__lbl", F.col("lang") == "en"),
+        "doc_id", "text", "__lbl",
+    )
+    scored = score_log_odds(docs, weights, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = scored.collect()
+    en = [r.avg_logodds for r in rows if r.lang == "en"]
+    other = [r.avg_logodds for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > 0 > sum(other) / len(other)
+    # sign agreement beats chance (the synthetic corpus shares its
+    # template vocabulary across languages, so 0.63 measured —
+    # deterministic; a real-language corpus would be near 1.0)
+    acc = (
+        sum(1 for v in en if v > 0) + sum(1 for v in other if v < 0)
+    ) / len(rows)
+    assert acc > 0.55, acc
+
+
+def test_score_log_odds_unseen_tokens_weigh_zero(spark):
+    from umls2rdf_spark.operators.textstats import (
+        score_log_odds,
+        token_log_odds,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "good text here", True), (2, "bad spam junk", False)],
+        "id long, text string, lbl boolean",
+    )
+    weights = token_log_odds(train, "id", "text", "lbl")
+    unseen = spark.createDataFrame(
+        [(9, "entirely novel words")], "id long, text string"
+    )
+    row = score_log_odds(unseen, weights, "id", "text").collect()[0]
+    assert row.n_tokens == 3 and row.logodds_q == 0

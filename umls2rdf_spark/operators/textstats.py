@@ -504,3 +504,104 @@ def frequent_tokens(
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def token_log_odds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-token integer log-odds weights from a boolean label — the
+    fastText/GPT-3-style unigram quality classifier, trained in one
+    aggregation pass. Returns (token, w): the MODEL a pipeline
+    persists and applies to every incoming shard.
+
+    w(token) = round(2^quant_bits * (log2 P(token|pos) -
+    log2 P(token|neg))) with add-one smoothing, algebraically
+    rearranged so every log2 argument is an exact integer product:
+    log2((pos_n+1)*(neg_tot+V)) - log2((neg_n+1)*(pos_tot+V)).
+    Identical exact-int inputs give identical doubles on both
+    engines (platform libm, same convention as unigram_surprisal's
+    weight dim), so the quantized weights — and every downstream
+    int64 score — are engine-exact.
+
+    Shape: one tokenize+explode, one map-side-combined groupBy to
+    the vocabulary frame, totals as a broadcast 1-row agg. Nothing
+    corpus-sized crosses the wire twice.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    occ = df.select(
+        F.col(label_col).cast("boolean").alias("__pos"),
+        F.explode(toks).alias("token"),
+    )
+    counts = occ.groupBy("token").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("pos_n"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("neg_n"),
+    )
+    totals = counts.agg(
+        F.sum("pos_n").alias("__pt"),
+        F.sum("neg_n").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    scale = 1 << quant_bits
+    w = F.round(
+        (
+            F.log2((F.col("pos_n") + 1) * (F.col("__nt") + F.col("__v")))
+            - F.log2((F.col("neg_n") + 1) * (F.col("__pt") + F.col("__v")))
+        )
+        * F.lit(float(scale))
+    ).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("token", w.alias("w"))
+    )
+
+
+def score_log_odds(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Apply a :func:`token_log_odds` model: per-document integer
+    log-odds score (sum of token weights; unseen tokens weigh 0) —
+    positive means the document looks like the positive class.
+
+    Output: (id, n_tokens, logodds_q, avg_logodds). The sum is pure
+    int64 (order-independent, engine-exact); avg_logodds =
+    logodds_q / 2^quant_bits / n_tokens as double, the
+    length-normalized quality signal pipelines threshold on.
+
+    The token join is vocabulary-vs-corpus — leave the strategy to
+    AQE (a hint would force a vocabulary broadcast that a 10^9-token
+    web vocabulary could not honor; same reasoning as corpus_prep's
+    anti-join).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    occ = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    scored = occ.join(weights, "token", "left").withColumn(
+        "__w", F.coalesce(F.col("w"), F.lit(0))
+    )
+    scale = 1 << quant_bits
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__w").alias("logodds_q"),
+        )
+        .withColumn(
+            "avg_logodds",
+            F.col("logodds_q").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_tokens").cast("double"),
+        )
+    )

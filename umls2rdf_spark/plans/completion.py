@@ -230,6 +230,8 @@ _BLOOM_K = 3
 _BLOOM_BENCH_MOD = 17
 # epoch shuffle: deterministic training-order seed
 _EPOCH_SEED = 7
+# quality classifier: lang='en' as the positive-class proxy label
+_QC_BITS = 20
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +271,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus probes dropped map-side at the broadcast join (C33),
     - ``epoch_shuffle`` — deterministic training-order positions
       under the seeded hash order, two-level rank (no global sort)
-      (C34).
+      (C34),
+    - ``quality_classifier`` — fastText-style unigram log-odds
+      quality scores, trained on lang='en' as the proxy label;
+      int64-quantized weights, engine-exact doc sums (C35).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.dedup import (
@@ -291,7 +296,9 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.textstats import (
         bm25_topk,
         frequent_tokens,
+        score_log_odds,
         tfidf_topk,
+        token_log_odds,
         unigram_surprisal,
     )
     from umls2rdf_spark.plans.llm_demos import dedup_minhash, dedup_simhash
@@ -390,6 +397,21 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seed=_EPOCH_SEED,
             ),
             "epoch_shuffle",
+        ),
+        fingerprint_section(
+            score_log_odds(
+                docs,
+                token_log_odds(
+                    docs.withColumn(
+                        "__lbl", F.col("lang") == "en"
+                    ),
+                    "doc_id", "text", "__lbl",
+                    quant_bits=_QC_BITS,
+                ),
+                "doc_id", "text", quant_bits=_QC_BITS,
+            ),
+            "quality_classifier",
+            ("avg_logodds",),
         ),
     ]
     return _union(sections)
@@ -765,6 +787,37 @@ _TOKED_SQL = (
 )
 
 
+_QC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos, u.t AS token
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+),
+counts AS (
+  SELECT token,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_n,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_n
+  FROM toks GROUP BY 1),
+tot AS (SELECT SUM(pos_n) AS pt, SUM(neg_n) AS nt, COUNT(*) AS v
+        FROM counts),
+wdim AS (
+  SELECT token,
+         CAST(round((log2(CAST((pos_n + 1) * (nt + v) AS DOUBLE))
+                     - log2(CAST((neg_n + 1) * (pt + v) AS DOUBLE)))
+                    * {1 << _QC_BITS}) AS BIGINT) AS w
+  FROM counts CROSS JOIN tot),
+per AS (
+  SELECT t.doc_id, COALESCE(w.w, 0) AS w
+  FROM toks t LEFT JOIN wdim w USING (token))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS logodds_q,
+       CAST(SUM(w) AS DOUBLE) / {float(1 << _QC_BITS)}
+         / CAST(COUNT(*) AS DOUBLE) AS avg_logodds
+FROM per GROUP BY 1
+"""
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
@@ -851,6 +904,12 @@ def _text_scoring_sql() -> str:
                 cols="doc_id, source",
             ),
             ["doc_id", "source", "epoch_pos"],
+        ),
+        fingerprint_sql(
+            "quality_classifier",
+            _QC_SQL,
+            ["doc_id", "n_tokens", "logodds_q", "avg_logodds"],
+            ("avg_logodds",),
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
