@@ -549,10 +549,20 @@ def token_log_odds(
         F.count(F.lit(1)).alias("__v"),
     )
     scale = 1 << quant_bits
+    # each factor is cast to double BEFORE the multiply: the int64
+    # product (pos_n+1)*(neg_tot+V) overflows around 10^10-doc
+    # corpora, while double*double of exactly-representable ints is
+    # one correctly-rounded op both engines perform identically
     w = F.round(
         (
-            F.log2((F.col("pos_n") + 1) * (F.col("__nt") + F.col("__v")))
-            - F.log2((F.col("neg_n") + 1) * (F.col("__pt") + F.col("__v")))
+            F.log2(
+                (F.col("pos_n") + 1).cast("double")
+                * (F.col("__nt") + F.col("__v")).cast("double")
+            )
+            - F.log2(
+                (F.col("neg_n") + 1).cast("double")
+                * (F.col("__pt") + F.col("__v")).cast("double")
+            )
         )
         * F.lit(float(scale))
     ).cast("bigint")

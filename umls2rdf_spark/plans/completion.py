@@ -803,8 +803,10 @@ tot AS (SELECT SUM(pos_n) AS pt, SUM(neg_n) AS nt, COUNT(*) AS v
         FROM counts),
 wdim AS (
   SELECT token,
-         CAST(round((log2(CAST((pos_n + 1) * (nt + v) AS DOUBLE))
-                     - log2(CAST((neg_n + 1) * (pt + v) AS DOUBLE)))
+         CAST(round((log2(CAST(pos_n + 1 AS DOUBLE)
+                          * CAST(nt + v AS DOUBLE))
+                     - log2(CAST(neg_n + 1 AS DOUBLE)
+                            * CAST(pt + v AS DOUBLE)))
                     * {1 << _QC_BITS}) AS BIGINT) AS w
   FROM counts CROSS JOIN tot),
 per AS (
