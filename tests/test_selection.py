@@ -552,3 +552,76 @@ def test_score_log_odds_unseen_tokens_weigh_zero(spark):
     )
     row = score_log_odds(unseen, weights, "id", "text").collect()[0]
     assert row.n_tokens == 3 and row.logodds_q == 0
+
+
+# ── empty-input hardening (empty shards are routine in production) ──
+def test_new_ops_handle_empty_input(spark):
+    from umls2rdf_spark.operators.corpus import (
+        bloom_bitmap,
+        bloom_positions,
+        decontaminate_bloom,
+    )
+    from umls2rdf_spark.operators.selection import (
+        epoch_shuffle,
+        resample_mixture,
+        select_to_token_budget,
+    )
+    from umls2rdf_spark.operators.similarity import semantic_dedup
+    from umls2rdf_spark.operators.textstats import (
+        score_log_odds,
+        token_log_odds,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    empty_docs = docs.where(F.lit(False))
+    empty_emb = load_table(spark, SF_DIR_ORACLE, "embeddings").where(
+        F.lit(False)
+    )
+    toked = empty_docs.withColumn("ntok", F.length("text"))
+
+    assert (
+        select_to_token_budget(
+            toked, "doc_id", "ntok", "n_chars", 100
+        ).count()
+        == 0
+    )
+    assert (
+        resample_mixture(
+            empty_docs, "source", "doc_id", {"src0": 1}
+        ).count()
+        == 0
+    )
+    assert epoch_shuffle(empty_docs, "doc_id").count() == 0
+    # semantic dedup over an empty corpus: fixed seed centroids, no
+    # rows in, no rows out
+    from umls2rdf_spark.operators.similarity import ivf_centroid
+
+    cents = [[ivf_centroid(c, j) for j in range(64)] for c in range(8)]
+    assert (
+        semantic_dedup(
+            empty_emb, "vec_id", "embedding", min_cos=0.3,
+            centroids=cents,
+        ).count()
+        == 0
+    )
+    # empty benchmark -> empty positions -> nothing flagged
+    pos = bloom_positions(empty_docs, "doc_id", "text", shingle_n=4)
+    assert pos.count() == 0
+    assert (
+        decontaminate_bloom(
+            docs.limit(20), pos, "doc_id", "text", shingle_n=4
+        ).count()
+        == 0
+    )
+    # empty-positions bitmap is all-zero words, not an empty frame
+    bm = bloom_bitmap(pos, m_bits=256).collect()
+    assert len(bm) == 1 and all(w == 0 for w in bm[0]["bloom"])
+    # classifier: empty training corpus yields an empty model; the
+    # scorer then weighs everything 0
+    w = token_log_odds(
+        empty_docs.withColumn("__lbl", F.lit(True)),
+        "doc_id", "text", "__lbl",
+    )
+    assert w.count() == 0
+    scored = score_log_odds(docs.limit(5), w, "doc_id", "text")
+    assert all(r.logodds_q == 0 for r in scored.collect())
