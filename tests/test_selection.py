@@ -625,3 +625,40 @@ def test_new_ops_handle_empty_input(spark):
     assert w.count() == 0
     scored = score_log_odds(docs.limit(5), w, "doc_id", "text")
     assert all(r.logodds_q == 0 for r in scored.collect())
+
+
+# ── bigram surprisal ────────────────────────────────────────────────
+def test_bigram_surprisal_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.textstats import bigram_surprisal
+    from umls2rdf_spark.plans.completion import _BIGRAM_SQL
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.surprisal_q)
+        for r in bigram_surprisal(docs, "doc_id", "text").collect()
+    )
+    exp = sorted(
+        (r[0], r[1], r[2])
+        for r in duck.execute(_BIGRAM_SQL).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_bigram_surprisal_detects_shuffled_order(spark):
+    """A document whose words are common but in unusual ORDER scores
+    higher than the same words in corpus order — the signal the
+    unigram model cannot see (both docs have identical unigram
+    surprisal)."""
+    from umls2rdf_spark.operators.textstats import bigram_surprisal
+
+    base = [
+        (i, "the quick brown fox jumps over the lazy dog again")
+        for i in range(20)
+    ]
+    # doc 100: same words, reversed order (unigram-identical)
+    rows = base + [(100, "again dog lazy the over jumps fox brown quick the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bits_per_bigram
+           for r in bigram_surprisal(df, "doc_id", "text").collect()}
+    assert out[100] > out[0]

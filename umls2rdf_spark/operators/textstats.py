@@ -615,3 +615,84 @@ def score_log_odds(
             / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-document bigram cross-entropy against the corpus's own
+    bigram LM — the context-sensitive upgrade of
+    :func:`unigram_surprisal` (a doc of common words in unusual ORDER
+    scores high here and normal there; classic shuffled-text /
+    spun-content signal).
+
+    score(doc) = (1/n) * sum over bigrams of
+                 -log2(count(w1 w2) / count(w1 ·))
+
+    Engine-exactness by the same two-dim trick: the weight splits as
+    log2(count(w1 ·)) - log2(count(w1 w2)), and each term is
+    computed once per DISTINCT count value (driver-side Python
+    log2, int64-quantized, broadcast back) — both the bigram-count
+    and the context-count value sets are bounded by ~sqrt(2N)
+    (distinct positive integers summing to <= N), so the collects
+    are scale-safe regardless of vocabulary. The per-document sum is
+    pure int64: order-independent, bit-identical on any engine.
+
+    Output: (id, n_bigrams, surprisal_q, bits_per_bigram); documents
+    with fewer than two tokens produce no row.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+    # bigram occurrences, map-side, tokens bound once as a lambda var
+    pairs_expr = (
+        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, size(t)-2), "
+        "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
+        "ELSE array() END)[0]"
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    scale = 1 << quant_bits
+    spark = df.sparkSession
+
+    def wdim(counts_df, col):
+        vals = [r[col] for r in counts_df.select(col).distinct().collect()]
+        rows = [
+            (int(c), int(round(math.log2(c) * scale))) for c in vals
+        ]
+        return spark.createDataFrame(rows, f"{col} bigint, w bigint")
+
+    wb = wdim(big, "cb").withColumnRenamed("w", "wb")
+    wc = wdim(ctx, "cc").withColumnRenamed("w", "wc")
+    per = (
+        occ.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(wb), "cb")
+        .join(F.broadcast(wc), "cc")
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("wc") - F.col("wb")).alias("surprisal_q"),
+        )
+        .withColumn(
+            "bits_per_bigram",
+            F.col("surprisal_q").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_bigrams").cast("double"),
+        )
+    )

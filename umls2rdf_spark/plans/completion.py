@@ -274,7 +274,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       (C34),
     - ``quality_classifier`` — fastText-style unigram log-odds
       quality scores, trained on lang='en' as the proxy label;
-      int64-quantized weights, engine-exact doc sums (C35).
+      int64-quantized weights, engine-exact doc sums (C35),
+    - ``bigram_surprisal`` — per-doc bigram cross-entropy vs the
+      corpus's own bigram LM; two bounded distinct-count weight
+      dims, pure-int64 doc sums (C36).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.dedup import (
@@ -294,6 +297,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.similarity import semantic_dedup
     from umls2rdf_spark.operators.textstats import (
+        bigram_surprisal,
         bm25_topk,
         frequent_tokens,
         score_log_odds,
@@ -412,6 +416,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "quality_classifier",
             ("avg_logodds",),
+        ),
+        fingerprint_section(
+            bigram_surprisal(docs, "doc_id", "text"),
+            "bigram_surprisal",
+            ("bits_per_bigram",),
         ),
     ]
     return _union(sections)
@@ -820,6 +829,42 @@ FROM per GROUP BY 1
 """
 
 
+_BIGRAM_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS f
+  FROM documents),
+idx AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 1, 0))) AS i
+  FROM f),
+occ AS (SELECT doc_id, f[i] AS w1, f[i+1] AS w2 FROM idx),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cb) AS cc FROM big GROUP BY 1),
+wb AS (
+  SELECT cb, CAST(round(log2(CAST(cb AS DOUBLE))
+                        * {_SURPRISAL_SCALE}) AS BIGINT) AS wb
+  FROM (SELECT DISTINCT cb FROM big)),
+wcd AS (
+  SELECT cc, CAST(round(log2(CAST(cc AS DOUBLE))
+                        * {_SURPRISAL_SCALE}) AS BIGINT) AS wc
+  FROM (SELECT DISTINCT cc FROM ctx)),
+per AS (
+  SELECT o.doc_id, wcd.wc - wb.wb AS w
+  FROM occ o
+  JOIN big USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN wb USING (cb)
+  JOIN wcd USING (cc))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(w) AS BIGINT) AS surprisal_q,
+       CAST(SUM(w) AS DOUBLE) / {float(_SURPRISAL_SCALE)}
+         / CAST(COUNT(*) AS DOUBLE) AS bits_per_bigram
+FROM per GROUP BY 1
+"""
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
@@ -912,6 +957,12 @@ def _text_scoring_sql() -> str:
             _QC_SQL,
             ["doc_id", "n_tokens", "logodds_q", "avg_logodds"],
             ("avg_logodds",),
+        ),
+        fingerprint_sql(
+            "bigram_surprisal",
+            _BIGRAM_SQL,
+            ["doc_id", "n_bigrams", "surprisal_q", "bits_per_bigram"],
+            ("bits_per_bigram",),
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
