@@ -643,6 +643,12 @@ def bigram_surprisal(
 
     Output: (id, n_bigrams, surprisal_q, bits_per_bigram); documents
     with fewer than two tokens produce no row.
+
+    Skew note: the context join keys on w1 alone, and stopword
+    contexts ("the ·") dominate real corpora — that is AQE skew-join
+    territory (enabled session-wide), the same stance as the other
+    hot-key joins; the bigram-count groupBy itself keys on the full
+    pair, which spreads fine.
     """
     import math
 
