@@ -143,6 +143,27 @@ def test_transitive_closure_sound_and_complete(spark):
     assert got == expected
 
 
+def test_transitive_closure_frontier_equals_doubling(spark):
+    # deep chain + random DAG cross-edges: exercises multi-round
+    # deltas, where the frontier path diverges from doubling if the
+    # delta recurrence misses a composition
+    rng = random.Random(29)
+    edges = [(i, i - 1) for i in range(1, 40)]
+    edges += [(i, rng.randrange(i)) for i in range(2, 40) if rng.random() < 0.3]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    frontier = {
+        (r["child"], r["ancestor"])
+        for r in transitive_closure(df, strategy="frontier").collect()
+    }
+    doubling = {
+        (r["child"], r["ancestor"])
+        for r in transitive_closure(df, strategy="doubling").collect()
+    }
+    assert frontier == doubling
+    # chain of 40: node 39 has 39 ancestors
+    assert (39, 0) in frontier
+
+
 @given(
     st.lists(
         st.lists(

@@ -64,6 +64,7 @@ def centroid_confusion(
     vec_col: str,
     label_col: str,
     test_mod: int = 5,
+    kernel_budget_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Hold-out evaluation: rows with stable_hash40(id) % test_mod
     == 0 form the test split, the rest train the centroids; each test
@@ -87,6 +88,7 @@ def centroid_confusion(
     train = vectors.where(~is_test)
     test = vectors.where(is_test)
     cent_map = train_label_centroids(train, vec_col, label_col)
+    budget_bytes = int(kernel_budget_bytes)
     labels = sorted(cent_map)
     cent = np.array([cent_map[lab] for lab in labels], dtype=np.int64)
     lab_arr = np.array(labels)  # dtype follows the label values
@@ -100,8 +102,29 @@ def centroid_confusion(
             V = np.vstack(pdf[vec_col].values).astype(np.float64)
             Y = V * 1000
             q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
-            d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            pred = lab_arr[d2.argmin(axis=1)]  # first min = lowest label
+            n, dim = q.shape
+            # the broadcasted (batch x labels x dim) difference temp
+            # is fine for bounded label sets but scales linearly with
+            # |labels| — chunk the label axis so the temp stays
+            # ~128 MB whatever the label cardinality. Chunks are
+            # processed in sorted-label order and updates are strict
+            # '<', so ties still resolve to the lowest label.
+            chunk = max(1, int(budget_bytes // max(1, n * dim * 8)))
+            best_d = None
+            best_i = None
+            for s in range(0, len(cent), chunk):
+                d2 = (
+                    (q[:, None, :] - cent[None, s : s + chunk, :]) ** 2
+                ).sum(axis=2)
+                i = d2.argmin(axis=1)
+                d = d2[np.arange(n), i]
+                if best_d is None:
+                    best_d, best_i = d, i + s
+                else:
+                    upd = d < best_d
+                    best_d = np.where(upd, d, best_d)
+                    best_i = np.where(upd, i + s, best_i)
+            pred = lab_arr[best_i]  # first min = lowest label
             yield pd_.DataFrame(
                 {"label": pdf[label_col].values, "predicted": pred}
             )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import stable_hash40
 from umls2rdf_spark.operators.dedup import shingle_rows
+from umls2rdf_spark.operators.spread import spread_small_input
 
 
 def chunk_documents(
@@ -89,7 +90,7 @@ def decontaminate(
     corpus against it to drop contaminated documents.
     """
     cs = shingle_rows(
-        corpus.repartition(F.col(id_col)), id_col, text_col, shingle_n
+        spread_small_input(corpus, id_col), id_col, text_col, shingle_n
     ).distinct()
     bs = (
         shingle_rows(benchmark, bench_id_col, bench_text_col, shingle_n)
@@ -393,7 +394,7 @@ def decontaminate_bloom(
     if k < 1:
         raise ValueError("k must be >= 1")
     cs = shingle_rows(
-        corpus.repartition(F.col(id_col)), id_col, text_col, shingle_n
+        spread_small_input(corpus, id_col), id_col, text_col, shingle_n
     ).distinct()
     probes = cs.select(
         F.col(id_col),

@@ -31,6 +31,7 @@ from umls2rdf_spark.functions.hashing import (
     perm_params,
     stable_hash40,
 )
+from umls2rdf_spark.operators.spread import spread_small_input
 
 SIMHASH_BITS = 32
 
@@ -98,7 +99,7 @@ def minhash_signatures(
         shingles
         if shingles is not None
         else shingle_rows(
-            df.repartition(F.col(id_col)), id_col, text_col, shingle_n
+            spread_small_input(df, id_col), id_col, text_col, shingle_n
         ).distinct()
     )
     hashed = shingled.select(
@@ -250,7 +251,7 @@ def simhash(
     One explode + one groupBy with ``bits`` conditional sums — stays
     entirely in whole-stage codegen, no pairwise work.
     """
-    toks = df.repartition(F.col(id_col)).select(
+    toks = spread_small_input(df, id_col).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
@@ -281,7 +282,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct word sets, blocked by
     ``block_col`` to bound the quadratic pair space."""
-    words = df.repartition(F.col(id_col)).select(
+    words = spread_small_input(df, id_col).select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         F.explode(
@@ -340,7 +341,7 @@ def jaccard_verify_pairs(
     """
     if shingles is None:
         shingles = shingle_rows(
-            df.repartition(F.col(id_col)), id_col, text_col, shingle_n
+            spread_small_input(df, id_col), id_col, text_col, shingle_n
         ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
@@ -598,7 +599,7 @@ def incremental_minhash_dedupe(
         if base_docs is None:
             raise ValueError("verification needs base_docs")
         shard_shingles = shingle_rows(
-            new_docs.repartition(F.col(id_col)), id_col, text_col,
+            spread_small_input(new_docs, id_col), id_col, text_col,
             shingle_n,
         ).distinct()
         cand_ids = base_pairs.select(
@@ -606,7 +607,7 @@ def incremental_minhash_dedupe(
         ).distinct()
         cand_docs = base_docs.join(cand_ids, id_col, "left_semi")
         cand_shingles = shingle_rows(
-            cand_docs.repartition(F.col(id_col)), id_col, text_col, shingle_n
+            spread_small_input(cand_docs, id_col), id_col, text_col, shingle_n
         ).distinct()
         verify_shingles = shard_shingles.unionByName(cand_shingles)
         base_pairs = jaccard_verify_pairs(

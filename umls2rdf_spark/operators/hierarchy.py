@@ -112,23 +112,84 @@ def detect_roots(
 
 
 def transitive_closure(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 20, strategy: str = "doubling"
 ) -> DataFrame:
-    """All ancestor pairs of a DAG via iterative doubling joins.
+    """All ancestor pairs of a DAG, in ⌈log2 depth⌉ join rounds.
 
-    Spark-first replacement for driver-side tree walks: each
-    iteration doubles reachable path length, so depth-d closure needs
-    ⌈log2 d⌉ joins, not d. Checkpoint-free; each frontier is
-    localCheckpoint'd to truncate lineage at scale.
+    Spark-first replacement for driver-side tree walks. Two
+    strategies, identical results, property-tested against each
+    other:
+
+    - ``doubling`` (default): closure ∪ closure∘closure each round,
+      distinct, localCheckpoint. One self-join + one distinct
+      shuffle per round.
+    - ``frontier``: semi-naive doubling. Only last round's NEW pairs
+      (the delta) join the closure — in both orientations, which
+      preserves the doubling recurrence exactly: any pair of Cᵢ∘Cᵢ
+      whose halves are both old is already in Cᵢ, so Δᵢ∘Cᵢ ∪ Cᵢ∘Δᵢ
+      yields every genuinely new pair. The within-hop dedup and the
+      closure subtraction are fused into one tagged groupBy shuffle.
+
+    Doubling is the default because it measured faster in EVERY
+    tested regime (round 5, sf0.1-scale, warm): shallow 10-ary tree
+    4.3 s vs 5.5 s, depth-17 binary tree 5.9 s vs 15.9 s,
+    high-path-multiplicity layered DAG 18.4 s vs 79.4 s. The
+    semi-naive hypothesis — smaller join inputs per round — does not
+    pay here: round counts are identical, the deltas are the
+    long-span pairs (a constant fraction of the closure, not a
+    shrinking tail), the composition intermediates are dominated by
+    path multiplicity that delta restriction does not reduce
+    proportionally, and the frontier round runs two joins plus a
+    subtraction against doubling's one self-join plus distinct.
+    Frontier is retained for the regime the measurements cannot
+    reach locally — a closure too large to self-join at all, where
+    shuffling 2|C|+|Δ| instead of 2|C| with a |C∘C| intermediate is
+    the difference between finishing and not.
 
     ``edges``: (child, parent) → returns (child, ancestor) distinct.
     """
-    closure = edges.select(
-        F.col("child"), F.col("parent").alias("ancestor")
-    ).distinct()
+    closure = (
+        edges.select(F.col("child"), F.col("parent").alias("ancestor"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if strategy == "doubling":
+        for _ in range(max_iters):
+            hop = (
+                closure.alias("a")
+                .join(
+                    closure.alias("b"),
+                    F.col("a.ancestor") == F.col("b.child"),
+                    "inner",
+                )
+                .select(F.col("a.child"), F.col("b.ancestor"))
+            )
+            new_closure = (
+                closure.union(hop).distinct().localCheckpoint(eager=True)
+            )
+            if new_closure.count() == closure.count():
+                return new_closure
+            closure = new_closure
+        return closure
+
+    # Materialization is persist()-based on this path, not
+    # localCheckpoint: checkpointing a plan whose lineage re-enters
+    # an earlier checkpointed frame (the anti-join against closure,
+    # then the union back into it) trips a Spark LogicalRDD
+    # constraint-rewrite bug ("key not found: <attr>") on shared
+    # attribute ids. Caches are equivalent here — each round's delta
+    # is eagerly materialized once and every later consumer (both
+    # joins, the anti-join, the union leaf in the result) reads the
+    # cached partitions; physical lineage truncates at the cache.
+    # The leaves stay cached because the returned frame reads them
+    # lazily; callers owning long-lived sessions clear with
+    # spark.catalog.clearCache(), same stance as bigram_surprisal.
+    from pyspark import StorageLevel
+
+    delta = closure
     for _ in range(max_iters):
-        hop = (
-            closure.alias("a")
+        fwd = (
+            delta.alias("a")
             .join(
                 closure.alias("b"),
                 F.col("a.ancestor") == F.col("b.child"),
@@ -136,8 +197,39 @@ def transitive_closure(
             )
             .select(F.col("a.child"), F.col("b.ancestor"))
         )
-        new_closure = closure.union(hop).distinct().localCheckpoint(eager=True)
-        if new_closure.count() == closure.count():
-            return new_closure
-        closure = new_closure
+        if delta is closure:
+            # first round: delta == closure, so the two orientations
+            # coincide — half the join work
+            hop = fwd
+        else:
+            bwd = (
+                closure.alias("a")
+                .join(
+                    delta.alias("b"),
+                    F.col("a.ancestor") == F.col("b.child"),
+                    "inner",
+                )
+                .select(F.col("a.child"), F.col("b.ancestor"))
+            )
+            hop = fwd.union(bwd)
+        # dedup-within-hop AND subtract-closure fused into ONE
+        # shuffle: tag closure rows, group by pair, keep pairs no
+        # closure row tagged (a distinct + left_anti would shuffle
+        # the hop twice)
+        new = (
+            hop.select("child", "ancestor", F.lit(0).alias("__old"))
+            .union(
+                closure.select("child", "ancestor", F.lit(1).alias("__old"))
+            )
+            .groupBy("child", "ancestor")
+            .agg(F.max("__old").alias("__old"))
+            .where(F.col("__old") == 0)
+            .drop("__old")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if new.isEmpty():
+            new.unpersist()
+            return closure
+        closure = closure.union(new)
+        delta = new
     return closure

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from umls2rdf_spark.operators.spread import spread_small_input
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -60,7 +62,7 @@ def image_features(
     from the content hash — keeping schema, batching and determinism
     identical so the full pipeline is testable.
     """
-    df = df.repartition(F.col("media_id"))
+    df = spread_small_input(df, "media_id")
 
     def extract(batches):
         import hashlib
@@ -144,7 +146,7 @@ def resize_images(
     ``(dst_index * src_len) // dst_len`` — the floor map, exact in
     integers, deterministic everywhere.
     """
-    df = df.repartition(F.col("media_id"))
+    df = spread_small_input(df, "media_id")
 
     def resize(batches):
         import io
@@ -310,7 +312,7 @@ def audio_features(df: DataFrame) -> DataFrame:
     derived from the content hash — schema, Arrow batching and
     determinism identical, so the pipeline shape is fully testable.
     """
-    df = df.repartition(F.col("media_id"))
+    df = spread_small_input(df, "media_id")
 
     def extract(batches):
         import hashlib
@@ -373,7 +375,7 @@ def frame_sample(
     """Video frame-sampling stub: emits one row per sampled 'frame'
     (fixed-stride byte offsets — a real decoder would use PTS). Shows
     the 1→N explode shape for frame extraction with bounded fan-out."""
-    df = df.repartition(F.col("media_id"))
+    df = spread_small_input(df, "media_id")
 
     def sample(batches):
         import hashlib

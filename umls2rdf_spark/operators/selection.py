@@ -73,7 +73,12 @@ def select_to_token_budget(
     if persist:
         # the totals branch and the output branch both read this
         # frame; without the persist each recomputes the upstream
-        # pipeline (same rationale as pack_sequences)
+        # pipeline (same rationale as pack_sequences). The cache is
+        # held as long as the returned frame is live — the operator
+        # cannot unpersist what its lazy output still reads; callers
+        # owning long-lived sessions clear between corpora with
+        # spark.catalog.clearCache(), or pass persist=False to trade
+        # a recompute for zero cache residency.
         from pyspark import StorageLevel
 
         local = local.persist(StorageLevel.MEMORY_AND_DISK)
@@ -109,6 +114,10 @@ def select_to_token_budget_sql(
     the oracle can afford the global sort the operator avoids."""
     from umls2rdf_spark.functions.hashing import stable_hash40_sql
 
+    if cols == "*":
+        # the Spark operator returns only the input columns — keep
+        # column parity by stripping the internal cumsum helper
+        cols = "* EXCLUDE (__cum)"
     h = stable_hash40_sql(f"CAST({id_col} AS VARCHAR)")
     return f"""
 SELECT {cols} FROM (
@@ -221,7 +230,7 @@ def resample_mixture_sql(
 
     total_parts = sum(target_parts.values())
     parts_case = " ".join(
-        f"WHEN '{d}' THEN {int(p)}"
+        "WHEN '{}' THEN {}".format(d.replace("'", "''"), int(p))
         for d, p in sorted(target_parts.items())
     )
     h = stable_hash40_sql(f"CAST(t.{id_col} AS VARCHAR)")
@@ -285,6 +294,9 @@ def epoch_shuffle(
         "__b", F.expr(f"__hk div {width}").cast("int")
     )
     if persist:
+        # same cache-residency stance as select_to_token_budget:
+        # held while the lazy output is live; clearCache() between
+        # corpora or persist=False to opt out
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_py
 from umls2rdf_spark.functions.vectors import quantize
+from umls2rdf_spark.operators.spread import spread_small_input
 
 
 def auto_planes(n: int, target_bucket: int = 8) -> int:
@@ -38,6 +39,21 @@ def auto_planes(n: int, target_bucket: int = 8) -> int:
     return max(1, round(math.log2(n / target_bucket)))
 
 
+
+def _corpus_n(vectors: DataFrame, known_n: int | None) -> int:
+    """Corpus cardinality for the auto-sizing knobs without a Spark
+    job when avoidable: an explicitly supplied ``known_n`` wins (the
+    caller often has it — a manifest, a footer count, the previous
+    pipeline stage), else parquet footer metadata when the frame is a
+    pure scan/projection, else one distributed count()."""
+    if known_n is not None:
+        return int(known_n)
+    from umls2rdf_spark.operators.sessionize import _scan_only_row_count
+
+    n = _scan_only_row_count(vectors)
+    return n if n is not None else vectors.count()
+
+
 def _dot_expr(a: str, b: str, dim: int) -> Column:
     """Exact integer dot product of two array<bigint> columns named
     ``a``/``b``, as an unrolled subscript expression.
@@ -53,15 +69,17 @@ def _dot_expr(a: str, b: str, dim: int) -> Column:
 def _with_qvec(
     df: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> DataFrame:
-    # Quantize BEFORE the exchange: the shuffle materializes qvec, so
-    # the unrolled subscript expressions downstream read a stored
-    # array. Projected the other way round, CollapseProject inlines
-    # the quantize transform into every qvec[j] subscript — O(dim²)
-    # re-evaluation per row (measured 4x-10x slowdowns).
-    # The repartition also spreads single-partition local reads.
-    materialized = df.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("qvec")
-    ).repartition(F.col(id_col))
+    # Quantize in its own Project (not inlined per-subscript):
+    # CollapseProject refuses to duplicate a non-cheap expression
+    # referenced more than once, so qvec stays materialized at this
+    # node even with no exchange below it (verified against the
+    # optimized plan, round 5). The spread is gated: only a
+    # too-few-splits local read pays a repartition; a real multi-file
+    # scan flows straight into the dot-product work shuffle-free.
+    materialized = spread_small_input(
+        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("qvec")),
+        id_col,
+    )
     return materialized.withColumn("norm2", _dot_expr("qvec", "qvec", dim))
 
 
@@ -163,6 +181,8 @@ def lsh_cosine_topk(
     dim: int = 64,
     target_bucket: int = 8,
     max_bucket: int | None = None,
+    known_n: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to same-bucket
     pairs — the corpus-vs-corpus scale path.
@@ -187,12 +207,27 @@ def lsh_cosine_topk(
       side of every plane) re-quadratizes without this. The split is
       engine-neutral, so the SQL oracle reproduces it bit-for-bit;
       the recall cost is the documented ANN trade-off.
+    - ``nprobe`` > 1 is the recall lever (multi-probe LSH, the
+      counterpart of IVF's nprobe): each vector additionally queries
+      the nprobe-1 buckets reached by flipping its lowest-|margin|
+      hyperplane bits one at a time — the planes the vector sits
+      closest to, i.e. the most likely sign flips for a true
+      neighbor. Corpus membership stays single-bucket, so a neighbor
+      is scored at most once per probed bucket and a global re-rank
+      merges the probes; query rows duplicate ~nprobe×, the corpus
+      does not. Recall is monotone in nprobe (probing more buckets
+      only adds candidates — property-tested); capped at planes+1
+      (single-bit perturbations). Not composable with ``max_bucket``
+      (probe buckets don't know the salt split); pick one lever.
     """
     import numpy as np
     import pandas as pd
 
     if planes is None:
-        planes = auto_planes(vectors.count(), target_bucket)
+        planes = auto_planes(_corpus_n(vectors, known_n), target_bucket)
+    if nprobe > 1 and max_bucket is not None:
+        raise ValueError("nprobe > 1 does not compose with max_bucket")
+    nprobe = max(1, min(nprobe, planes + 1))
     coeff = hyperplane_bucket_expr(dim, planes)
     plane_mat = np.array(
         [[coeff(i, j) for j in range(dim)] for i in range(planes)],
@@ -226,10 +261,69 @@ def lsh_cosine_topk(
                 }
             )
 
+    def featurize_probe(batches):
+        # home bucket as corpus+query, then the nprobe-1 single-bit
+        # flips in ascending |margin| order as query-only probes.
+        # Stable argsort: equal margins keep ascending plane order,
+        # deterministic across engines/batches.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Y = V * 1000
+            q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            norm2 = (q * q).sum(axis=1)
+            sign_dots = q @ plane_mat.T
+            bucket = (
+                ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
+            ).astype(np.int64)
+            flip_order = np.argsort(
+                np.abs(sign_dots), axis=1, kind="stable"
+            )
+            frames = [
+                pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "qvec": list(q),
+                        "norm2": norm2,
+                        "bucket": bucket.astype(np.int32),
+                        "is_corpus": True,
+                    }
+                )
+            ]
+            for j in range(nprobe - 1):
+                flipped = bucket ^ (1 << flip_order[:, j])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].values,
+                            "qvec": list(q),
+                            "norm2": norm2,
+                            "bucket": flipped.astype(np.int32),
+                            "is_corpus": False,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    part = spread_small_input(vectors, id_col)
+    if nprobe > 1:
+        probe_schema = (
+            f"{id_col} long, qvec array<long>, norm2 long, bucket int, "
+            "is_corpus boolean"
+        )
+        local = (
+            part.mapInPandas(featurize_probe, schema=probe_schema)
+            .groupBy("bucket")
+            .applyInPandas(
+                _probe_topk_fn(id_col, k),
+                schema="query_id long, neighbor_id long, cos double",
+            )
+        )
+        return _rank_topk(local, k)
+
     feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
-    feat = vectors.repartition(F.col(id_col)).mapInPandas(
-        featurize, schema=feat_schema
-    )
+    feat = part.mapInPandas(featurize, schema=feat_schema)
     feat = salt_oversized_buckets(feat, id_col, max_bucket)
     group_cols = ["bucket"] if max_bucket is None else ["bucket", "salt"]
     return _grouped_topk(feat, id_col, k, group_cols=group_cols)
@@ -318,6 +412,60 @@ def _grouped_topk(
     )
 
 
+def _probe_topk_fn(id_col: str, k: int):
+    """Factory for the per-bucket probe top-k kernel shared by the
+    multi-probe LSH and IVF paths: rows tagged is_corpus are the
+    bucket's residents, every row is a query; exact int64 dots,
+    deterministic (cos desc, neighbor id asc) ordering. Returned as
+    a closure over plain locals so cloudpickle ships it by value
+    (module-level callables pickle by reference and break on workers
+    without the repo on sys.path)."""
+    import numpy as np
+    import pandas as pd
+
+    def probe_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        corpus = pdf[pdf["is_corpus"]]
+        if len(corpus) == 0 or len(pdf) < 2:
+            return empty
+        q = np.vstack(pdf["qvec"].values).astype(np.int64)
+        c = np.vstack(corpus["qvec"].values).astype(np.int64)
+        qids = pdf[id_col].values.astype(np.int64)
+        cids = corpus[id_col].values.astype(np.int64)
+        cos = (q @ c.T) / np.sqrt(
+            np.outer(
+                pdf["norm2"].values.astype(np.float64),
+                corpus["norm2"].values.astype(np.float64),
+            )
+        )
+        cos[qids[:, None] == cids[None, :]] = -np.inf
+        rows = []
+        kk = min(k, len(cids))
+        for i in range(len(qids)):
+            order = np.lexsort((cids, -cos[i]))[:kk]
+            keep = cos[i][order] > -np.inf
+            if not keep.any():
+                continue
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[i],
+                        "neighbor_id": cids[order[keep]],
+                        "cos": cos[i][order[keep]],
+                    }
+                )
+            )
+        if not rows:
+            return empty
+        return pd.concat(rows, ignore_index=True)
+
+    return probe_topk
+
+
 def ivf_centroid(cell: int, j: int) -> int:
     """Deterministic pseudo-random centroid grid: component j of cell
     centroid i — engine-neutral integers matching the quantized
@@ -352,6 +500,7 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     target_bucket: int = 8,
     max_bucket: int | None = None,
+    known_n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
     whose exact quantized cosine is >= ``min_cos``, candidates bounded
@@ -364,7 +513,7 @@ def cosine_near_dup_pairs(
     import pandas as pd
 
     if planes is None:
-        planes = auto_planes(vectors.count(), target_bucket)
+        planes = auto_planes(_corpus_n(vectors, known_n), target_bucket)
     coeff = hyperplane_bucket_expr(dim, planes)
     plane_mat = np.array(
         [[coeff(i, j) for j in range(dim)] for i in range(planes)],
@@ -391,7 +540,7 @@ def cosine_near_dup_pairs(
             )
 
     feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
-    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+    feat = spread_small_input(vectors, id_col).mapInPandas(
         featurize, schema=feat_schema
     )
     feat = salt_oversized_buckets(feat, id_col, max_bucket)
@@ -436,6 +585,7 @@ def train_ivf_centroids(
     iters: int = 3,
     dim: int = 64,
     train_mod: int | None = None,
+    known_n: int | None = None,
 ) -> list[list[int]]:
     """Distributed Lloyd's k-means over the quantized vectors — the
     IVF training pass. Fully deterministic so a trained index is
@@ -470,7 +620,7 @@ def train_ivf_centroids(
     from pyspark import StorageLevel
 
     if cells is None:
-        cells = auto_cells(vectors.count())
+        cells = auto_cells(_corpus_n(vectors, known_n))
     src = vectors
     if train_mod is not None and train_mod > 1:
         # deterministic 1/train_mod hash-sample for the training pass
@@ -558,6 +708,7 @@ def ivf_cosine_topk(
     dim: int = 64,
     centroids: list[list[int]] | None = None,
     nprobe: int = 1,
+    known_n: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign each vector to its nearest centroid
     (exact integer squared-L2, ties to the lowest cell id), then exact
@@ -585,7 +736,7 @@ def ivf_cosine_topk(
         cent = np.array(centroids, dtype=np.int64)
     else:
         if cells is None:
-            cells = auto_cells(vectors.count())
+            cells = auto_cells(_corpus_n(vectors, known_n))
         cent = np.array(
             [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
             dtype=np.int64,
@@ -644,7 +795,7 @@ def ivf_cosine_topk(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    part = vectors.repartition(F.col(id_col))
+    part = spread_small_input(vectors, id_col)
     if nprobe == 1:
         feat_schema = (
             f"{id_col} long, qvec array<long>, norm2 long, bucket int"
@@ -659,48 +810,9 @@ def ivf_cosine_topk(
     )
     feat = part.mapInPandas(featurize_probe, schema=probe_schema)
 
-    def probe_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cos": []}
-        ).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        corpus = pdf[pdf["is_corpus"]]
-        if len(corpus) == 0 or len(pdf) < 2:
-            return empty
-        q = np.vstack(pdf["qvec"].values).astype(np.int64)
-        c = np.vstack(corpus["qvec"].values).astype(np.int64)
-        qids = pdf[id_col].values.astype(np.int64)
-        cids = corpus[id_col].values.astype(np.int64)
-        cos = (q @ c.T) / np.sqrt(
-            np.outer(
-                pdf["norm2"].values.astype(np.float64),
-                corpus["norm2"].values.astype(np.float64),
-            )
-        )
-        cos[qids[:, None] == cids[None, :]] = -np.inf
-        rows = []
-        kk = min(k, len(cids))
-        for i in range(len(qids)):
-            order = np.lexsort((cids, -cos[i]))[:kk]
-            keep = cos[i][order] > -np.inf
-            if not keep.any():
-                continue
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qids[i],
-                        "neighbor_id": cids[order[keep]],
-                        "cos": cos[i][order[keep]],
-                    }
-                )
-            )
-        if not rows:
-            return empty
-        return pd.concat(rows, ignore_index=True)
-
     local = feat.groupBy("bucket").applyInPandas(
-        probe_topk, schema="query_id long, neighbor_id long, cos double"
+        _probe_topk_fn(id_col, k),
+        schema="query_id long, neighbor_id long, cos double",
     )
     # global re-rank across the nprobe probed cells; each neighbor
     # appears at most once (corpus membership is single-cell)
@@ -771,7 +883,7 @@ def semantic_dedup(
             )
 
     feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
-    feat = vectors.repartition(F.col(id_col)).mapInPandas(
+    feat = spread_small_input(vectors, id_col).mapInPandas(
         featurize, schema=feat_schema
     )
     feat = salt_oversized_buckets(feat, id_col, max_cell)

@@ -1,0 +1,57 @@
+"""Gated input spreading for map-only featurize/shingle/decode paths.
+
+Many operators start with embarrassingly-parallel per-row work
+(quantize an embedding, shingle a document, decode an image) that
+needs no co-location whatsoever. On local[32] reading one small
+parquet file, the scan yields a single split, so that work would run
+on one core — rounds 1-4 therefore opened these paths with an
+unconditional ``repartition(id)``.
+
+On a real cluster that unconditional exchange is the single most
+expensive avoidable pass in the engine: a 100 TB scan already yields
+~400k parallel splits (``files.maxPartitionBytes``), and the
+repartition becomes a full all-to-all shuffle of the raw corpus
+bytes/vectors *before* map work whose downstream groupBy shuffles the
+(much smaller) featurized form anyway.
+
+``spread_small_input`` keeps the local[32] behavior and removes the
+cluster-scale shuffle: it repartitions ONLY when the observed scan
+layout has fewer partitions than the session's default parallelism.
+The check (``df.rdd.getNumPartitions()``) is a driver-side physical
+plan inspection — no job runs.
+
+Verified safe without the barrier: Spark's CollapseProject refuses to
+inline non-cheap expressions referenced more than once (quantize /
+shingle transforms stay materialized at their Project even with no
+exchange between producer and the dim-subscript consumers — checked
+against the optimized plan, round 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spread_small_input(
+    df: DataFrame,
+    key,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` only when its observed
+    partition count is below the session's default parallelism
+    (i.e. a small / single-file local read that would otherwise
+    serialize map-only work on one core). No-op on any layout that
+    already has enough splits — in particular every real multi-file
+    cluster scan — so featurize paths carry no Exchange at scale.
+
+    ``key`` is a column name or Column; hashing by the id keeps the
+    spread deterministic-ish and skew-free for unique ids.
+    """
+    spark = df.sparkSession
+    if min_parallelism is None:
+        min_parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parallelism:
+        return df
+    key_col = key if isinstance(key, Column) else F.col(key)
+    return df.repartition(key_col)

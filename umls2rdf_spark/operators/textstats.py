@@ -522,10 +522,15 @@ def token_log_odds(
     log2 P(token|neg))) with add-one smoothing, algebraically
     rearranged so every log2 argument is an exact integer product:
     log2((pos_n+1)*(neg_tot+V)) - log2((neg_n+1)*(pos_tot+V)).
-    Identical exact-int inputs give identical doubles on both
-    engines (platform libm, same convention as unigram_surprisal's
-    weight dim), so the quantized weights — and every downstream
-    int64 score — are engine-exact.
+    Exact-int log2 arguments make the weights engine-stable in
+    practice, with the platform-libm caveat shared by the other
+    log-weight ops: JVM Math.log and DuckDB libm agree to ~1 ulp,
+    not bit-for-bit, so a round() sitting exactly on a half-way
+    boundary can flip — statistically expected once vocabularies
+    reach ~10^9 tokens. Pipelines that need bit-identical weights
+    across engines should compute the per-distinct-count weights
+    driver-side and broadcast the quantized integers, the way
+    :func:`bigram_surprisal` builds its weight dims.
 
     Shape: one tokenize+explode, one map-side-combined groupBy to
     the vocabulary frame, totals as a broadcast 1-row agg. Nothing
@@ -665,11 +670,24 @@ def bigram_surprisal(
     occ = df.select(
         F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
     ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    big = (
-        occ.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    # ONE corpus explode: collapse occurrences to per-doc bigram
+    # counts first and persist THAT. Every downstream consumer (the
+    # corpus counts, both weight-collect jobs, the final per-doc
+    # join) derives from this cache, so the corpus text is scanned
+    # and tokenized exactly once — round 4 exploded twice (once into
+    # the persisted corpus counts, once for the final occurrence
+    # join) and cached the vocabulary-scale count frame instead.
+    # docpair is <= the occurrence stream (repeats collapse) and is
+    # the natural materialization at 100 TB (it IS the bigram-count
+    # table you'd write to storage). Callers owning a long-lived
+    # session should spark.catalog.clearCache() between corpora; the
+    # frame is lazily consumed so the operator cannot unpersist it.
+    docpair = (
+        occ.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    big = docpair.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
     ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
     scale = 1 << quant_bits
     spark = df.sparkSession
@@ -684,7 +702,7 @@ def bigram_surprisal(
     wb = wdim(big, "cb").withColumnRenamed("w", "wb")
     wc = wdim(ctx, "cc").withColumnRenamed("w", "wc")
     per = (
-        occ.join(big, ["w1", "w2"])
+        docpair.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .join(F.broadcast(wb), "cb")
         .join(F.broadcast(wc), "cc")
@@ -692,8 +710,10 @@ def bigram_surprisal(
     return (
         per.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("wc") - F.col("wb")).alias("surprisal_q"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * (F.col("wc") - F.col("wb"))).alias(
+                "surprisal_q"
+            ),
         )
         .withColumn(
             "bits_per_bigram",

@@ -968,15 +968,91 @@ def _text_scoring_sql() -> str:
     return "\nUNION ALL\n".join(pieces)
 
 
-# ── event_windows: B6 + B22 + B23b under one driver key ─────────────
+# ── event_windows: B6 + B22 + B23b + C14 twins, one driver key ──────
+def _stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py streaming_dedup
+    (dropDuplicatesWithinWatermark), fed a deterministic redelivery:
+    every event_id % 7 == 0 row appears twice, byte-identical — the
+    at-least-once shape the streaming dedup exists for. event_ids are
+    unique in the source (asserted per SF), and duplicate rows are
+    identical, so one-row-per-event_id is engine-exact."""
+    from umls2rdf_spark.streaming.events import dedup_events_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev.where(F.col("event_id") % 7 == 0))
+    return dedup_events_batch(redelivered)
+
+
+_STREAM_DEDUP_SQL = """
+WITH redelivered AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 7 = 0
+)
+SELECT DISTINCT * FROM redelivered
+"""
+
+
+def _interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/events.py click_purchase_attribution): same function,
+    batch sources — clicks joined to same-user purchases within the
+    1-hour attribution gap."""
+    from umls2rdf_spark.streaming.events import (
+        click_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP)
+     <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+"""
+
+
+def _stateful_counts_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-state twin of user_event_counts_stateful
+    (applyInPandasWithState): after the stream drains, the per-user
+    running counts equal one batch groupBy — the equivalence the
+    streaming tests assert; this section pins the twin's values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_STATEFUL_COUNTS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three window families over events as fingerprint sections
-    of one driver key: tumbling 1-hour buckets (SURVEY B6), native
-    gap-merged 30-minute session windows (B22), and hopping 1-hour/
-    15-minute sliding windows where every event lands in exactly 4
-    epoch-aligned windows (B23b). Streaming twins of the tumbling and
-    session shapes run under watermarks in streaming/events.py with
-    batch-equality tests."""
+    """The window families over events PLUS the streaming batch-twins
+    as fingerprint sections of one driver key: tumbling 1-hour
+    buckets (SURVEY B6), native gap-merged 30-minute session windows
+    (B22), hopping 1-hour/15-minute sliding windows where every event
+    lands in exactly 4 epoch-aligned windows (B23b), and the three
+    SQL-expressible twins of the C14 streaming surface — redelivery
+    dedup (streaming_dedup), the stream-stream interval join
+    (click_purchase_attribution, batch sources), and the
+    applyInPandasWithState final-state counts. The streaming forms
+    themselves run under watermarks in streaming/events.py with
+    batch-equality tests; these sections put the twin semantics under
+    the driver's value gate."""
     from umls2rdf_spark.plans.analytics_extra import (
         events_hopping,
         events_windowed,
@@ -997,6 +1073,20 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 events_hopping(spark, sf_dir),
                 "hopping",
                 ("total_value",),
+            ),
+            fingerprint_section(
+                _stream_dedup_twin(spark, sf_dir),
+                "stream_dedup",
+                ("value",),
+            ),
+            fingerprint_section(
+                _interval_join_twin(spark, sf_dir),
+                "interval_join",
+                ("value",),
+            ),
+            fingerprint_section(
+                _stateful_counts_twin(spark, sf_dir),
+                "stateful_counts",
             ),
         ]
     )
@@ -1026,6 +1116,30 @@ def _event_windows_sql() -> str:
             EVENTS_HOPPING_SQL,
             ["bucket", "event_type", "n", "total_value"],
             ("total_value",),
+        ),
+        fingerprint_sql(
+            "stream_dedup",
+            _STREAM_DEDUP_SQL,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+            ("value",),
+        ),
+        fingerprint_sql(
+            "interval_join",
+            _INTERVAL_JOIN_SQL,
+            [
+                "purchase_id",
+                "click_id",
+                "user_id",
+                "purchase_ts",
+                "click_ts",
+                "value",
+            ],
+            ("value",),
+        ),
+        fingerprint_sql(
+            "stateful_counts",
+            _STATEFUL_COUNTS_SQL,
+            ["user_id", "n_events"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)

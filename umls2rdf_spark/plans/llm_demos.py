@@ -164,11 +164,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 than recomputing the explode per consumer (at 100 TB
     you'd materialize shingles or signatures to a table anyway)."""
     from umls2rdf_spark.operators.dedup import shingle_rows
+    from umls2rdf_spark.operators.spread import spread_small_input
 
     docs = load_table(spark, sf_dir, "documents")
     shingles = (
         shingle_rows(
-            docs.repartition(F.col("doc_id")), "doc_id", "text", 3
+            spread_small_input(docs, "doc_id"), "doc_id", "text", 3
         )
         .distinct()
         .persist()
