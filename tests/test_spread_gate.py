@@ -27,13 +27,22 @@ def test_noop_identity_on_well_split_input(spark):
 
 
 def test_spreads_single_partition_input(spark):
-    df = spark.range(1000).coalesce(1)
-    out = spread_small_input(df, "id")
+    # a real single-file scan (the layout the gate exists for) — an
+    # explicit coalesce/repartition upstream is user intent and the
+    # analyzed-plan fast path deliberately leaves it alone
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = spread_small_input(df, "doc_id")
     assert out is not df
     # AQE may coalesce the tiny shuffle back down, so assert the plan
     # gained the spread node, not a runtime partition count
     plan = out._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "repartition" in plan
+
+
+def test_noop_on_explicit_repartition(spark):
+    df = spark.range(1000).coalesce(1)
+    assert spread_small_input(df, "id") is df
 
 
 def _ops(spark):

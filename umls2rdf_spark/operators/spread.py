@@ -47,10 +47,31 @@ def spread_small_input(
 
     ``key`` is a column name or Column; hashing by the id keeps the
     spread deterministic-ish and skew-free for unique ids.
+
+    Cost of the check itself: frames already downstream of a
+    shuffle-producing node (join/aggregate/window/distinct/
+    repartition) are detected from the ANALYZED logical plan — built
+    eagerly at DataFrame creation, so that inspection is free — and
+    skipped outright (their partitioning is the shuffle's, already
+    parallel). Only plain scan/project/filter chains pay the
+    physical-plan partition count, and a file scan's listing is
+    cached by the relation.
     """
     spark = df.sparkSession
     if min_parallelism is None:
         min_parallelism = spark.sparkContext.defaultParallelism
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            marker in analyzed
+            for marker in (
+                "Join", "Aggregate", "Window", "Deduplicate",
+                "Distinct", "Repartition", "Expand",
+            )
+        ):
+            return df
+    except Exception:
+        pass  # fall through to the partition-count check
     if df.rdd.getNumPartitions() >= min_parallelism:
         return df
     key_col = key if isinstance(key, Column) else F.col(key)
