@@ -112,7 +112,7 @@ def detect_roots(
 
 
 def transitive_closure(
-    edges: DataFrame, max_iters: int = 20, strategy: str = "doubling"
+    edges: DataFrame, max_iters: int = 20, strategy: str = "frontier"
 ) -> DataFrame:
     """All ancestor pairs of a DAG, in ⌈log2 depth⌉ join rounds.
 
@@ -120,40 +120,46 @@ def transitive_closure(
     strategies, identical results, property-tested against each
     other:
 
-    - ``doubling`` (default): closure ∪ closure∘closure each round,
-      distinct, localCheckpoint. One self-join + one distinct
-      shuffle per round.
-    - ``frontier``: semi-naive doubling. Only last round's NEW pairs
-      (the delta) join the closure — in both orientations, which
-      preserves the doubling recurrence exactly: any pair of Cᵢ∘Cᵢ
-      whose halves are both old is already in Cᵢ, so Δᵢ∘Cᵢ ∪ Cᵢ∘Δᵢ
-      yields every genuinely new pair. The within-hop dedup and the
-      closure subtraction are fused into one tagged groupBy shuffle.
+    - ``frontier`` (default): semi-naive doubling. Only last round's
+      NEW pairs (the delta) join the closure — in both orientations,
+      which preserves the doubling recurrence exactly: any pair of
+      Cᵢ∘Cᵢ whose halves are both old is already in Cᵢ, so
+      Δᵢ∘Cᵢ ∪ Cᵢ∘Δᵢ yields every genuinely new pair. Three
+      load-bearing engineering details, each worth ~25-50% (a naive
+      semi-naive build measured 1.3-4× SLOWER than doubling before
+      them): round 1 runs one orientation (Δ≡C), the within-hop
+      dedup and the closure subtraction fuse into ONE tagged groupBy
+      shuffle instead of distinct + left_anti, and every delta and
+      closure is eagerly localCheckpoint'd (the iterative plan
+      otherwise grows exponentially and a naive persist()-based
+      variant OOM'd the driver just printing it).
+    - ``doubling``: closure ∪ closure∘closure each round, distinct,
+      localCheckpoint. One self-join + one distinct shuffle per
+      round.
 
-    Doubling is the default because it measured faster in EVERY
-    tested regime (round 5, sf0.1-scale, warm): shallow 10-ary tree
-    4.3 s vs 5.5 s, depth-17 binary tree 5.9 s vs 15.9 s,
-    high-path-multiplicity layered DAG 18.4 s vs 79.4 s. The
-    semi-naive hypothesis — smaller join inputs per round — does not
-    pay here: round counts are identical, the deltas are the
-    long-span pairs (a constant fraction of the closure, not a
-    shrinking tail), the composition intermediates are dominated by
-    path multiplicity that delta restriction does not reduce
-    proportionally, and the frontier round runs two joins plus a
-    subtraction against doubling's one self-join plus distinct.
-    Frontier is retained for the regime the measurements cannot
-    reach locally — a closure too large to self-join at all, where
-    shuffling 2|C|+|Δ| instead of 2|C| with a |C∘C| intermediate is
-    the difference between finishing and not.
+    Measured (round 5, sf0.1-scale, warm, median of 3): frontier
+    wins the shallow 10-ary tree (4.0 s vs 4.65 s) and the
+    high-path-multiplicity layered DAG (12.2 s vs 16.0 s) — the
+    delta-restricted composition shrinks the dominant join
+    intermediate. Doubling stays ahead on a depth-17 balanced binary
+    tree (6.2 s vs 9.2 s), where deltas remain ~half the closure
+    every round and frontier's second join buys nothing — pass
+    ``strategy="doubling"`` for deep balanced hierarchies. At the
+    scale limit frontier is the safe default: its per-round shuffle
+    is 2|C|+|Δ| with a |Δ∘C| intermediate, never doubling's |C∘C|.
 
     ``edges``: (child, parent) → returns (child, ancestor) distinct.
     """
-    closure = (
-        edges.select(F.col("child"), F.col("parent").alias("ancestor"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    closure = edges.select(
+        F.col("child"), F.col("parent").alias("ancestor")
+    ).distinct()
     if strategy == "doubling":
+        # no up-front materialization: round 1's join consumes the
+        # distinct directly and the first checkpoint lands on the
+        # round-1 union, same as always — an eager initial
+        # checkpoint here measured +several seconds at 10× for
+        # nothing (the frontier path below DOES need it: its round-1
+        # delta is the closure, consumed by two joins)
         for _ in range(max_iters):
             hop = (
                 closure.alias("a")
@@ -172,20 +178,16 @@ def transitive_closure(
             closure = new_closure
         return closure
 
-    # Materialization is persist()-based on this path, not
-    # localCheckpoint: checkpointing a plan whose lineage re-enters
-    # an earlier checkpointed frame (the anti-join against closure,
-    # then the union back into it) trips a Spark LogicalRDD
-    # constraint-rewrite bug ("key not found: <attr>") on shared
-    # attribute ids. Caches are equivalent here — each round's delta
-    # is eagerly materialized once and every later consumer (both
-    # joins, the anti-join, the union leaf in the result) reads the
-    # cached partitions; physical lineage truncates at the cache.
-    # The leaves stay cached because the returned frame reads them
-    # lazily; callers owning long-lived sessions clear with
-    # spark.catalog.clearCache(), same stance as bigram_surprisal.
-    from pyspark import StorageLevel
-
+    # Every round's delta AND the running closure are eagerly
+    # localCheckpoint'd: the iterative plan otherwise grows
+    # exponentially (delta references the closure three times per
+    # round) and a few rounds in, merely PRINTING the plan OOMs the
+    # driver. Note the checkpoint sits on the fused groupBy shape —
+    # a left_anti-join-topped plan here trips a Spark LogicalRDD
+    # constraint-rewrite bug ("key not found: <attr>") when its
+    # lineage re-enters an earlier checkpointed frame; the tagged
+    # aggregation form checkpoints cleanly.
+    closure = closure.localCheckpoint(eager=True)
     delta = closure
     for _ in range(max_iters):
         fwd = (
@@ -225,11 +227,10 @@ def transitive_closure(
             .agg(F.max("__old").alias("__old"))
             .where(F.col("__old") == 0)
             .drop("__old")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
-            new.unpersist()
             return closure
-        closure = closure.union(new)
+        closure = closure.union(new).localCheckpoint(eager=True)
         delta = new
     return closure
