@@ -667,27 +667,38 @@ def bigram_surprisal(
         "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
         "ELSE array() END)[0]"
     )
-    occ = df.select(
-        F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
-    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    # ONE corpus explode: collapse occurrences to per-doc bigram
-    # counts first and persist THAT. Every downstream consumer (the
-    # corpus counts, both weight-collect jobs, the final per-doc
-    # join) derives from this cache, so the corpus text is scanned
-    # and tokenized exactly once — round 4 exploded twice (once into
-    # the persisted corpus counts, once for the final occurrence
-    # join) and cached the vocabulary-scale count frame instead.
-    # docpair is <= the occurrence stream (repeats collapse) and is
-    # the natural materialization at 100 TB (it IS the bigram-count
-    # table you'd write to storage). Callers owning a long-lived
-    # session should spark.catalog.clearCache() between corpora; the
-    # frame is lazily consumed so the operator cannot unpersist it.
-    docpair = (
-        occ.groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("k"))
+    # ONE corpus scan+tokenize: the occurrence stream is persisted
+    # and every downstream consumer — the corpus bigram counts, both
+    # weight-collect jobs, the final per-doc join — reads the cache.
+    # Round-5 measurements behind this shape (sf0.1 / 10× replica,
+    # warm):
+    #   double-explode, big persisted (round 4): 1.7 s / 5.0 s
+    #   docpair groupBy persisted:               2.7 s / 7.4 s
+    #   occ persisted (this):                    2.1 s / 5.5 s
+    # The docpair variant loses outright (an occurrence-scale
+    # 3-part-key shuffle BEFORE the cache buys nothing its consumers
+    # need). The round-4 double-explode is ~0.4 s faster locally
+    # because a map-side explode re-run is cheap at this SF — but it
+    # scans and regex-tokenizes the corpus twice, which is the
+    # dominant term at 100 TB; one scan + a local-disk-spillable
+    # occurrence cache is the scale-correct trade, and the vocab
+    # count frame no longer needs its own persist. Callers owning a
+    # long-lived session clear with spark.catalog.clearCache(); the
+    # output is lazy so the operator cannot unpersist its own cache.
+    occ = (
+        df.select(
+            F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
+        )
+        .select(
+            id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    big = docpair.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
     scale = 1 << quant_bits
     spark = df.sparkSession
@@ -702,7 +713,7 @@ def bigram_surprisal(
     wb = wdim(big, "cb").withColumnRenamed("w", "wb")
     wc = wdim(ctx, "cc").withColumnRenamed("w", "wc")
     per = (
-        docpair.join(big, ["w1", "w2"])
+        occ.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .join(F.broadcast(wb), "cb")
         .join(F.broadcast(wc), "cc")
@@ -710,10 +721,8 @@ def bigram_surprisal(
     return (
         per.groupBy(id_col)
         .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.sum(F.col("k") * (F.col("wc") - F.col("wb"))).alias(
-                "surprisal_q"
-            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("wc") - F.col("wb")).alias("surprisal_q"),
         )
         .withColumn(
             "bits_per_bigram",
