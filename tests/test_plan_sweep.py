@@ -60,6 +60,13 @@ FULL_SCAN_OK = {
     # exact percentile needs every order's price; the two scans are
     # the counting pass + the value lookup pass
     "histogram": {"orders.parquet"},
+    # round 5: the streaming batch-twin sections — redelivery dedup
+    # (every event_id deduped) and the stateful final-state counts
+    # (every event counted per user) consume the full events table by
+    # definition; the interval-join twin's event_type predicates DO
+    # push (audited), but the key's other sections legitimately
+    # full-scan the same file
+    "event_windows": {"events.parquet"},
     # every section consumes the whole corpus: scoring/dedup over all
     # documents; semantic_dedup's train+assign+dedup over all
     # embeddings (audited: no predicate exists to push)
