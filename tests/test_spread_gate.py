@@ -46,16 +46,30 @@ def test_noop_on_explicit_repartition(spark):
 
 
 def _ops(spark):
+    from umls2rdf_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        ivf_cosine_topk,
+    )
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     return [
         # (input df, operator, exchanges allowed on a 64-split input —
         # 1 of which is the test's own repartition(64), so the
-        # operator itself adds at most 1 post-featurize shuffle and
+        # operator itself adds at most its post-featurize shuffles and
         # NO pre-featurize spread)
         (emb, lambda d: lsh_cosine_topk(d, "vec_id", "embedding", k=3, planes=4), 2),
         (docs, lambda d: minhash_signatures(d, "doc_id", "text", num_perm=8), 2),
         (docs, lambda d: simhash(d, "doc_id", "text"), 2),
+        (emb, lambda d: cosine_near_dup_pairs(
+            d, "vec_id", "embedding", min_cos=0.3, planes=4), 2),
+        (emb, lambda d: ivf_cosine_topk(
+            d, "vec_id", "embedding", k=3, cells=8), 2),
+        # multi-probe paths: featurize + grouped topk + global re-rank
+        (emb, lambda d: lsh_cosine_topk(
+            d, "vec_id", "embedding", k=3, planes=4, nprobe=3), 3),
+        (emb, lambda d: ivf_cosine_topk(
+            d, "vec_id", "embedding", k=3, cells=8, nprobe=2), 3),
     ]
 
 
