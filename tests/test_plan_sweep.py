@@ -60,6 +60,10 @@ FULL_SCAN_OK = {
     # exact percentile needs every order's price; the two scans are
     # the counting pass + the value lookup pass
     "histogram": {"orders.parquet"},
+    # round 5: the zorder_code section Morton-encodes EVERY lineitem
+    # (orderkey, partkey) pair by definition — no predicate exists;
+    # the key's 13 TPC-H sections keep their pushed filters
+    "tpch_completion": {"lineitem.parquet"},
     # round 5: the streaming batch-twin sections — redelivery dedup
     # (every event_id deduped) and the stateful final-state counts
     # (every event counted per user) consume the full events table by

@@ -152,7 +152,39 @@ def tpch_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name in sorted(_TPCH_FLOATS)
     ]
+    sections.append(
+        fingerprint_section(_zorder_code(spark, sf_dir), "zorder_code")
+    )
     return _union(sections)
+
+
+def _zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton-interleave core of the z-order clustered writer
+    (SURVEY D8, operators/zorder.py z_value) as a value-verifiable
+    frame: every lineitem (orderkey, partkey) pair masked to 16 bits
+    and bit-interleaved. The file-writing/range-partitioning half of
+    D8 stays under its pruning-evidence test — this section pins the
+    code every written layout is clustered BY."""
+    from umls2rdf_spark.operators.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(1 << 16)).alias("a"),
+        F.pmod(F.col("l_partkey"), F.lit(1 << 16)).alias("b"),
+    )
+    return li.select("a", "b", z_value(["a", "b"], bits=16).alias("z"))
+
+
+def _zorder_code_sql() -> str:
+    terms = " + ".join(
+        f"(((a >> {j}) & 1) << {2 * j}) + (((b >> {j}) & 1) << {2 * j + 1})"
+        for j in range(16)
+    )
+    return f"""
+SELECT a, b, CAST({terms} AS BIGINT) AS z
+FROM (SELECT CAST(l_orderkey % 65536 AS BIGINT) AS a,
+             CAST(l_partkey % 65536 AS BIGINT) AS b
+      FROM lineitem)
+"""
 
 
 def _tpch_completion_sql() -> str:
@@ -167,6 +199,9 @@ def _tpch_completion_sql() -> str:
         )
         for name in sorted(_TPCH_FLOATS)
     ]
+    pieces.append(
+        fingerprint_sql("zorder_code", _zorder_code_sql(), ["a", "b", "z"])
+    )
     return "\nUNION ALL\n".join(pieces)
 
 
@@ -280,6 +315,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       dims, pure-int64 doc sums (C36).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
+    from umls2rdf_spark.operators.profile import profile_table
     from umls2rdf_spark.operators.dedup import (
         band_signatures,
         incremental_dedupe,
@@ -421,6 +457,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigram_surprisal(docs, "doc_id", "text"),
             "bigram_surprisal",
             ("bits_per_bigram",),
+        ),
+        # SURVEY D7: the one-pass profiler's exact mode (the
+        # catalog/data-quality gate) — COUNT(DISTINCT) per column in
+        # one aggregation, min/max stringified; the HLL default mode
+        # stays under its closeness test by nature
+        fingerprint_section(
+            profile_table(docs, exact=True), "profile"
         ),
     ]
     return _union(sections)
@@ -964,8 +1007,31 @@ def _text_scoring_sql() -> str:
             ["doc_id", "n_bigrams", "surprisal_q", "bits_per_bigram"],
             ("bits_per_bigram",),
         ),
+        fingerprint_sql(
+            "profile",
+            _profile_sql(),
+            [
+                "column", "n_rows", "n_nulls", "n_distinct",
+                "min_value", "max_value",
+            ],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+def _profile_sql() -> str:
+    pieces = [
+        f'''
+        SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents
+        '''
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ]
+    return " UNION ALL ".join(pieces)
 
 
 # ── event_windows: B6 + B22 + B23b + C14 twins, one driver key ──────
