@@ -662,3 +662,44 @@ def test_bigram_surprisal_detects_shuffled_order(spark):
     out = {r.doc_id: r.bits_per_bigram
            for r in bigram_surprisal(df, "doc_id", "text").collect()}
     assert out[100] > out[0]
+
+
+def test_token_budget_sql_default_cols_hides_helper():
+    """ADVICE round 4: cols='*' must not leak the internal __cum
+    column — parity with the Spark operator's input-columns-only
+    output."""
+    import duckdb
+
+    from umls2rdf_spark.operators.selection import (
+        select_to_token_budget_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT i AS id, i % 5 AS score, 10 AS ntok "
+        "FROM range(100) r(i)"
+    )
+    out = con.execute(
+        select_to_token_budget_sql("t", "id", "ntok", "score", budget=200)
+    ).fetchdf()
+    assert list(sorted(out.columns)) == ["id", "ntok", "score"]
+    con.close()
+
+
+def test_mixture_sql_escapes_quoted_domains():
+    """ADVICE round 4: a domain literal containing a single quote must
+    not break the generated oracle SQL."""
+    import duckdb
+
+    from umls2rdf_spark.operators.selection import resample_mixture_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT i AS id, CASE WHEN i % 2 = 0 THEN "
+        "'o''brien' ELSE 'web' END AS dom FROM range(50) r(i)"
+    )
+    out = con.execute(
+        resample_mixture_sql("d", "dom", "id", {"o'brien": 1, "web": 1})
+    ).fetchdf()
+    assert len(out) == 50
+    con.close()
