@@ -315,6 +315,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       dims, pure-int64 doc sums (C36).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
+    from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
     from umls2rdf_spark.operators.profile import profile_table
     from umls2rdf_spark.operators.dedup import (
         band_signatures,
@@ -356,6 +357,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup_minhash(spark, sf_dir), "minhash_pairs"
         ),
         fingerprint_section(dedup_simhash(spark, sf_dir), "simhash"),
+        # banded Hamming near-dup join over those simhashes — the
+        # generic perceptual-hash pair operator (imagededup.py; its
+        # image aHash front-end is tests-only, binary decode) driven
+        # on corpus data: complete for hamming<=3 at 4 bands
+        fingerprint_section(
+            hamming_near_dup_pairs(
+                dedup_simhash(spark, sf_dir), "doc_id", "simhash",
+                max_hamming=3, bands=4, hash_bits=32,
+            ),
+            "simhash_hamming",
+        ),
         fingerprint_section(
             tfidf_topk(docs, "doc_id", "text", k=_TFIDF_K),
             "tfidf",
@@ -909,6 +921,9 @@ FROM per GROUP BY 1
 
 
 def _text_scoring_sql() -> str:
+    from umls2rdf_spark.operators.imagededup import (
+        hamming_near_dup_pairs_sql,
+    )
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
         resample_mixture_sql,
@@ -925,6 +940,14 @@ def _text_scoring_sql() -> str:
         ),
         fingerprint_sql(
             "simhash", DEDUP_SIMHASH_SQL, ["doc_id", "simhash"]
+        ),
+        fingerprint_sql(
+            "simhash_hamming",
+            hamming_near_dup_pairs_sql(
+                DEDUP_SIMHASH_SQL, "doc_id", "simhash",
+                max_hamming=3, bands=4, hash_bits=32,
+            ),
+            ["id_a", "id_b", "hamming"],
         ),
         fingerprint_sql(
             "tfidf",
