@@ -628,3 +628,100 @@ def test_streaming_incremental_dedupe_matches_batch(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+def _sessions_of(df):
+    return (
+        df.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n"
+        )
+    )
+
+
+def test_sessionize_stateful_event_time_timeout(spark, tmp_path):
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS: two
+    time-split files drained as two micro-batches. One user is
+    removed from the late file, so their open state can ONLY close
+    via the hasTimedOut branch when batch 2's watermark passes.
+    Emissions must be exact built-in session_window sessions
+    (nothing spurious), every session old enough relative to the
+    batch-2 watermark must be present (completeness), and the
+    early-only user's final session must be among them (the timeout
+    branch demonstrably fired)."""
+    import pandas as pd
+
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import sessionize_stateful
+
+    ev = load_table(spark, SF_DIR, "events")
+    split_ts = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    lone_user = ev.agg(F.min("user_id").alias("u")).collect()[0]["u"]
+    early = ev.where(F.col("ts").cast("double") <= split_ts)
+    late = ev.where(
+        (F.col("ts").cast("double") > split_ts)
+        & (F.col("user_id") != lone_user)
+    )
+    src = str(tmp_path / "stream_src")
+    early.coalesce(1).write.parquet(f"{src}/f=1")
+    late.coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f=*")
+    )
+    q = (
+        sessionize_stateful(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessionize_stateful_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("sessionize_stateful_test").collect()
+    }
+
+    batch = [
+        (r["user_id"], str(r["session_start"]), r["n"],
+         r["session_start"])
+        for r in _sessions_of(early.unionByName(late)).collect()
+    ]
+    batch_set = {(u, s, n) for u, s, n, _ in batch}
+    # 1) nothing spurious
+    assert got <= batch_set, got - batch_set
+
+    # 2) completeness under the batch-2 watermark (conservative: a
+    # session STARTING >1 day before the watermark has certainly
+    # closed before it — gaps cap sessions well under a day)
+    max_early = pd.Timestamp(
+        early.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    wm2 = max_early - pd.Timedelta("2 hours")
+    must_emit = {
+        (u, s, n)
+        for u, s, n, start in batch
+        if pd.Timestamp(start) < wm2 - pd.Timedelta("1 day")
+    }
+    assert must_emit, "test data should contain old sessions"
+    missing = must_emit - got
+    assert not missing, f"{len(missing)} watermark-closed sessions missing"
+
+    # 3) the timeout branch fired: the lone user's FINAL session has
+    # no later event anywhere in the stream to roll it — only
+    # state.hasTimedOut can have emitted it
+    lone_final = max(
+        (s for u, s, n, _ in batch if u == lone_user), default=None
+    )
+    assert lone_final is not None
+    assert any(
+        u == lone_user and s == lone_final for u, s, n in got
+    ), "lone user's final session was not emitted by the timeout"

@@ -120,6 +120,95 @@ def user_event_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stateful(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUTS — the stateful pattern the rest of the block
+    does not exercise: state that must close itself WITHOUT a new
+    record arriving. Per-user open-session state (start, last, n);
+    a micro-batch's events extend the session or roll it (emitting
+    the closed one); when the watermark passes last_ts + gap the
+    state TIMES OUT and the final session is emitted and evicted —
+    so state size is bounded by the number of users active within
+    the gap horizon, not the stream length.
+
+    The built-in twin is session_window (analytics_extra.
+    session_window_agg / SURVEY B22); the equivalence test asserts
+    the emitted set is exactly the batch sessions whose close
+    precedes the final watermark (later sessions are still open —
+    correct streaming semantics, not loss).
+
+    Emits (user_id, session_start, n_events) for CLOSED sessions
+    only; append mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, session_start timestamp, n_events long"
+    state_schema = "start_us long, last_us long, n long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+        closed = []
+        if state.hasTimedOut:
+            s0, l0, n0 = state.get
+            closed.append((s0, n0))
+            state.remove()
+        else:
+            parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
+            if parts:
+                ser = pd.to_datetime(pd.concat(parts))
+                if getattr(ser.dt, "tz", None) is not None:
+                    ser = ser.dt.tz_localize(None)
+                us = sorted(
+                    int(v)
+                    for v in ser.astype("datetime64[us]").astype("int64")
+                )
+                if state.exists:
+                    s0, l0, n0 = state.get
+                else:
+                    s0 = l0 = None
+                    n0 = 0
+                for t in us:
+                    if s0 is None:
+                        s0 = l0 = t
+                        n0 = 1
+                    elif t - l0 > gap_us:
+                        closed.append((s0, n0))
+                        s0 = l0 = t
+                        n0 = 1
+                    else:
+                        l0 = max(l0, t)
+                        n0 += 1
+                state.update((int(s0), int(l0), int(n0)))
+                # event-time timeout at last + gap (epoch millis)
+                state.setTimeoutTimestamp((l0 + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _ in closed
+                    ],
+                    "n_events": [n for _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, spark: SparkSession
 ) -> DataFrame:
