@@ -83,9 +83,11 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 4,      # tfidf/bm25 1-row totals, mixture's
-                            # 1-row feasibility-min, and the
-                            # classifier's 1-row class-totals attach
+    "text_scoring": 5,      # tfidf/bm25 1-row totals, mixture's
+                            # 1-row feasibility-min, the classifier's
+                            # 1-row class-totals attach, and
+                            # hard_negatives' broadcast(query set) x
+                            # corpus non-equi scoring pass (round 5)
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

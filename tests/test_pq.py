@@ -384,3 +384,51 @@ def test_lsh_multiprobe_recall_monotone(spark):
         )
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] > recalls[0], recalls
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Every returned neighbor has a different label than its query,
+    ranks are the exact different-label cosine order, and the result
+    matches a brute-force python reference."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from umls2rdf_spark.operators.similarity import hard_negative_topk
+    from umls2rdf_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    qv = {
+        r["vec_id"]: np.round(
+            np.array(r["embedding"], dtype=np.float64) * 1000
+        ).astype(np.int64)
+        for r in rows
+    }
+
+    k = 2
+    got = {}
+    res = hard_negative_topk(
+        emb, emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=k,
+    ).collect()
+    for r in res:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+
+    for q in range(10):
+        if q not in qv:
+            continue
+        cands = []
+        for nid, v in qv.items():
+            if nid == q or labels[nid] == labels[q]:
+                continue
+            cos = float(qv[q] @ v) / float(
+                np.sqrt(float(qv[q] @ qv[q]) * float(v @ v))
+            )
+            cands.append((-cos, nid))
+        expected = [nid for _, nid in sorted(cands)[:k]]
+        assert [n for _, n in sorted(got[q])] == expected, q

@@ -134,6 +134,75 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k most-similar vectors with a DIFFERENT label per query —
+    hard-negative mining, the contrastive-training data op (the
+    negatives that teach an embedding model the decision boundary
+    are the near-misses, not random picks).
+
+    Same physical shape as :func:`cosine_topk` — broadcast query
+    set, one corpus pass, exact quantized-int cosine, per-query
+    window top-k — with the label-difference predicate in the join.
+    At corpus-as-queries scale, mine within LSH/IVF buckets first
+    (lsh_cosine_topk machinery) and anti-filter labels per bucket;
+    this exact form is the oracle-able baseline, like cosine_topk
+    for ANN.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), ties broken by
+    neighbor id.
+    """
+    corpus = spread_small_input(
+        vectors.select(
+            F.col(id_col),
+            F.col(label_col).alias("__lab"),
+            quantize(F.col(vec_col)).alias("qvec"),
+        ),
+        id_col,
+    ).withColumn("norm2", _dot_expr("qvec", "qvec", dim))
+    corpus = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__lab").alias("c_lab"),
+        F.col("qvec").alias("c_vec"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    qs = (
+        queries.select(
+            F.col(id_col),
+            F.col(label_col).alias("__lab"),
+            quantize(F.col(vec_col)).alias("qvec"),
+        )
+        .withColumn("norm2", _dot_expr("qvec", "qvec", dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__lab").alias("q_lab"),
+            F.col("qvec").alias("q_vec"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(qs),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("q_lab") != F.col("c_lab")),
+        "inner",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot_expr("q_vec", "c_vec", dim).cast("double")
+            / F.sqrt((F.col("q_norm2") * F.col("c_norm2")).cast("double"))
+        ).alias("cos"),
+    )
+    return _rank_topk(scored, k)
+
+
 def hyperplane_bucket_expr(dim: int, planes: int):
     """Deterministic pseudo-random hyperplanes: component j of plane
     i is md5-derived (engine-neutral — the same constants are inlined

@@ -267,6 +267,9 @@ _BLOOM_BENCH_MOD = 17
 _EPOCH_SEED = 7
 # quality classifier: lang='en' as the positive-class proxy label
 _QC_BITS = 20
+# hard-negative mining: queries = first 50 vec_ids, top-2 negatives
+_HN_QUERIES = 50
+_HN_K = 2
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +335,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_mixture,
         select_to_token_budget,
     )
-    from umls2rdf_spark.operators.similarity import semantic_dedup
+    from umls2rdf_spark.operators.similarity import (
+        hard_negative_topk,
+        semantic_dedup,
+    )
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
         bm25_topk,
@@ -476,6 +482,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stays under its closeness test by nature
         fingerprint_section(
             profile_table(docs, exact=True), "profile"
+        ),
+        # hard-negative mining (contrastive-training data op): top-2
+        # most-similar DIFFERENT-label vectors per query
+        fingerprint_section(
+            hard_negative_topk(
+                emb, emb.where(F.col("vec_id") < _HN_QUERIES),
+                "vec_id", "embedding", "label", k=_HN_K,
+            ),
+            "hard_negatives",
+            ("cos_sim",),
         ),
     ]
     return _union(sections)
@@ -920,6 +936,43 @@ FROM per GROUP BY 1
 """
 
 
+_HARD_NEG_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+comps AS (
+  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM qv),
+norms AS (SELECT vec_id, SUM(comp * comp) AS norm2 FROM comps GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.comp * c.comp) AS dot
+  FROM comps q
+  JOIN comps c ON q.pos = c.pos AND q.vec_id < {_HN_QUERIES}
+              AND q.vec_id <> c.vec_id
+  JOIN qv ql ON ql.vec_id = q.vec_id
+  JOIN qv cl ON cl.vec_id = c.vec_id
+  WHERE ql.label <> cl.label
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(qn.norm2 * cn.norm2 AS DOUBLE)) AS cos
+  FROM dots
+  JOIN norms qn ON qn.vec_id = query_id
+  JOIN norms cn ON cn.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cos AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {_HN_K}
+"""
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
@@ -1029,6 +1082,12 @@ def _text_scoring_sql() -> str:
             _BIGRAM_SQL,
             ["doc_id", "n_bigrams", "surprisal_q", "bits_per_bigram"],
             ("bits_per_bigram",),
+        ),
+        fingerprint_sql(
+            "hard_negatives",
+            _HARD_NEG_SQL,
+            ["query_id", "neighbor_id", "rank", "cos_sim"],
+            ("cos_sim",),
         ),
         fingerprint_sql(
             "profile",
