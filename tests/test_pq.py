@@ -400,12 +400,13 @@ def test_hard_negative_topk_excludes_same_label(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     rows = emb.collect()
     labels = {r["vec_id"]: r["label"] for r in rows}
-    qv = {
-        r["vec_id"]: np.round(
-            np.array(r["embedding"], dtype=np.float64) * 1000
-        ).astype(np.int64)
-        for r in rows
-    }
+    def _q(vals):
+        # half AWAY from zero, matching Spark/DuckDB round — NOT
+        # numpy's banker's rounding
+        y = np.array(vals, dtype=np.float64) * 1000
+        return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+    qv = {r["vec_id"]: _q(r["embedding"]) for r in rows}
 
     k = 2
     got = {}

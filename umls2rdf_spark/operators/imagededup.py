@@ -107,6 +107,8 @@ def hamming_near_dup_pairs_sql(
 ) -> str:
     """DuckDB twin of :func:`hamming_near_dup_pairs` over an inner
     SELECT producing (id_col, hash_col)."""
+    if bands not in _ALLOWED_BANDS or hash_bits % bands != 0:
+        raise ValueError(f"bands must divide {hash_bits}: {_ALLOWED_BANDS}")
     width = hash_bits // bands
     mask = (1 << width) - 1
     band_vals = ", ".join(str(i) for i in range(bands))

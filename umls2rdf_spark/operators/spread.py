@@ -62,12 +62,16 @@ def spread_small_input(
         min_parallelism = spark.sparkContext.defaultParallelism
     try:
         analyzed = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            marker in analyzed
-            for marker in (
-                "Join", "Aggregate", "Window", "Deduplicate",
-                "Distinct", "Repartition", "Expand",
-            )
+        # match NODE names at their tree position (start of line
+        # after the :/+/- prefix), not raw substrings — a column
+        # named JoinKey or a literal 'WindowsCrawl' must not
+        # misclassify a plain scan as already-shuffled
+        import re
+
+        if re.search(
+            r"(?m)^[\s:+\-]*(Join|Aggregate|Window|Deduplicate|"
+            r"Distinct|Repartition|RepartitionByExpression|Expand)\b",
+            analyzed,
         ):
             return df
     except Exception:
