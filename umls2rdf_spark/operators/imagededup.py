@@ -11,7 +11,7 @@ Two halves, split by SQL-expressibility:
   all-pairs. Pure relational — DuckDB-oracled and driven through the
   text_scoring driver key over the corpus simhashes.
 - :func:`image_ahash` — classic 8x8 average hash: stdlib PNG decode
-  (same byte format support as multimodal.resize_images), integer
+  (functions/png.py, the codec resize_images shares), integer
   luma, nearest-neighbor 8x8 reduction, bit j set iff
   ``pixel_j * 64 > sum(pixels)``. All-integer, deterministic
   everywhere; binary decode keeps it tests-only by nature (SURVEY
@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions import png as _png
 
 _ALLOWED_BANDS = (1, 2, 4, 8, 16)
 
@@ -130,81 +132,6 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 """
 
 
-def _decode_png_gray(b: bytes):
-    """8-bit grayscale/RGB PNG → (h, w) uint8 grayscale ndarray via
-    integer luma (r*299+g*587+b*114)//1000. Same format support and
-    NotImplementedError contract as multimodal.resize_images'
-    stdlib codec."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("image_ahash stdlib path: PNG bytes only")
-    pos, idat = 8, b""
-    w = h = bitd = colt = None
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[pos:pos + 4])
-        typ = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + length]
-        if typ == b"IHDR":
-            w, h, bitd, colt = struct.unpack(">IIBB", data[:10])
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + length
-    if w is None or bitd != 8 or colt not in (0, 2):
-        raise NotImplementedError(
-            f"8-bit grayscale/RGB PNG only (bit depth {bitd}, "
-            f"color type {colt})"
-        )
-    ch = 1 if colt == 0 else 3
-    raw = zlib.decompress(idat)
-    stride = w * ch
-    out = bytearray()
-    prev = bytearray(stride)
-    p = 0
-    for _ in range(h):
-        f = raw[p]
-        p += 1
-        line = bytearray(raw[p:p + stride])
-        p += stride
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                up = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                pa = abs(up - c)
-                pb = abs(a - c)
-                pc = abs(a + up - 2 * c)
-                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif f != 0:
-            raise NotImplementedError(f"PNG filter type {f}")
-        out += line
-        prev = line
-    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
-    if ch == 3:
-        a64 = arr.astype(np.int64)
-        gray = (
-            a64[:, :, 0] * 299 + a64[:, :, 1] * 587 + a64[:, :, 2] * 114
-        ) // 1000
-        return gray.astype(np.uint8)
-    return arr[:, :, 0]
-
-
 def _ahash_int(gray) -> int:
     """Average hash of a grayscale image: nearest-neighbor floor map
     to 8x8, bit j (row-major) set iff ``cell_j * 64 > total`` — pure
@@ -240,7 +167,7 @@ def image_ahash(df: DataFrame, id_col: str = "media_id",
             ids, hs = [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                hs.append(_ahash_int(_decode_png_gray(b)))
+                hs.append(_ahash_int(_png.decode_png_gray(b)))
                 ids.append(mid)
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"),
@@ -252,15 +179,17 @@ def image_ahash(df: DataFrame, id_col: str = "media_id",
     import umls2rdf_spark.operators.imagededup as _selfmod
 
     src = spread_small_input(df.select(id_col, content_col), id_col)
-    # module shipped by value: the worker closure calls
-    # _decode_png_gray/_ahash_int and executor pythons may not have
-    # the repo on sys.path (same pattern as operators/pq.py)
+    # modules shipped by value: the worker closure calls _ahash_int
+    # (this module) and png.decode_png_gray, and executor pythons may
+    # not have the repo on sys.path (same pattern as operators/pq.py)
     cloudpickle.register_pickle_by_value(_selfmod)
+    cloudpickle.register_pickle_by_value(_png)
     try:
         return src.mapInPandas(
             hash_batches, schema=f"{id_col} long, ahash long"
         )
     finally:
+        cloudpickle.unregister_pickle_by_value(_png)
         cloudpickle.unregister_pickle_by_value(_selfmod)
 
 

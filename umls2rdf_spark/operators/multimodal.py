@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from umls2rdf_spark.functions import png as _png
 from umls2rdf_spark.operators.spread import spread_small_input
 
 MEDIA_SCHEMA = T.StructType(
@@ -129,8 +130,9 @@ def resize_images(
 ) -> DataFrame:
     """Decode → resize → re-encode an image binary column, Arrow-
     batched via mapInPandas. Uses PIL imported ON THE WORKER when
-    available; without it, a pure-stdlib PNG codec (zlib inflate →
-    de-filter → numpy nearest-neighbor index map → filter-0 deflate)
+    available; without it, the shared pure-stdlib PNG codec
+    (functions/png.py: zlib inflate → de-filter → numpy
+    nearest-neighbor index map → filter-0 deflate)
     handles 8-bit grayscale/RGB PNGs, so the real resize path runs
     even in PIL-less containers. Bytes that are not a supported PNG
     raise ``NotImplementedError`` at plan-execution time with a clear
@@ -153,106 +155,6 @@ def resize_images(
 
         import pandas as pd
 
-        # the codec is defined INSIDE the closure so the task is
-        # self-contained under cloudpickle — workers need neither PIL
-        # nor this package on sys.path
-        def decode_png(b: bytes):
-            import struct
-            import zlib
-
-            if b[:8] != b"\x89PNG\r\n\x1a\n":
-                raise NotImplementedError(
-                    "stdlib resize path supports PNG bytes only "
-                    "(install PIL or inject image_module for other "
-                    "formats)"
-                )
-            pos, idat = 8, b""
-            w = h = bitd = colt = None
-            while pos + 8 <= len(b):
-                (length,) = struct.unpack(">I", b[pos:pos + 4])
-                typ = b[pos + 4:pos + 8]
-                data = b[pos + 8:pos + 8 + length]
-                if typ == b"IHDR":
-                    w, h, bitd, colt = struct.unpack(">IIBB", data[:10])
-                elif typ == b"IDAT":
-                    idat += data
-                elif typ == b"IEND":
-                    break
-                pos += 12 + length
-            if w is None or bitd != 8 or colt not in (0, 2):
-                raise NotImplementedError(
-                    "stdlib resize path supports 8-bit grayscale/RGB "
-                    f"PNG only (got bit depth {bitd}, color type {colt})"
-                )
-            ch = 1 if colt == 0 else 3
-            raw = zlib.decompress(idat)
-            stride = w * ch
-            out = bytearray()
-            prev = bytearray(stride)
-            p = 0
-            for _ in range(h):
-                f = raw[p]
-                p += 1
-                line = bytearray(raw[p:p + stride])
-                p += stride
-                if f == 1:  # Sub
-                    for i in range(ch, stride):
-                        line[i] = (line[i] + line[i - ch]) & 0xFF
-                elif f == 2:  # Up
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif f == 3:  # Average
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif f == 4:  # Paeth
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        up = prev[i]
-                        c = prev[i - ch] if i >= ch else 0
-                        pa = abs(up - c)
-                        pb = abs(a - c)
-                        pc = abs(a + up - 2 * c)
-                        if pa <= pb and pa <= pc:
-                            pr = a
-                        elif pb <= pc:
-                            pr = up
-                        else:
-                            pr = c
-                        line[i] = (line[i] + pr) & 0xFF
-                elif f != 0:
-                    raise NotImplementedError(f"PNG filter type {f}")
-                out += line
-                prev = line
-            return w, h, ch, bytes(out)
-
-        def encode_png(w: int, h: int, ch: int, raw: bytes) -> bytes:
-            import struct
-            import zlib
-
-            def chunk(typ: bytes, data: bytes) -> bytes:
-                return (
-                    struct.pack(">I", len(data)) + typ + data
-                    + struct.pack(
-                        ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
-                    )
-                )
-
-            ihdr = struct.pack(
-                ">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0
-            )
-            stride = w * ch
-            body = b"".join(
-                b"\x00" + raw[r * stride:(r + 1) * stride]
-                for r in range(h)
-            )
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(body))
-                + chunk(b"IEND", b"")
-            )
-
         def stdlib_resize(b: bytes) -> bytes:
             import numpy as np
 
@@ -260,12 +162,12 @@ def resize_images(
                 raise NotImplementedError(
                     "stdlib resize path re-encodes PNG only"
                 )
-            w, h, ch, raw = decode_png(b)
+            w, h, ch, raw = _png.decode_png(b)
             arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
             ys = (np.arange(height) * h) // max(height, 1)
             xs = (np.arange(width) * w) // max(width, 1)
             res = arr[ys][:, xs]
-            return encode_png(width, height, ch, res.tobytes())
+            return _png.encode_png(width, height, ch, res.tobytes())
 
         Image = image_module
         if Image is None:
@@ -294,7 +196,19 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(resize, schema="media_id long, content binary")
+    # the shared stdlib codec (functions/png.py) is shipped BY VALUE
+    # around the call — workers need neither PIL nor the repo on
+    # sys.path (operators/pq.py pattern; registration must wrap the
+    # mapInPandas call because UDFs pickle at plan construction)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_png)
+    try:
+        return df.mapInPandas(
+            resize, schema="media_id long, content binary"
+        )
+    finally:
+        cloudpickle.unregister_pickle_by_value(_png)
 
 
 AUDIO_FEATURES_SCHEMA = (
