@@ -725,3 +725,52 @@ def test_sessionize_stateful_event_time_timeout(spark, tmp_path):
     assert any(
         u == lone_user and s == lone_final for u, s, n in got
     ), "lone user's final session was not emitted by the timeout"
+
+
+def test_sessionize_stateful_out_of_order_backfill(spark, tmp_path):
+    """An in-watermark out-of-order event from a LATER micro-batch
+    must bridge two buffered sessions into one — the case a naive
+    emit-on-rollover sessionizer gets wrong (it would emit two
+    sessions and miscount). Three single-file batches: batch 1 gives
+    user 1 two provisional sessions (10:00, 10:50); batch 2 delivers
+    a late 10:25 event (>= the 10:00 watermark) that bridges them;
+    batch 3 only advances the watermark so the merged session times
+    out and emits."""
+    from datetime import datetime
+
+    from umls2rdf_spark.streaming.events import sessionize_stateful
+
+    def ev(uid, hh, mm):
+        return (uid, datetime(2024, 1, 1, hh, mm))
+
+    schema = "user_id long, ts timestamp"
+    f1 = spark.createDataFrame(
+        [ev(1, 10, 0), ev(1, 10, 50), ev(9, 12, 0)], schema
+    )
+    f2 = spark.createDataFrame([ev(1, 10, 25), ev(9, 14, 0)], schema)
+    f3 = spark.createDataFrame([ev(9, 23, 0)], schema)
+    src = str(tmp_path / "ooo_src")
+    for i, f in enumerate([f1, f2, f3], 1):
+        f.coalesce(1).write.parquet(f"{src}/f={i}")
+
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f=*")
+    )
+    q = (
+        sessionize_stateful(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessionize_ooo_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("sessionize_ooo_test").collect()
+    }
+    # the bridged session: one emission, start 10:00, THREE events
+    user1 = {(s, n) for u, s, n in got if u == 1}
+    assert user1 == {("2024-01-01 10:00:00", 3)}, got

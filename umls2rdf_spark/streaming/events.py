@@ -126,73 +126,93 @@ def sessionize_stateful(
     """Gap-based sessionization as a CUSTOM stateful operator with
     EVENT-TIME TIMEOUTS — the stateful pattern the rest of the block
     does not exercise: state that must close itself WITHOUT a new
-    record arriving. Per-user open-session state (start, last, n);
-    a micro-batch's events extend the session or roll it (emitting
-    the closed one); when the watermark passes last_ts + gap the
-    state TIMES OUT and the final session is emitted and evicted —
-    so state size is bounded by the number of users active within
-    the gap horizon, not the stream length.
+    record arriving.
 
-    The built-in twin is session_window (analytics_extra.
-    session_window_agg / SURVEY B22); the equivalence test asserts
-    the emitted set is exactly the batch sessions whose close
-    precedes the final watermark (later sessions are still open —
-    correct streaming semantics, not loss).
+    Correct watermark semantics (the part a naive
+    emit-on-gap-rollover version gets wrong): sessions are BUFFERED
+    in state — a list of disjoint (start, last, n) intervals per
+    user — and emitted only once the watermark passes last + gap,
+    because an in-watermark out-of-order event from a later
+    micro-batch may still extend, backfill, or BRIDGE buffered
+    sessions (two sessions merging when a late event lands between
+    them). Each batch inserts its events as singleton intervals and
+    re-coalesces the sorted list (exactly the built-in
+    session_window merge rule: adjacent intervals within ``gap``
+    fuse); rows older than the current watermark are dropped (the
+    allowed-lateness contract). State size is bounded by the users
+    active within the watermark+gap horizon, not the stream length.
 
-    Emits (user_id, session_start, n_events) for CLOSED sessions
-    only; append mode.
+    Emission: any buffered session with last + gap < watermark can
+    never change again (future rows are >= watermark) — emitted and
+    evicted, either when a batch touches the group or via the
+    event-time timeout at last + gap when no row ever arrives
+    again. The equivalence test proves emissions are exactly the
+    built-in session_window sessions closed before the final
+    watermark, including a cross-batch out-of-order case.
+
+    Emits (user_id, session_start, n_events); append mode.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id long, session_start timestamp, n_events long"
-    state_schema = "start_us long, last_us long, n long"
+    state_schema = "starts array<long>, lasts array<long>, ns array<long>"
 
     def update(key, pdfs, state):
         import pandas as pd
 
         gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
-        closed = []
-        if state.hasTimedOut:
-            s0, l0, n0 = state.get
-            closed.append((s0, n0))
-            state.remove()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            starts, lasts, ns = state.get
+            intervals = [list(t) for t in zip(starts, lasts, ns)]
         else:
+            intervals = []
+        if not state.hasTimedOut:
             parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
             if parts:
                 ser = pd.to_datetime(pd.concat(parts))
                 if getattr(ser.dt, "tz", None) is not None:
                     ser = ser.dt.tz_localize(None)
-                us = sorted(
-                    int(v)
-                    for v in ser.astype("datetime64[us]").astype("int64")
-                )
-                if state.exists:
-                    s0, l0, n0 = state.get
+                for v in ser.astype("datetime64[us]").astype("int64"):
+                    t = int(v)
+                    if t >= wm_us:  # beyond-lateness rows are dropped
+                        intervals.append([t, t, 1])
+        if intervals:
+            intervals.sort()
+            merged = [intervals[0]]
+            for st, la, n in intervals[1:]:
+                if st - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], la)
+                    merged[-1][2] += n
                 else:
-                    s0 = l0 = None
-                    n0 = 0
-                for t in us:
-                    if s0 is None:
-                        s0 = l0 = t
-                        n0 = 1
-                    elif t - l0 > gap_us:
-                        closed.append((s0, n0))
-                        s0 = l0 = t
-                        n0 = 1
-                    else:
-                        l0 = max(l0, t)
-                        n0 += 1
-                state.update((int(s0), int(l0), int(n0)))
-                # event-time timeout at last + gap (epoch millis)
-                state.setTimeoutTimestamp((l0 + gap_us) // 1000)
+                    merged.append([st, la, n])
+        else:
+            merged = []
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        open_ = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if open_:
+            state.update(
+                (
+                    [iv[0] for iv in open_],
+                    [iv[1] for iv in open_],
+                    [iv[2] for iv in open_],
+                )
+            )
+            # fire just after the earliest possible close (epoch ms,
+            # strictly past the current watermark by construction)
+            state.setTimeoutTimestamp(
+                min(iv[1] + gap_us for iv in open_) // 1000 + 1
+            )
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(closed),
                     "session_start": [
-                        pd.Timestamp(s, unit="us") for s, _ in closed
+                        pd.Timestamp(iv[0], unit="us") for iv in closed
                     ],
-                    "n_events": [n for _, n in closed],
+                    "n_events": [iv[2] for iv in closed],
                 }
             )
 
