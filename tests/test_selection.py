@@ -703,3 +703,47 @@ def test_mixture_sql_escapes_quoted_domains():
     ).fetchdf()
     assert len(out) == 50
     con.close()
+
+
+# ── gopher-style quality gate ───────────────────────────────────────
+def test_gopher_quality_rules(spark):
+    """Hand-built edge docs: short text fails word count, symbol soup
+    fails the alpha fraction, stopword-free fails stop_hits, a long
+    normal sentence passes; empty text is total-fail without a
+    div-by-zero."""
+    from umls2rdf_spark.operators.textstats import gopher_quality
+
+    good = ("the quick brown fox and the lazy dog walked to town in "
+            "a bright morning of early spring with many other words "
+            "to cross the minimum count easily right here")
+    rows = [
+        (1, good),
+        (2, "the and of"),                      # too short
+        (3, " ".join(["123"] * 30)),            # no alpha, no stops
+        (4, " ".join(["token"] * 30)),          # no stopwords
+        (5, ""),                                # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["n_words"] == 3
+    assert got[3]["passes"] is False and got[3]["alpha_frac_q"] == 0
+    assert got[4]["passes"] is False and got[4]["stop_hits"] == 0
+    assert got[5]["passes"] is False and got[5]["n_words"] == 0
+    assert got[5]["mean_len_q"] == 0  # guarded division
+
+
+def test_gopher_quality_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import (
+        gopher_quality,
+        gopher_quality_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        gopher_quality(docs, "doc_id", "text"),
+        duck,
+        gopher_quality_sql("documents", "doc_id", "text"),
+    )

@@ -731,3 +731,129 @@ def bigram_surprisal(
             / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len_q: int = 3_000,
+    max_mean_len_q: int = 10_000,
+    min_alpha_frac_q: int = 800,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Composite document-quality gate in the style of the published
+    Gopher web-filtering rules (Rae et al. 2021): word-count bounds,
+    mean word length bounds, minimum fraction of words containing an
+    alphabetic character, and a minimum number of DISTINCT common
+    stopwords present (the classic natural-language-vs-gibberish
+    signal). The repetition-rate rules of that family live in
+    repetition_ratio (C16); the perplexity-flavored ones in the
+    surprisal ops.
+
+    Engine-exactness: every ratio is an integer — mean word length
+    and alpha fraction are ``x * 1000 div n_words`` (exact integer
+    division, identical in Spark and DuckDB) — so the pass verdict
+    is a pure integer comparison that hash-matches the oracle under
+    any partitioning. One bound-lambda map-side expression over the
+    token array: zero shuffles, no UDFs.
+
+    Output: (id, n_words, mean_len_q, alpha_frac_q, stop_hits,
+    passes).
+    """
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    # bind the token array once as a lambda variable (the
+    # CollapseProject rule: chained selects would re-split per
+    # consumer)
+    stats = (
+        f"transform(array({toks}), w -> struct("
+        "size(w) AS n, "
+        "aggregate(w, 0L, (a, t) -> a + length(t)) AS chars, "
+        "aggregate(w, 0L, (a, t) -> a + CASE WHEN t RLIKE '[a-z]' "
+        "THEN 1L ELSE 0L END) AS alpha, "
+        f"size(array_intersect(array_distinct(w), array({stop_list}))) "
+        "AS stop_hits"
+        "))[0]"
+    )
+    out = df.select(
+        F.col(id_col), F.expr(stats).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.n").cast("bigint").alias("n_words"),
+        F.when(F.col("__s.n") > 0, F.expr("__s.chars * 1000 div __s.n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mean_len_q"),
+        F.when(F.col("__s.n") > 0, F.expr("__s.alpha * 1000 div __s.n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("alpha_frac_q"),
+        F.col("__s.stop_hits").cast("bigint").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_len_q") >= min_mean_len_q)
+        & (F.col("mean_len_q") <= max_mean_len_q)
+        & (F.col("alpha_frac_q") >= min_alpha_frac_q)
+        & (F.col("stop_hits") >= min_stop_hits),
+    )
+
+
+def gopher_quality_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len_q: int = 3_000,
+    max_mean_len_q: int = 10_000,
+    min_alpha_frac_q: int = 800,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality` — same integer
+    quantization, same thresholds."""
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split({text_col}, ' '), t -> t <> '') AS w
+  FROM {table}
+),
+st AS (
+  SELECT {id_col},
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(w, t -> length(t))), 0)
+              AS BIGINT) AS chars,
+         CAST(COALESCE(list_sum(list_transform(w,
+              t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0
+              END)), 0) AS BIGINT) AS alpha,
+         CAST(len(list_intersect(list_distinct(w),
+              [{stop_list}])) AS BIGINT) AS stop_hits
+  FROM toks
+)
+SELECT {id_col}, n_words,
+       CASE WHEN n_words > 0
+            THEN CAST(chars * 1000 // n_words AS BIGINT)
+            ELSE 0 END AS mean_len_q,
+       CASE WHEN n_words > 0
+            THEN CAST(alpha * 1000 // n_words AS BIGINT)
+            ELSE 0 END AS alpha_frac_q,
+       stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND (CASE WHEN n_words > 0
+                  THEN chars * 1000 // n_words ELSE 0 END)
+            BETWEEN {min_mean_len_q} AND {max_mean_len_q}
+        AND (CASE WHEN n_words > 0
+                  THEN alpha * 1000 // n_words ELSE 0 END)
+            >= {min_alpha_frac_q}
+        AND stop_hits >= {min_stop_hits}) AS passes
+FROM st
+"""

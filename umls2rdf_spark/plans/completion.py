@@ -341,6 +341,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
+        gopher_quality,
         bm25_topk,
         frequent_tokens,
         score_log_odds,
@@ -482,6 +483,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stays under its closeness test by nature
         fingerprint_section(
             profile_table(docs, exact=True), "profile"
+        ),
+        # composite Gopher-style quality gate: integer-quantized
+        # word/length/alpha/stopword rules, pass verdict engine-exact
+        fingerprint_section(
+            gopher_quality(docs, "doc_id", "text"), "gopher_quality"
         ),
         # hard-negative mining (contrastive-training data op): top-2
         # most-similar DIFFERENT-label vectors per query
@@ -977,6 +983,7 @@ def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
+    from umls2rdf_spark.operators.textstats import gopher_quality_sql
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
         resample_mixture_sql,
@@ -1082,6 +1089,14 @@ def _text_scoring_sql() -> str:
             _BIGRAM_SQL,
             ["doc_id", "n_bigrams", "surprisal_q", "bits_per_bigram"],
             ("bits_per_bigram",),
+        ),
+        fingerprint_sql(
+            "gopher_quality",
+            gopher_quality_sql("documents", "doc_id", "text"),
+            [
+                "doc_id", "n_words", "mean_len_q", "alpha_frac_q",
+                "stop_hits", "passes",
+            ],
         ),
         fingerprint_sql(
             "hard_negatives",
