@@ -135,3 +135,29 @@ def test_image_ahash_non_png_raises(spark):
     )
     with pytest.raises(Exception, match="PNG"):
         image_ahash(df).collect()
+
+
+def test_hamming_pairs_salted_equals_unsalted(spark):
+    """max_bucket block-pair salting must not lose or invent a single
+    pair — including a degenerate bucket where EVERY hash is equal
+    (the skew case the valve exists for)."""
+    rng = random.Random(31)
+    vals = [(i, 0) for i in range(25)]                   # one giant bucket
+    vals += [(100 + i, rng.getrandbits(63)) for i in range(30)]
+    df = spark.createDataFrame(vals, "img_id long, h long")
+    plain = {
+        tuple(r)
+        for r in hamming_near_dup_pairs(
+            df, "img_id", "h", max_hamming=3, bands=4
+        ).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in hamming_near_dup_pairs(
+            df, "img_id", "h", max_hamming=3, bands=4, max_bucket=5
+        ).collect()
+    }
+    assert salted == plain
+    # the degenerate bucket's pairs are all present: 25*24/2
+    zero_pairs = {p for p in plain if p[0] < 100 and p[1] < 100}
+    assert len(zero_pairs) == 300

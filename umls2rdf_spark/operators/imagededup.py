@@ -41,6 +41,7 @@ def hamming_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hash_bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs whose hashes differ in at most
     ``max_hamming`` bits, via banded LSH on ``bands`` equal bit
@@ -48,6 +49,16 @@ def hamming_near_dup_pairs(
     differing in fewer bits than bands must agree on one whole
     band); above that it is the standard recall trade — raise
     ``bands`` for a guarantee.
+
+    ``max_bucket`` is the skew valve for degenerate hash values
+    (blank images all hashing to 0, a boilerplate simhash): a
+    (band, sig) bucket larger than it splits into r = ceil(size /
+    max_bucket) id-hash salt classes and the join runs over the r×r
+    BLOCK-PAIR grid — the left side replicates each row r times as
+    (own salt, k) and the right as (k, own salt), so every pair
+    still meets in EXACTLY one block. Unlike the top-k ops'
+    salting this loses nothing: pair completeness is preserved at
+    the price of r× replication for the oversized buckets only.
 
     Hash values must be non-negative in the low ``hash_bits`` bits
     (aHash emits 63-bit-safe hashes; simhash is 32-bit).
@@ -84,8 +95,38 @@ def hamming_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"),
         "band", "sig",
     )
+    if max_bucket is not None:
+        from umls2rdf_spark.functions.hashing import stable_hash40
+
+        counts = ex.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        nsplit = F.expr(f"(__cnt + {max_bucket} - 1) div {max_bucket}")
+        salted = (
+            ex.join(F.broadcast(counts), ["band", "sig"])
+            .withColumn("__r", nsplit.cast("int"))
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    stable_hash40(F.col(id_col).cast("string")),
+                    F.col("__r"),
+                ).cast("int"),
+            )
+        )
+        ks = F.explode(F.sequence(F.lit(0), F.col("__r") - 1)).alias("__k")
+        a = salted.select(
+            F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"),
+            "band", "sig", F.col("__salt").alias("__bi"), ks,
+        ).withColumnRenamed("__k", "__bj")
+        b = salted.select(
+            F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"),
+            "band", "sig", F.col("__salt").alias("__bj"), ks,
+        ).withColumnRenamed("__k", "__bi")
+        join_keys = ["band", "sig", "__bi", "__bj"]
+    else:
+        join_keys = ["band", "sig"]
     cand = (
-        a.join(b, ["band", "sig"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
