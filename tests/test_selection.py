@@ -722,6 +722,9 @@ def test_gopher_quality_rules(spark):
         (3, " ".join(["123"] * 30)),            # no alpha, no stops
         (4, " ".join(["token"] * 30)),          # no stopwords
         (5, ""),                                # empty
+        (6, " ".join(["USA", "NATO", "GDP"] * 10)),   # uppercase-only
+        (7, good.replace(" ", "\n", 5).replace(" ", "\t", 5)),
+        (8, "The " + good),                     # capitalized stopword
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
@@ -731,6 +734,14 @@ def test_gopher_quality_rules(spark):
     assert got[4]["passes"] is False and got[4]["stop_hits"] == 0
     assert got[5]["passes"] is False and got[5]["n_words"] == 0
     assert got[5]["mean_len_q"] == 0  # guarded division
+    # acronyms are alphabetic: the (?i) rule — fails only on stopwords
+    assert got[6]["alpha_frac_q"] == 1000 and got[6]["stop_hits"] == 0
+    # newline/tab separators tokenize exactly like spaces
+    assert got[7]["n_words"] == got[1]["n_words"]
+    assert got[7]["mean_len_q"] == got[1]["mean_len_q"]
+    # "The" counts as the stopword "the"
+    assert got[8]["stop_hits"] >= got[1]["stop_hits"]
+    assert got[8]["passes"] is True
 
 
 def test_gopher_quality_matches_oracle(spark, duck):

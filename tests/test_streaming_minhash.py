@@ -118,3 +118,62 @@ def test_matches_batch_operator_per_epoch(spark, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.collect()) == sorted(
         r["doc_id"] for r in expected.collect()
     )
+
+
+# ── fail-closed standing-state reads ────────────────────────────────
+def test_read_standing_state_missing_path_is_none(spark, tmp_path):
+    from umls2rdf_spark.streaming.events import read_standing_state
+
+    assert read_standing_state(spark, str(tmp_path / "nope")) is None
+
+
+def test_read_standing_state_corrupt_state_fails_closed(spark, tmp_path):
+    """A standing-state dir that EXISTS but cannot be read (corrupt
+    footer — the stand-in for any transient storage failure) must
+    raise, not silently degrade to 'no state': degrading would admit
+    every near-duplicate in the batch."""
+    import pytest
+
+    from umls2rdf_spark.streaming.events import read_standing_state
+
+    bad = tmp_path / "corpus"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception):
+        read_standing_state(spark, str(bad))
+
+
+def test_ingest_fails_batch_on_corrupt_standing_state(spark, tmp_path):
+    """End-to-end: corrupt the standing corpus between two runs; the
+    next micro-batch must FAIL (so the checkpoint will retry it)
+    instead of admitting duplicates against an empty base."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt_dir = str(tmp_path / "ckpt")
+    _write_shard(spark, f"{in_dir}/s1.parquet", [(1, BASE_TEXT)])
+    _run(spark, in_dir, state_dir, ckpt_dir)
+
+    # corrupt the standing corpus, then feed a new shard holding an
+    # exact duplicate of the admitted doc
+    import glob
+    import os
+
+    for f in glob.glob(f"{state_dir}/corpus/**/*.parquet",
+                       recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"PAR1 garbage")
+    _write_shard(spark, f"{in_dir}/s2.parquet", [(2, BASE_TEXT)])
+    with pytest.raises((StreamingQueryException, Exception)):
+        _run(spark, in_dir, state_dir, ckpt_dir)
+    # and the duplicate was NOT admitted anywhere under batch_id=1
+    admitted_dirs = [
+        d for d in glob.glob(f"{state_dir}/corpus/batch_id=*")
+        if os.path.isdir(d)
+    ]
+    for d in admitted_dirs:
+        if d.endswith("batch_id=1"):
+            files = glob.glob(f"{d}/*.parquet")
+            assert not files, "duplicate admitted despite corrupt base"

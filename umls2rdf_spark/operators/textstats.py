@@ -756,6 +756,12 @@ def gopher_quality(
     repetition_ratio (C16); the perplexity-flavored ones in the
     surprisal ops.
 
+    Tokenization splits on WHITESPACE RUNS (``\\s+``), so multi-line
+    and tab-separated documents tokenize the same as space-separated
+    ones; "alphabetic" is case-insensitive (``[A-Za-z]`` — "USA NATO
+    GDP" is fully alphabetic) and stopwords match against lowercased
+    tokens, per the published rules.
+
     Engine-exactness: every ratio is an integer — mean word length
     and alpha fraction are ``x * 1000 div n_words`` (exact integer
     division, identical in Spark and DuckDB) — so the pass verdict
@@ -767,7 +773,7 @@ def gopher_quality(
     passes).
     """
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
     # bind the token array once as a lambda variable (the
     # CollapseProject rule: chained selects would re-split per
     # consumer)
@@ -775,9 +781,10 @@ def gopher_quality(
         f"transform(array({toks}), w -> struct("
         "size(w) AS n, "
         "aggregate(w, 0L, (a, t) -> a + length(t)) AS chars, "
-        "aggregate(w, 0L, (a, t) -> a + CASE WHEN t RLIKE '[a-z]' "
+        "aggregate(w, 0L, (a, t) -> a + CASE WHEN t RLIKE '[A-Za-z]' "
         "THEN 1L ELSE 0L END) AS alpha, "
-        f"size(array_intersect(array_distinct(w), array({stop_list}))) "
+        "size(array_intersect(array_distinct(transform(w, t -> lower(t))), "
+        f"array({stop_list}))) "
         "AS stop_hits"
         "))[0]"
     )
@@ -824,7 +831,8 @@ def gopher_quality_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col},
-         list_filter(string_split({text_col}, ' '), t -> t <> '') AS w
+         list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                     t -> t <> '') AS w
   FROM {table}
 ),
 st AS (
@@ -833,9 +841,10 @@ st AS (
          CAST(COALESCE(list_sum(list_transform(w, t -> length(t))), 0)
               AS BIGINT) AS chars,
          CAST(COALESCE(list_sum(list_transform(w,
-              t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0
+              t -> CASE WHEN regexp_matches(t, '[A-Za-z]') THEN 1 ELSE 0
               END)), 0) AS BIGINT) AS alpha,
-         CAST(len(list_intersect(list_distinct(w),
+         CAST(len(list_intersect(list_distinct(list_transform(w,
+              t -> lower(t))),
               [{stop_list}])) AS BIGINT) AS stop_hits
   FROM toks
 )

@@ -13,6 +13,7 @@ one state row per user and emits deltas per micro-batch.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -173,7 +174,13 @@ def sessionize_stateful(
                 ser = pd.to_datetime(pd.concat(parts))
                 if getattr(ser.dt, "tz", None) is not None:
                     ser = ser.dt.tz_localize(None)
-                for v in ser.astype("datetime64[us]").astype("int64"):
+                # normalize to ns first (pandas 2.x may carry a
+                # non-ns unit; pandas 1.x is always ns and lacks
+                # as_unit / the datetime64[us] astype), then int64
+                # ns // 1000 → µs on both major versions
+                if hasattr(ser.dt, "as_unit"):
+                    ser = ser.dt.as_unit("ns")
+                for v in ser.astype("int64") // 1000:
                     t = int(v)
                     if t >= wm_us:  # beyond-lateness rows are dropped
                         intervals.append([t, t, 1])
@@ -507,6 +514,33 @@ def streaming_incremental_dedupe(
     return fresh.dropDuplicates(["__fp"]).drop("__fp")
 
 
+def read_standing_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a standing-state table, returning None ONLY when the path
+    does not exist yet (first batch) or exists but holds no data files
+    (a checkpoint-created empty directory). Any OTHER failure — a
+    transient storage error, a permissions blip, a corrupt footer —
+    propagates and FAILS the micro-batch so the checkpoint retries it.
+    Swallowing those would silently dedupe the batch against nothing
+    and admit every near-duplicate (fail-open corruption)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        probe = getattr(
+            e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+        )
+        err = probe() or ""
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in err
+            or "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in err
+            or "Unable to infer schema" in msg
+        ):
+            return None
+        raise
+
+
 def run_incremental_minhash_ingest(
     docs_stream: DataFrame,
     state_dir: str,
@@ -554,15 +588,20 @@ def run_incremental_minhash_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         empty = batch_df.limit(0)
-        try:
-            base = spark.read.parquet(corpus_dir).where(
-                F.col("batch_id") != batch_id
-            ).drop("batch_id")
-            index = spark.read.parquet(index_dir).where(
-                F.col("batch_id") != batch_id
-            ).drop("batch_id")
-        except Exception:  # first batch: no standing state yet
+        base_raw = read_standing_state(spark, corpus_dir)
+        if base_raw is None:  # first batch: no standing state yet
             base, index = empty, None
+        else:
+            base = base_raw.where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
+            index_raw = read_standing_state(spark, index_dir)
+            index = (
+                index_raw.where(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+                if index_raw is not None
+                else None
+            )
         admitted = incremental_minhash_dedupe(
             batch_df, base, id_col, text_col,
             num_perm=num_perm, shingle_n=shingle_n,
