@@ -98,13 +98,22 @@ def hamming_near_dup_pairs(
     if max_bucket is not None:
         from umls2rdf_spark.functions.hashing import stable_hash40
 
-        counts = ex.groupBy("band", "sig").agg(
-            F.count(F.lit(1)).alias("__cnt")
+        # Broadcast only the OVERSIZED buckets: the (band, sig)
+        # domain is 2^(hash_bits/bands) (2^32 at bands=2), so the
+        # full counts frame can approach corpus size; buckets above
+        # max_bucket are few by definition. Un-split buckets take
+        # __r = 1 via the left join's null.
+        counts = (
+            ex.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") > max_bucket)
         )
         nsplit = F.expr(f"(__cnt + {max_bucket} - 1) div {max_bucket}")
         salted = (
-            ex.join(F.broadcast(counts), ["band", "sig"])
-            .withColumn("__r", nsplit.cast("int"))
+            ex.join(F.broadcast(counts), ["band", "sig"], "left")
+            .withColumn(
+                "__r", F.coalesce(nsplit.cast("int"), F.lit(1))
+            )
             .withColumn(
                 "__salt",
                 F.pmod(

@@ -76,7 +76,15 @@ def spread_small_input(
             return df
     except Exception:
         pass  # fall through to the partition-count check
-    if df.rdd.getNumPartitions() >= min_parallelism:
-        return df
     key_col = key if isinstance(key, Column) else F.col(key)
+    try:
+        if df.rdd.getNumPartitions() >= min_parallelism:
+            return df
+    except Exception:
+        # No RDD bridge (Spark Connect) and no analyzed-plan probe
+        # either: we cannot observe the layout, so degrade to the
+        # always-spread behavior — correct everywhere, and the only
+        # choice that can't serialize a single-split local read onto
+        # one core.
+        return df.repartition(key_col)
     return df.repartition(key_col)
