@@ -161,3 +161,85 @@ def test_hamming_pairs_salted_equals_unsalted(spark):
     # the degenerate bucket's pairs are all present: 25*24/2
     zero_pairs = {p for p in plain if p[0] < 100 and p[1] < 100}
     assert len(zero_pairs) == 300
+
+
+def test_image_ahash_permissive_quarantine(spark):
+    """Mixed PNG/garbage corpus under PERMISSIVE: the job completes,
+    good rows hash, bad rows land with ahash null and the decode
+    error in _corrupt_record (keep_corrupt=True), and the default
+    drops them after being countable — the D5 reader contract on the
+    media path."""
+    img = [[(x + y) % 256 for x in range(10)] for y in range(10)]
+    rows = [
+        (1, make_png(img), ("image/png", "t")),
+        (2, b"JPEGJUNK", ("image/jpeg", "t")),
+        (3, None, ("image/png", "t")),
+        (4, make_png(img), ("image/png", "t")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<mime:string,source:string>",
+    )
+    kept = image_ahash(df, mode="PERMISSIVE").collect()
+    assert {r["media_id"] for r in kept} == {1, 4}
+    assert all(r["ahash"] is not None for r in kept)
+
+    full = image_ahash(df, mode="PERMISSIVE", keep_corrupt=True).collect()
+    by_id = {r["media_id"]: r for r in full}
+    assert len(full) == 4
+    assert by_id[1]["_corrupt_record"] is None
+    assert by_id[2]["ahash"] is None
+    assert "PNG" in by_id[2]["_corrupt_record"]
+    assert by_id[3]["ahash"] is None
+    assert by_id[1]["ahash"] == by_id[4]["ahash"]
+
+
+def test_image_near_dup_groups_permissive_singletons(spark):
+    """PERMISSIVE grouping: quarantined ids never pair but stay in
+    the output as their own singleton groups."""
+    img_a = [[(x * 3 + y) % 256 for x in range(12)] for y in range(12)]
+    rows = [
+        (1, make_png(img_a), ("image/png", "t")),
+        (2, make_png(img_a), ("image/png", "t")),
+        (3, b"NOTAPNG", ("image/jpeg", "t")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<mime:string,source:string>",
+    )
+    groups = {
+        r["media_id"]: r["group_id"]
+        for r in image_near_dup_groups(
+            df, max_hamming=3, mode="PERMISSIVE"
+        ).collect()
+    }
+    assert set(groups) == {1, 2, 3}
+    assert groups[1] == groups[2]
+    assert groups[3] != groups[1]
+
+
+def test_resize_images_permissive_quarantine(spark):
+    """resize PERMISSIVE keeps every row: good blobs re-encode, bad
+    blobs carry null content + the decode error."""
+    from umls2rdf_spark.operators.multimodal import resize_images
+
+    img = [[(x * 2 + y) % 256 for x in range(8)] for y in range(8)]
+    df = spark.createDataFrame(
+        [(1, make_png(img), ("image/png", "t")),
+         (2, b"GARBAGE", ("image/jpeg", "t"))],
+        "media_id long, content binary, "
+        "meta struct<mime:string,source:string>",
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            df, 4, 4, image_module=None, mode="PERMISSIVE"
+        ).collect()
+    }
+    assert len(out) == 2
+    assert out[1]["content"] is not None
+    assert out[1]["_corrupt_record"] is None
+    assert out[2]["content"] is None
+    assert "PNG" in out[2]["_corrupt_record"]

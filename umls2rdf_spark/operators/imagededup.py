@@ -202,45 +202,87 @@ def _ahash_int(gray) -> int:
     return int((bits << np.arange(64)).sum())
 
 
-def image_ahash(df: DataFrame, id_col: str = "media_id",
-                content_col: str = "content") -> DataFrame:
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    mode: str = "FAILFAST",
+    keep_corrupt: bool = False,
+) -> DataFrame:
     """(id, ahash): 8x8 average perceptual hash per image, Arrow-
-    batched. Stdlib PNG decode (NotImplementedError for other
-    formats — same contract as resize_images); 63-bit positive
-    hashes, deterministic."""
+    batched. Stdlib PNG decode; 63-bit positive hashes,
+    deterministic.
+
+    ``mode`` follows the D5 reader contract (sources/text.py):
+
+    - ``FAILFAST`` (default): any undecodable blob fails the job —
+      the strict contract for pipelines that must not lose media.
+    - ``PERMISSIVE``: a bad blob becomes data, not job death — its
+      row lands with ``ahash`` null and the decode error in
+      ``_corrupt_record``. By default corrupt rows are then dropped
+      AFTER being countable; ``keep_corrupt=True`` returns them for
+      quarantine/inspection (filter ``_corrupt_record IS NOT
+      NULL``). At 100 TB a corpus WILL contain truncated and
+      mislabeled bytes; one of them must not kill a million-image
+      hash job.
+    """
     from umls2rdf_spark.operators.spread import spread_small_input
+    from umls2rdf_spark.sources.text import CORRUPT_COL
+
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE: {mode}")
+    permissive = mode == "PERMISSIVE"
 
     def hash_batches(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids, hs = [], []
+            ids, hs, errs = [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                hs.append(_ahash_int(_png.decode_png_gray(b)))
+                if permissive:
+                    try:
+                        h = _ahash_int(_png.decode_png_gray(b))
+                        err = None
+                    except Exception as e:
+                        h = None
+                        err = f"{type(e).__name__}: {e}"
+                else:
+                    h = _ahash_int(_png.decode_png_gray(b))
+                    err = None
                 ids.append(mid)
-            yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
-                 "ahash": pd.Series(hs, dtype="int64")}
-            )
+                hs.append(h)
+                errs.append(err)
+            out = {
+                id_col: pd.Series(ids, dtype="int64"),
+                "ahash": pd.Series(hs, dtype="Int64"),
+            }
+            if permissive:
+                out[corrupt_col] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
 
     from pyspark import cloudpickle
 
     import umls2rdf_spark.operators.imagededup as _selfmod
 
+    corrupt_col = CORRUPT_COL
     src = spread_small_input(df.select(id_col, content_col), id_col)
+    schema = f"{id_col} long, ahash long"
+    if permissive:
+        schema += f", {CORRUPT_COL} string"
     # modules shipped by value: the worker closure calls _ahash_int
     # (this module) and png.decode_png_gray, and executor pythons may
     # not have the repo on sys.path (same pattern as operators/pq.py)
     cloudpickle.register_pickle_by_value(_selfmod)
     cloudpickle.register_pickle_by_value(_png)
     try:
-        return src.mapInPandas(
-            hash_batches, schema=f"{id_col} long, ahash long"
-        )
+        hashed = src.mapInPandas(hash_batches, schema=schema)
     finally:
         cloudpickle.unregister_pickle_by_value(_png)
         cloudpickle.unregister_pickle_by_value(_selfmod)
+    if permissive and not keep_corrupt:
+        return hashed.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return hashed
 
 
 def image_near_dup_groups(
@@ -249,14 +291,21 @@ def image_near_dup_groups(
     content_col: str = "content",
     max_hamming: int = 3,
     bands: int = 4,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """(id, group_id) for every image, where near-duplicate images
     (aHash Hamming <= max_hamming, transitively closed) share the
     min-id representative — aHash -> banded Hamming pairs ->
-    connected components, the image twin of dedup_clusters."""
+    connected components, the image twin of dedup_clusters.
+
+    ``mode="PERMISSIVE"`` quarantines undecodable blobs out of the
+    hash/pair stages (image_ahash contract) instead of failing the
+    job; quarantined ids still appear in the output as their own
+    singleton groups — an image nobody could decode is nobody's
+    near-duplicate, but it is still in the corpus."""
     from umls2rdf_spark.operators.dedup import connected_components
 
-    hashes = image_ahash(df, id_col, content_col)
+    hashes = image_ahash(df, id_col, content_col, mode=mode)
     pairs = hamming_near_dup_pairs(
         hashes, id_col, "ahash", max_hamming=max_hamming, bands=bands
     )

@@ -127,6 +127,7 @@ def resize_images(
     height: int,
     fmt: str = "PNG",
     image_module=None,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Decode → resize → re-encode an image binary column, Arrow-
     batched via mapInPandas. Uses PIL imported ON THE WORKER when
@@ -147,7 +148,17 @@ def resize_images(
     Nearest-neighbor mapping (stdlib path): source index =
     ``(dst_index * src_len) // dst_len`` — the floor map, exact in
     integers, deterministic everywhere.
+
+    ``mode="PERMISSIVE"`` (D5 reader contract): an undecodable blob
+    becomes a row with ``content`` null and the error in
+    ``_corrupt_record`` instead of failing the job — the media
+    output itself is the deliverable, so corrupt rows are KEPT for
+    quarantine, never silently dropped.
     """
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE: {mode}")
+    permissive = mode == "PERMISSIVE"
+    corrupt_col = "_corrupt_record"
     df = spread_small_input(df, "media_id")
 
     def resize(batches):
@@ -175,26 +186,36 @@ def resize_images(
                 from PIL import Image  # type: ignore[no-redef]
             except Exception:
                 Image = None
+        def one(b: bytes) -> bytes:
+            if Image is None:
+                return stdlib_resize(b)
+            img = Image.open(io.BytesIO(b))
+            resized = img.resize((width, height))
+            buf = io.BytesIO()
+            resized.save(buf, format=fmt)
+            return buf.getvalue()
+
         for pdf in batches:
-            ids, blobs = [], []
+            ids, blobs, errs = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                if Image is None:
-                    blob = stdlib_resize(b)
+                if permissive:
+                    try:
+                        blob, err = one(b), None
+                    except Exception as e:
+                        blob, err = None, f"{type(e).__name__}: {e}"
                 else:
-                    img = Image.open(io.BytesIO(b))
-                    resized = img.resize((width, height))
-                    buf = io.BytesIO()
-                    resized.save(buf, format=fmt)
-                    blob = buf.getvalue()
+                    blob, err = one(b), None
                 ids.append(mid)
                 blobs.append(blob)
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "content": blobs,
-                }
-            )
+                errs.append(err)
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "content": blobs,
+            }
+            if permissive:
+                out[corrupt_col] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
 
     # the shared stdlib codec (functions/png.py) is shipped BY VALUE
     # around the call — workers need neither PIL nor the repo on
@@ -202,11 +223,12 @@ def resize_images(
     # mapInPandas call because UDFs pickle at plan construction)
     from pyspark import cloudpickle
 
+    out_schema = "media_id long, content binary"
+    if permissive:
+        out_schema += f", {corrupt_col} string"
     cloudpickle.register_pickle_by_value(_png)
     try:
-        return df.mapInPandas(
-            resize, schema="media_id long, content binary"
-        )
+        return df.mapInPandas(resize, schema=out_schema)
     finally:
         cloudpickle.unregister_pickle_by_value(_png)
 
