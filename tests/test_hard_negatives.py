@@ -1,0 +1,120 @@
+"""Bucketed (LSH) hard-negative mining vs the exact broadcast
+baseline (similarity.py hard_negative_topk / hard_negative_topk_lsh).
+
+The exact form is the oracle: every LSH property here is stated
+relative to it — full-coverage degeneration, monotone recall in
+nprobe, score agreement on returned pairs, and the label/self
+predicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from umls2rdf_spark.operators.similarity import (
+    hard_negative_topk,
+    hard_negative_topk_lsh,
+)
+
+
+def _pairs(rows):
+    return {(r.query_id, r.neighbor_id) for r in rows}
+
+
+def _exact(spark, emb, k=2):
+    return hard_negative_topk(
+        emb, emb, "vec_id", "embedding", "label", k=k
+    ).collect()
+
+
+def test_full_probe_degenerates_to_exact(spark):
+    """planes=1 splits the corpus into 2 buckets; nprobe=2 probes
+    both, so every query sees the whole corpus and the bucketed
+    miner must return EXACTLY the exact baseline's rows — ranks,
+    ids, and cosines."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in _exact(spark, emb)
+    )
+    lsh = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in hard_negative_topk_lsh(
+            emb, "vec_id", "embedding", "label", k=2, planes=1, nprobe=2
+        ).collect()
+    )
+    assert lsh == exact
+
+
+def test_recall_monotone_in_nprobe(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact_set = _pairs(_exact(spark, emb))
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = _pairs(
+            hard_negative_topk_lsh(
+                emb, "vec_id", "embedding", "label",
+                k=2, planes=5, nprobe=nprobe,
+            ).collect()
+        )
+        recalls.append(len(got & exact_set) / len(exact_set))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > 0
+
+
+def test_label_and_self_predicates_and_score_agreement(spark):
+    """Every returned pair is non-self and different-label, and its
+    cosine equals the exact scorer's cosine for the same pair (the
+    bucket restricts candidates, never changes scores)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lab = dict(
+        emb.select("vec_id", "label").rdd.map(tuple).collect()
+    )
+    # exact all-pairs scores at a large k so every LSH pair appears
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in hard_negative_topk(
+            emb, emb, "vec_id", "embedding", "label", k=500
+        ).collect()
+    }
+    rows = hard_negative_topk_lsh(
+        emb, "vec_id", "embedding", "label", k=2, planes=5, nprobe=2
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert lab[r.query_id] != lab[r.neighbor_id]
+        assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+
+
+def test_separate_query_frame(spark):
+    """Corpus-resident / query-probe split: only query ids emit
+    rows, corpus rows never mine, and predicates hold."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 40)
+    rows = hard_negative_topk_lsh(
+        emb, "vec_id", "embedding", "label",
+        k=2, planes=4, nprobe=2, queries=qs,
+    ).collect()
+    assert rows
+    assert {r.query_id for r in rows} <= set(range(40))
+    lab = dict(emb.select("vec_id", "label").rdd.map(tuple).collect())
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert lab[r.query_id] != lab[r.neighbor_id]
+
+
+def test_adaptive_planes_path(spark):
+    """planes=None sizes the bucket space from the corpus and still
+    returns well-formed, predicate-respecting rows."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = hard_negative_topk_lsh(
+        emb, "vec_id", "embedding", "label", k=2, planes=None,
+        known_n=500,
+    ).collect()
+    assert rows
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -48,6 +48,7 @@ def test_noop_on_explicit_repartition(spark):
 def _ops(spark):
     from umls2rdf_spark.operators.similarity import (
         cosine_near_dup_pairs,
+        hard_negative_topk_lsh,
         ivf_cosine_topk,
     )
 
@@ -70,6 +71,11 @@ def _ops(spark):
             d, "vec_id", "embedding", k=3, planes=4, nprobe=3), 3),
         (emb, lambda d: ivf_cosine_topk(
             d, "vec_id", "embedding", k=3, cells=8, nprobe=2), 3),
+        # bucketed hard-negative mining: featurize + bucket topk +
+        # global re-rank
+        (emb, lambda d: hard_negative_topk_lsh(
+            d, "vec_id", "embedding", "label", k=2, planes=4,
+            nprobe=2), 3),
     ]
 
 

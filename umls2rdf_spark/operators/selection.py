@@ -23,7 +23,6 @@ def select_to_token_budget(
     score_col: str,
     budget: int,
     shards: int = 64,
-    persist: bool = True,
 ) -> DataFrame:
     """Greedy quality-first corpus selection under a global token
     budget: admit documents in (score DESC, shard, id) order while
@@ -70,18 +69,6 @@ def select_to_token_budget(
     local = base.withColumn(
         "__cum", F.sum(F.col(ntok_col).cast("bigint")).over(w_local)
     )
-    if persist:
-        # the totals branch and the output branch both read this
-        # frame; without the persist each recomputes the upstream
-        # pipeline (same rationale as pack_sequences). The cache is
-        # held as long as the returned frame is live — the operator
-        # cannot unpersist what its lazy output still reads; callers
-        # owning long-lived sessions clear between corpora with
-        # spark.catalog.clearCache(), or pass persist=False to trade
-        # a recompute for zero cache residency.
-        from pyspark import StorageLevel
-
-        local = local.persist(StorageLevel.MEMORY_AND_DISK)
     totals = local.groupBy(score_col, "__shard").agg(
         F.max("__cum").alias("__tot")
     )
@@ -94,7 +81,19 @@ def select_to_token_budget(
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
     ).select(score_col, "__shard", "__off")
-    out = local.join(F.broadcast(offs), [score_col, "__shard"])
+    # The offsets frame is bounded (|distinct scores| x shards — the
+    # distinct-count-value argument), so it is collected EAGERLY and
+    # shipped back as a literal broadcast frame. The corpus-sized
+    # local frame is then read by exactly one job — the output — so
+    # nothing is persisted: round 5 cached it MEMORY_AND_DISK for
+    # the life of the session, i.e. a full corpus copy in executor
+    # storage per call. Two streaming passes over the upstream beat
+    # a corpus-sized spill + an unreleasable cache at 100 TB; a
+    # caller who wants one pass persists the INPUT with an owned
+    # lifecycle (operators/caching.CacheScope).
+    spark = df.sparkSession
+    offs_lit = spark.createDataFrame(offs.collect(), offs.schema)
+    out = local.join(F.broadcast(offs_lit), [score_col, "__shard"])
     return out.where(
         F.col("__off") + F.col("__cum") <= F.lit(int(budget))
     ).select(*df.columns)
@@ -264,7 +263,6 @@ def epoch_shuffle(
     id_col: str,
     seed: int = 0,
     buckets: int = 4096,
-    persist: bool = True,
 ) -> DataFrame:
     """Deterministic training-order shuffle: every row's global
     position under the pseudorandom order (stable_hash40(seed|id),
@@ -293,13 +291,6 @@ def epoch_shuffle(
     base = df.withColumn("__hk", hkey).withColumn(
         "__b", F.expr(f"__hk div {width}").cast("int")
     )
-    if persist:
-        # same cache-residency stance as select_to_token_budget:
-        # held while the lazy output is live; clearCache() between
-        # corpora or persist=False to opt out
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -307,9 +298,16 @@ def epoch_shuffle(
     offs = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
     ).select("__b", "__off")
+    # <= buckets rows — collected eagerly so the corpus-sized base
+    # frame feeds exactly one job and needs no persist (same
+    # zero-residency trade as select_to_token_budget: the per-epoch
+    # call in a long-lived training session must not accumulate
+    # corpus-sized caches)
+    spark = df.sparkSession
+    offs_lit = spark.createDataFrame(offs.collect(), offs.schema)
     w_rank = Window.partitionBy("__b").orderBy("__hk", id_col)
     return (
-        base.join(F.broadcast(offs), "__b")
+        base.join(F.broadcast(offs_lit), "__b")
         .withColumn(
             "epoch_pos",
             (F.col("__off") + F.row_number().over(w_rank) - 1)

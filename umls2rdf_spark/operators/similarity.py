@@ -203,6 +203,203 @@ def hard_negative_topk(
     return _rank_topk(scored, k)
 
 
+def hard_negative_topk_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 2,
+    planes: int | None = 4,
+    dim: int = 64,
+    nprobe: int = 1,
+    target_bucket: int = 8,
+    known_n: int | None = None,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Bucketed hard-negative mining — the scale form of
+    :func:`hard_negative_topk` for its realistic corpus-as-queries
+    workload, where the exact broadcast scorer is O(n²).
+
+    Same hyperplane machinery as :func:`lsh_cosine_topk`: vectors
+    bucket by sign bits (map-side, zero shuffles), scoring runs
+    per-bucket (int64 matmul, exact quantized cosine) with the
+    DIFFERENT-label predicate applied as a mask inside the kernel,
+    and a global window re-ranks the per-bucket winners. Per-bucket
+    pair work is ~n x target_bucket instead of n², and the only
+    shuffle is the featurized (id, label, qvec, norm2) frame.
+
+    - ``queries=None`` (default): every corpus vector mines its own
+      negatives — the contrastive-training shape.
+    - ``queries=<frame>``: corpus vectors are residents only; query
+      vectors probe buckets without joining the corpus side.
+    - ``nprobe`` is the recall lever, exactly as in
+      :func:`lsh_cosine_topk`: each query additionally probes the
+      nprobe-1 buckets reached by flipping its lowest-|margin| sign
+      bits. Corpus residency stays single-bucket, so a (query,
+      neighbor) pair is scored at most once and recall is monotone
+      in nprobe (property-tested).
+
+    The exact :func:`hard_negative_topk` stays as the oracle-able
+    baseline, like cosine_topk beside lsh_cosine_topk; recall-vs-
+    exact calibration lives in SCALE.md.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), ties broken by
+    neighbor id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if planes is None:
+        planes = auto_planes(_corpus_n(vectors, known_n), target_bucket)
+    nprobe = max(1, min(nprobe, planes + 1))
+    coeff = hyperplane_bucket_expr(dim, planes)
+    plane_mat = np.array(
+        [[coeff(i, j) for j in range(dim)] for i in range(planes)],
+        dtype=np.int64,
+    )
+    feat_schema = (
+        f"{id_col} long, lab string, qvec array<long>, norm2 long, "
+        "bucket int, is_corpus boolean, is_query boolean"
+    )
+
+    # NOTE: closures fully self-contained (locals + numpy/pandas
+    # only) — cloudpickle must ship them by value; see
+    # lsh_cosine_topk.
+    def make_featurize(as_corpus: bool, as_query: bool, probes: int):
+        def featurize(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf[vec_col].values).astype(np.float64)
+                Y = V * 1000
+                # round half away from zero — matches Spark/DuckDB
+                # round(), NOT numpy's banker's rounding
+                q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(
+                    np.int64
+                )
+                norm2 = (q * q).sum(axis=1)
+                sign_dots = q @ plane_mat.T
+                bucket = (
+                    ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
+                ).astype(np.int64)
+                base = {
+                    id_col: pdf[id_col].values,
+                    "lab": pdf["lab"].values,
+                    "qvec": list(q),
+                    "norm2": norm2,
+                }
+                frames = [
+                    pd.DataFrame(
+                        {
+                            **base,
+                            "bucket": bucket.astype(np.int32),
+                            "is_corpus": as_corpus,
+                            "is_query": as_query,
+                        }
+                    )
+                ]
+                if probes > 1:
+                    flip_order = np.argsort(
+                        np.abs(sign_dots), axis=1, kind="stable"
+                    )
+                    for j in range(probes - 1):
+                        flipped = bucket ^ (1 << flip_order[:, j])
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    **base,
+                                    "bucket": flipped.astype(np.int32),
+                                    "is_corpus": False,
+                                    "is_query": True,
+                                }
+                            )
+                        )
+                yield pd.concat(frames, ignore_index=True)
+
+        return featurize
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(label_col).cast("string").alias("lab"),
+            F.col(vec_col),
+        )
+
+    if queries is None:
+        feat = spread_small_input(prep(vectors), id_col).mapInPandas(
+            make_featurize(True, True, nprobe), schema=feat_schema
+        )
+    else:
+        cfeat = spread_small_input(prep(vectors), id_col).mapInPandas(
+            make_featurize(True, False, 1), schema=feat_schema
+        )
+        qfeat = prep(queries).mapInPandas(
+            make_featurize(False, True, nprobe), schema=feat_schema
+        )
+        feat = cfeat.unionByName(qfeat)
+    local = feat.groupBy("bucket").applyInPandas(
+        _labeled_topk_fn(id_col, k),
+        schema="query_id long, neighbor_id long, cos double",
+    )
+    return _rank_topk(local, k)
+
+
+def _labeled_topk_fn(id_col: str, k: int):
+    """Per-bucket hard-negative kernel: rows tagged is_corpus are
+    the bucket's residents, rows tagged is_query mine against them;
+    same-id and SAME-label pairs are masked out; exact int64 dots,
+    deterministic (cos desc, neighbor id asc) ordering. Closure over
+    plain locals so cloudpickle ships it by value."""
+    import numpy as np
+    import pandas as pd
+
+    def hn_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        corpus = pdf[pdf["is_corpus"]]
+        qs = pdf[pdf["is_query"]]
+        if len(corpus) == 0 or len(qs) == 0:
+            return empty
+        q = np.vstack(qs["qvec"].values).astype(np.int64)
+        c = np.vstack(corpus["qvec"].values).astype(np.int64)
+        qids = qs[id_col].values.astype(np.int64)
+        cids = corpus[id_col].values.astype(np.int64)
+        cos = (q @ c.T) / np.sqrt(
+            np.outer(
+                qs["norm2"].values.astype(np.float64),
+                corpus["norm2"].values.astype(np.float64),
+            )
+        )
+        cos[qids[:, None] == cids[None, :]] = -np.inf
+        cos[
+            qs["lab"].values[:, None] == corpus["lab"].values[None, :]
+        ] = -np.inf
+        rows = []
+        kk = min(k, len(cids))
+        for i in range(len(qids)):
+            order = np.lexsort((cids, -cos[i]))[:kk]
+            keep = cos[i][order] > -np.inf
+            if not keep.any():
+                continue
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[i],
+                        "neighbor_id": cids[order[keep]],
+                        "cos": cos[i][order[keep]],
+                    }
+                )
+            )
+        if not rows:
+            return empty
+        return pd.concat(rows, ignore_index=True)
+
+    return hn_topk
+
+
 def hyperplane_bucket_expr(dim: int, planes: int):
     """Deterministic pseudo-random hyperplanes: component j of plane
     i is md5-derived (engine-neutral — the same constants are inlined

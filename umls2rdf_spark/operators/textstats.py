@@ -393,6 +393,7 @@ def unigram_surprisal(
     id_col: str,
     text_col: str,
     quant_bits: int = 20,
+    cache=None,
 ) -> DataFrame:
     """Per-document unigram cross-entropy against the corpus's own
     unigram distribution — the statistical language-model quality
@@ -428,13 +429,18 @@ def unigram_surprisal(
     occ = df.select(F.col(id_col), F.explode(toks).alias("token"))
     # persisted: three consumers (total, distinct counts, the score
     # join) would otherwise each re-tokenize the whole corpus; the
-    # cached frame is vocabulary-sized, not corpus-sized
-    from pyspark import StorageLevel
+    # cached frame is vocabulary-sized, not corpus-sized. Lifecycle:
+    # an explicit CacheScope when the caller passes one, else the
+    # latest-call-only default (operators/caching.py) — repeated
+    # calls in a long-lived session hold at most one invocation's
+    # cache instead of growing without bound.
+    from umls2rdf_spark.operators.caching import op_scope
 
-    counts = (
-        occ.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    scope = cache if cache is not None else op_scope(
+        df.sparkSession, "unigram_surprisal"
+    )
+    counts = scope.persist(
+        occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("total")).collect()[0]["total"]
     if not total:
@@ -627,6 +633,7 @@ def bigram_surprisal(
     id_col: str,
     text_col: str,
     quant_bits: int = 20,
+    cache=None,
 ) -> DataFrame:
     """Per-document bigram cross-entropy against the corpus's own
     bigram LM — the context-sensitive upgrade of
@@ -657,8 +664,11 @@ def bigram_surprisal(
     """
     import math
 
-    from pyspark import StorageLevel
+    from umls2rdf_spark.operators.caching import op_scope
 
+    scope = cache if cache is not None else op_scope(
+        df.sparkSession, "bigram_surprisal"
+    )
     toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
     # bigram occurrences, map-side, tokens bound once as a lambda var
     pairs_expr = (
@@ -682,22 +692,19 @@ def bigram_surprisal(
     # scans and regex-tokenizes the corpus twice, which is the
     # dominant term at 100 TB; one scan + a local-disk-spillable
     # occurrence cache is the scale-correct trade, and the vocab
-    # count frame no longer needs its own persist. Callers owning a
-    # long-lived session clear with spark.catalog.clearCache(); the
-    # output is lazy so the operator cannot unpersist its own cache.
-    occ = (
+    # count frame no longer needs its own persist. Cache lifecycle:
+    # explicit CacheScope param, else latest-call-only residency
+    # (operators/caching.py) — the operator cannot unpersist what
+    # its lazy output still reads, so the next call releases it.
+    occ = scope.persist(
         df.select(
             F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
-        )
-        .select(
+        ).select(
             id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    big = (
-        occ.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    big = scope.persist(
+        occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     )
     ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
     scale = 1 << quant_bits

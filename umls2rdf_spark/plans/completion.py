@@ -270,6 +270,12 @@ _QC_BITS = 20
 # hard-negative mining: queries = first 50 vec_ids, top-2 negatives
 _HN_QUERIES = 50
 _HN_K = 2
+# bucketed (LSH) hard-negative mining: planes pinned to the value
+# auto_planes(500, 8) derives for the correctness SF's embeddings
+# corpus, like ann_lsh_topk — operator and generated oracle can
+# never disagree on the bucket space (production callers pass
+# planes=None for the adaptive path)
+_HNL_PLANES = 6
 
 
 def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +343,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.similarity import (
         hard_negative_topk,
+        hard_negative_topk_lsh,
         semantic_dedup,
     )
     from umls2rdf_spark.operators.textstats import (
@@ -497,6 +504,18 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "embedding", "label", k=_HN_K,
             ),
             "hard_negatives",
+            ("cos_sim",),
+        ),
+        # bucketed hard-negative mining — the corpus-as-queries
+        # scale form: every vector mines its top-k different-label
+        # neighbors WITHIN its hyperplane bucket (per-bucket matmul,
+        # never the O(n²) broadcast scorer above)
+        fingerprint_section(
+            hard_negative_topk_lsh(
+                emb, "vec_id", "embedding", "label",
+                k=_HN_K, planes=_HNL_PLANES,
+            ),
+            "hard_negatives_lsh",
             ("cos_sim",),
         ),
     ]
@@ -979,6 +998,75 @@ WHERE rank <= {_HN_K}
 """
 
 
+def _hard_neg_lsh_sql() -> str:
+    """DuckDB twin of the text_scoring ``hard_negatives_lsh``
+    section: the same md5-derived hyperplane coefficients are inlined
+    as VALUES, bucket assembly replicates the sign-bit packing, and
+    scoring joins only bucket-equal DIFFERENT-label pairs — the exact
+    reduction the Spark kernel performs per bucket."""
+    from umls2rdf_spark.operators.similarity import hyperplane_bucket_expr
+
+    dim = 64
+    coeff = hyperplane_bucket_expr(dim, _HNL_PLANES)
+    plane_values = ", ".join(
+        f"({i}, {j + 1}, {coeff(i, j)})"
+        for i in range(_HNL_PLANES)
+        for j in range(dim)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_HNL_PLANES)
+    )
+    plane_dots = ",\n         ".join(
+        f"SUM(CASE WHEN p.plane_id = {i} THEN c.comp * p.coeff "
+        f"ELSE 0 END) AS d{i}"
+        for i in range(_HNL_PLANES)
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+comps AS (
+  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM qv),
+norms AS (SELECT vec_id, SUM(comp * comp) AS norm2 FROM comps GROUP BY 1),
+planes(plane_id, pos, coeff) AS (VALUES {plane_values}),
+pdots AS (
+  SELECT c.vec_id,
+         {plane_dots}
+  FROM comps c JOIN planes p ON p.pos = c.pos
+  GROUP BY 1),
+buckets AS (SELECT vec_id, {assemble} AS bucket FROM pdots),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.comp * c.comp) AS dot
+  FROM comps q
+  JOIN buckets bq ON bq.vec_id = q.vec_id
+  JOIN buckets bc ON bc.bucket = bq.bucket AND bc.vec_id <> q.vec_id
+  JOIN comps c ON c.vec_id = bc.vec_id AND c.pos = q.pos
+  JOIN qv ql ON ql.vec_id = q.vec_id
+  JOIN qv cl ON cl.vec_id = c.vec_id
+  WHERE CAST(ql.label AS VARCHAR) <> CAST(cl.label AS VARCHAR)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(qn.norm2 * cn.norm2 AS DOUBLE)) AS cos
+  FROM dots
+  JOIN norms qn ON qn.vec_id = query_id
+  JOIN norms cn ON cn.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cos AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {_HN_K}
+"""
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
@@ -1101,6 +1189,12 @@ def _text_scoring_sql() -> str:
         fingerprint_sql(
             "hard_negatives",
             _HARD_NEG_SQL,
+            ["query_id", "neighbor_id", "rank", "cos_sim"],
+            ("cos_sim",),
+        ),
+        fingerprint_sql(
+            "hard_negatives_lsh",
+            _hard_neg_lsh_sql(),
             ["query_id", "neighbor_id", "rank", "cos_sim"],
             ("cos_sim",),
         ),
