@@ -77,12 +77,14 @@ FULL_SCAN_OK = {
     # DO push, leaving one unfiltered scan node
     "event_windows": {"events.parquet": 1},
     # every section consumes the whole corpus: scoring/dedup over all
-    # documents (19 section scans at the 21-section surface);
-    # semantic_dedup's train+assign+dedup over all embeddings, plus
+    # documents (21 section scans at the 23-section surface — the
+    # round-6 ingest_quarantine parse and sized_write_plan sizing agg
+    # each add one by definition); semantic_dedup's
+    # train+assign+dedup over all embeddings, plus
     # hard_negatives_lsh's corpus-as-queries featurize (round 6)
     # (audited: no predicate exists to push — hard_negatives' query
     # side and bloom's benchmark side DO push their id filters)
-    "text_scoring": {"documents.parquet": 19, "embeddings.parquet": 2},
+    "text_scoring": {"documents.parquet": 21, "embeddings.parquet": 2},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

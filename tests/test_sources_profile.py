@@ -149,3 +149,56 @@ def test_assign_stable_ids_dense_and_invariant(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_from_json_quarantine_contract(spark):
+    """Valid payloads parse with _corrupt_record null; malformed /
+    truncated payloads keep the raw string in _corrupt_record with a
+    null-fielded struct — the read_jsonl contract for in-flight
+    columns."""
+    from umls2rdf_spark.sources.text import from_json_quarantine
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"doc_id":1,"n":5}'),
+            (2, '{"doc_id":2,"n":'),      # truncated
+            (3, "not json at all"),
+            (4, '{"doc_id":4,"n":9}'),
+        ],
+        "row_id long, payload string",
+    )
+    out = {
+        r["row_id"]: r
+        for r in from_json_quarantine(
+            df, "payload", "doc_id bigint, n bigint", "doc_id"
+        ).collect()
+    }
+    assert out[1]["_corrupt_record"] is None
+    assert out[1]["__parsed"]["n"] == 5
+    for bad in (2, 3):
+        assert out[bad]["_corrupt_record"] == out[bad]["payload"]
+        assert out[bad]["__parsed"] is None or (
+            out[bad]["__parsed"]["doc_id"] is None
+        )
+    assert out[4]["__parsed"]["doc_id"] == 4
+
+
+def test_sized_write_plan_integer_rule(spark):
+    """The sizing rule is write_sized_parquet's, computed exactly:
+    cap = max(1, target div avg_row), files = ceil(n / cap)."""
+    from umls2rdf_spark.sources.text import sized_write_plan
+
+    from pyspark.sql import functions as F
+
+    rows = [("a", "x" * 100)] * 10 + [("b", "y" * 1000)] * 4
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r["source"]: r
+        for r in sized_write_plan(
+            df, "source", F.octet_length("text"), target_bytes=300
+        ).collect()
+    }
+    # a: avg 100 B -> cap 3 -> ceil(10/3) = 4 files
+    assert out["a"]["per_file_cap"] == 3 and out["a"]["n_files"] == 4
+    # b: avg 1000 B > target -> cap clamps to 1 -> 4 files
+    assert out["b"]["per_file_cap"] == 1 and out["b"]["n_files"] == 4

@@ -270,6 +270,9 @@ _QC_BITS = 20
 # hard-negative mining: queries = first 50 vec_ids, top-2 negatives
 _HN_QUERIES = 50
 _HN_K = 2
+# D5 driver-gated core: payload corruption modulus + D6 sizing target
+_QUAR_MOD = 13
+_SIZED_TARGET = 64 * 1024
 # bucketed (LSH) hard-negative mining: planes pinned to the value
 # auto_planes(500, 8) derives for the correctness SF's embeddings
 # corpus, like ann_lsh_topk — operator and generated oracle can
@@ -346,6 +349,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_topk_lsh,
         semantic_dedup,
     )
+    from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
         gopher_quality,
@@ -518,8 +522,63 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hard_negatives_lsh",
             ("cos_sim",),
         ),
+        # SURVEY D5's computational core under the driver gate
+        # (round 6): schema-on-read PERMISSIVE parse + per-shard
+        # quarantine counting. The JSON payload is built in-plan
+        # (to_json of the doc row) and deterministically corrupted —
+        # doc_id % _QUAR_MOD rows lose their last two bytes — so
+        # both engines construct, break, parse, and count the same
+        # rows; sum_chars only aggregates successfully-parsed
+        # payloads (null-propagation through the corrupt rows).
+        fingerprint_section(
+            _ingest_quarantine_frame(docs), "ingest_quarantine"
+        ),
+        # SURVEY D6's sizing rule as a full aggregation (round 6):
+        # per-source records-per-file cap and file count from exact
+        # byte totals — integer math end to end (sources/text.py
+        # sized_write_plan; write_sized_parquet applies the same
+        # rule from a driver-side sample on the write path)
+        fingerprint_section(
+            sized_write_plan(
+                docs.select("source", "text"), "source",
+                F.octet_length("text"), target_bytes=_SIZED_TARGET,
+            ),
+            "sized_write_plan",
+        ),
     ]
     return _union(sections)
+
+
+def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
+    from umls2rdf_spark.sources.text import (
+        CORRUPT_COL,
+        from_json_quarantine,
+    )
+
+    payload = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    staged = docs.select(
+        "source", "doc_id", payload.alias("payload")
+    ).withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % _QUAR_MOD == 0,
+            F.expr("substring(payload, 1, length(payload) - 2)"),
+        ).otherwise(F.col("payload")),
+    )
+    q = from_json_quarantine(
+        staged, "payload",
+        "doc_id bigint, lang string, n_chars bigint", "doc_id",
+    )
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(CORRUPT_COL).cast("bigint").alias("n_corrupt"),
+        (F.count(F.lit(1)) - F.count(CORRUPT_COL))
+        .cast("bigint")
+        .alias("n_good"),
+        F.coalesce(F.sum("__parsed.n_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_chars"),
+    )
 
 
 _TFIDF_SQL = f"""
@@ -1067,6 +1126,49 @@ WHERE rank <= {_HN_K}
 """
 
 
+_QUAR_SQL = f"""
+WITH staged AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % {_QUAR_MOD} = 0
+              THEN substr(p, 1, length(p) - 2) ELSE p END AS p
+  FROM (SELECT source, doc_id,
+               CAST(to_json(struct_pack(doc_id := doc_id,
+                    lang := lang, n_chars := n_chars)) AS VARCHAR) AS p
+        FROM documents)),
+parsed AS (
+  SELECT source,
+         CASE WHEN json_valid(p)
+              THEN CAST(p->>'$.doc_id' AS BIGINT) END AS pid,
+         CASE WHEN json_valid(p)
+              THEN CAST(p->>'$.n_chars' AS BIGINT) END AS pchars
+  FROM staged)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(pid) AS BIGINT) AS n_corrupt,
+       CAST(COUNT(pid) AS BIGINT) AS n_good,
+       CAST(COALESCE(SUM(pchars), 0) AS BIGINT) AS sum_chars
+FROM parsed
+GROUP BY source
+"""
+
+_SIZED_SQL = f"""
+WITH agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+  FROM documents GROUP BY source),
+caps AS (
+  SELECT source, n_rows, total_bytes,
+         GREATEST({_SIZED_TARGET} // GREATEST(total_bytes // n_rows, 1),
+                  1) AS per_file_cap
+  FROM agg)
+SELECT source, n_rows, total_bytes,
+       CAST(per_file_cap AS BIGINT) AS per_file_cap,
+       CAST((n_rows + per_file_cap - 1) // per_file_cap AS BIGINT)
+         AS n_files
+FROM caps
+"""
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
@@ -1197,6 +1299,17 @@ def _text_scoring_sql() -> str:
             _hard_neg_lsh_sql(),
             ["query_id", "neighbor_id", "rank", "cos_sim"],
             ("cos_sim",),
+        ),
+        fingerprint_sql(
+            "ingest_quarantine",
+            _QUAR_SQL,
+            ["source", "n_rows", "n_corrupt", "n_good", "sum_chars"],
+        ),
+        fingerprint_sql(
+            "sized_write_plan",
+            _SIZED_SQL,
+            ["source", "n_rows", "total_bytes", "per_file_cap",
+             "n_files"],
         ),
         fingerprint_sql(
             "profile",

@@ -18,7 +18,7 @@ parquet; both readers here follow the engine's scan rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -128,3 +128,82 @@ def write_sized_parquet(
         .parquet(path)
     )
     return per_file
+
+
+def from_json_quarantine(
+    df: DataFrame,
+    payload_col: str,
+    schema: str,
+    probe_field: str,
+) -> DataFrame:
+    """Schema-on-read PERMISSIVE parse of an in-flight JSON string
+    column — the computational core of :func:`read_jsonl`'s
+    quarantine contract for payloads already inside a frame (message
+    queues, CDC streams, staged raw columns): adds ``__parsed``
+    (the struct, null-fielded when malformed) and ``_corrupt_record``
+    (the raw payload when parsing failed, else null — the same
+    filter-on-not-null contract as the file readers).
+
+    ``probe_field`` names a field that is non-null in every VALID
+    payload; a null probe on a non-null payload is what marks the
+    row corrupt (Spark's from_json yields an all-null struct for
+    malformed input instead of raising).
+    """
+    df = df.withColumn("__parsed", F.from_json(F.col(payload_col), schema))
+    return df.withColumn(
+        CORRUPT_COL,
+        F.when(
+            F.col(f"__parsed.{probe_field}").isNull()
+            & F.col(payload_col).isNotNull(),
+            F.col(payload_col),
+        ),
+    )
+
+
+def sized_write_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Exact distributed form of :func:`write_sized_parquet`'s sizing
+    rule, per group: records-per-file cap = max(1, target_bytes div
+    avg_row) and file count = ceil(n_rows / cap). Pure integer math
+    over one map-side-combined aggregation — engine-exact and
+    SQL-oracle-able.
+
+    write_sized_parquet samples driver-side because a writer must
+    not add a full corpus pass before the write; this form IS a full
+    pass, for when the plan itself is the product (catalog sizing
+    reports, pre-write planning, layout audits).
+
+    Output: (group, n_rows, total_bytes, per_file_cap, n_files).
+    """
+    size_col = size_col if isinstance(size_col, Column) else F.col(size_col)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(size_col.cast("bigint")).cast("bigint").alias("total_bytes"),
+    )
+    # integer div end to end — float division would drift between
+    # engines on wide totals
+    return (
+        agg.withColumn(
+            "__avg_row",
+            F.greatest(
+                F.expr("total_bytes div n_rows"),
+                F.lit(1).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "per_file_cap",
+            F.greatest(
+                F.expr(f"CAST({int(target_bytes)} AS BIGINT) div __avg_row"),
+                F.lit(1).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "n_files",
+            F.expr("(n_rows + per_file_cap - 1) div per_file_cap"),
+        )
+        .drop("__avg_row")
+    )
