@@ -84,8 +84,42 @@ DEFAULT_KEYS = [
 ]
 
 
+def _write_split(tbl, path: str, splits: int) -> None:
+    """Write ``tbl`` as a single parquet file (splits=1) or as a
+    DIRECTORY of ``splits`` part files — the cluster-shaped layout
+    where a scan yields many input splits, so the spread gate takes
+    its no-op branch and the no-added-Exchange path is the one that
+    executes (round-5 runs were single-file and always exercised the
+    spread branch; round 6 closes that evidence gap)."""
+    import pyarrow.parquet as pq
+
+    if splits <= 1:
+        pq.write_table(tbl, path)
+        return
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    n = tbl.num_rows
+    per = (n + splits - 1) // splits
+    for i in range(splits):
+        part = tbl.slice(i * per, per)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, f"{path}/part-{i:05d}.parquet")
+
+
+def table_glob(dst: str, t: str) -> str:
+    """DuckDB-readable path for a replica table: the file itself, or
+    a glob over the part files when the table is a split directory."""
+    path = f"{dst}/{t}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def build_replica(
-    src: str, dst: str, copies: int, perturb_docs: bool = False
+    src: str, dst: str, copies: int, perturb_docs: bool = False,
+    splits: int = 1,
 ) -> None:
     """``perturb_docs`` appends a per-copy tag to documents.text so
     the replica holds NEAR-duplicates instead of exact ones — without
@@ -98,7 +132,9 @@ def build_replica(
 
     os.makedirs(dst, exist_ok=True)
     for t in SINGLE_COPY:
-        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")
+        _write_split(
+            pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet", splits
+        )
     for t, keys in SHIFT_COLS.items():
         base = pq.read_table(f"{src}/{t}.parquet")
         parts = []
@@ -130,7 +166,9 @@ def build_replica(
                 tagged = pc.binary_join_element_wise(*pieces, " ")
                 tbl = tbl.set_column(idx, "text", tagged)
             parts.append(tbl)
-        pq.write_table(pa.concat_tables(parts), f"{dst}/{t}.parquet")
+        _write_split(
+            pa.concat_tables(parts), f"{dst}/{t}.parquet", splits
+        )
 
 
 def _canon(v) -> str:
@@ -181,11 +219,14 @@ def main() -> int:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--perturb-docs", action="store_true")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--splits", type=int, default=1)
+    ap.add_argument("--plan-probe", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_build:
         t0 = time.time()
-        build_replica(args.src, args.dst, args.copies, args.perturb_docs)
+        build_replica(args.src, args.dst, args.copies, args.perturb_docs,
+                      args.splits)
         print(f"replica built at {args.dst} in {time.time()-t0:.1f}s",
               file=sys.stderr)
 
@@ -206,8 +247,44 @@ def main() -> int:
         # uses views and is unaffected at its size.
         con.execute(
             f"CREATE TEMP TABLE {t} AS "
-            f"SELECT * FROM '{args.dst}/{t}.parquet'"
+            f"SELECT * FROM '{table_glob(args.dst, t)}'"
         )
+
+    if args.plan_probe:
+        # plan-fact evidence that the multi-split replica takes the
+        # gated NO-SPREAD path: featurize-family frames built from
+        # the replica must plan exactly their post-featurize shuffle
+        # — zero pre-featurize Exchange (test_spread_gate pins the
+        # same facts on synthetic 64-split input; this pins them on
+        # the replica actually being value-verified)
+        from umls2rdf_spark.operators.dedup import (
+            minhash_signatures,
+            simhash,
+        )
+        from umls2rdf_spark.operators.similarity import (
+            hard_negative_topk_lsh,
+            lsh_cosine_topk,
+        )
+        from umls2rdf_spark.plans.audit import plan_facts
+
+        docs = spark.read.parquet(f"{args.dst}/documents.parquet")
+        emb = spark.read.parquet(f"{args.dst}/embeddings.parquet")
+        probes = {
+            "minhash": (minhash_signatures(docs, "doc_id", "text",
+                                           num_perm=8), 1),
+            "simhash": (simhash(docs, "doc_id", "text"), 1),
+            "lsh_topk": (lsh_cosine_topk(emb, "vec_id", "embedding",
+                                         k=3, planes=4), 1),
+            "hard_neg_lsh": (hard_negative_topk_lsh(
+                emb, "vec_id", "embedding", "label", k=2, planes=4), 2),
+        }
+        for pname, (frame, allowed) in probes.items():
+            n_splits = len(frame.inputFiles())
+            ex = plan_facts(frame)["exchanges"]
+            verdict = "OK" if ex <= allowed else "SPREAD-EXCHANGE-BACK"
+            print(f"plan-probe {pname}: input_files={n_splits} "
+                  f"exchanges={ex} (allowed {allowed}) {verdict}",
+                  file=sys.stderr)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     keys = list(qs) if args.keys == "all" else args.keys.split(",")

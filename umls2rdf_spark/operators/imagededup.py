@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from umls2rdf_spark.functions import jpeg as _jpeg
+from umls2rdf_spark.functions import media as _media
 from umls2rdf_spark.functions import png as _png
 
 _ALLOWED_BANDS = (1, 2, 4, 8, 16)
@@ -210,8 +212,10 @@ def image_ahash(
     keep_corrupt: bool = False,
 ) -> DataFrame:
     """(id, ahash): 8x8 average perceptual hash per image, Arrow-
-    batched. Stdlib PNG decode; 63-bit positive hashes,
-    deterministic.
+    batched. Stdlib PNG + baseline JPEG decode (functions/media.py
+    dispatch — the two dominant web formats; progressive JPEG and
+    everything else raise with a clear message, or quarantine under
+    PERMISSIVE); 63-bit positive hashes, deterministic.
 
     ``mode`` follows the D5 reader contract (sources/text.py):
 
@@ -242,13 +246,13 @@ def image_ahash(
                 b = bytes(content) if content is not None else b""
                 if permissive:
                     try:
-                        h = _ahash_int(_png.decode_png_gray(b))
+                        h = _ahash_int(_media.decode_image_gray(b))
                         err = None
                     except Exception as e:
                         h = None
                         err = f"{type(e).__name__}: {e}"
                 else:
-                    h = _ahash_int(_png.decode_png_gray(b))
+                    h = _ahash_int(_media.decode_image_gray(b))
                     err = None
                 ids.append(mid)
                 hs.append(h)
@@ -275,9 +279,13 @@ def image_ahash(
     # not have the repo on sys.path (same pattern as operators/pq.py)
     cloudpickle.register_pickle_by_value(_selfmod)
     cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_jpeg)
+    cloudpickle.register_pickle_by_value(_media)
     try:
         hashed = src.mapInPandas(hash_batches, schema=schema)
     finally:
+        cloudpickle.unregister_pickle_by_value(_media)
+        cloudpickle.unregister_pickle_by_value(_jpeg)
         cloudpickle.unregister_pickle_by_value(_png)
         cloudpickle.unregister_pickle_by_value(_selfmod)
     if permissive and not keep_corrupt:

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from umls2rdf_spark.functions import jpeg as _jpeg
 from umls2rdf_spark.functions import png as _png
 from umls2rdf_spark.operators.spread import spread_small_input
 
@@ -173,6 +174,20 @@ def resize_images(
                 raise NotImplementedError(
                     "stdlib resize path re-encodes PNG only"
                 )
+            if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
+                # baseline JPEG input: decode the LUMA plane
+                # (functions/jpeg.py) and re-encode as grayscale PNG
+                # — the stdlib fallback trades chroma for coverage
+                # of the dominant web format; inject a PIL-compatible
+                # image_module for full-color JPEG resizes
+                gray = _jpeg.decode_jpeg_gray(b)
+                h, w = gray.shape
+                ys = (np.arange(height) * h) // max(height, 1)
+                xs = (np.arange(width) * w) // max(width, 1)
+                res = gray[ys][:, xs]
+                return _png.encode_png(
+                    width, height, 1, res.tobytes()
+                )
             w, h, ch, raw = _png.decode_png(b)
             arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
             ys = (np.arange(height) * h) // max(height, 1)
@@ -227,9 +242,11 @@ def resize_images(
     if permissive:
         out_schema += f", {corrupt_col} string"
     cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_jpeg)
     try:
         return df.mapInPandas(resize, schema=out_schema)
     finally:
+        cloudpickle.unregister_pickle_by_value(_jpeg)
         cloudpickle.unregister_pickle_by_value(_png)
 
 
