@@ -118,3 +118,46 @@ def test_adaptive_planes_path(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_max_bucket_valve_is_result_identical(spark):
+    """The block-pair skew valve must return EXACTLY the unsalted
+    result — including on a degenerate corpus where every vector
+    lands in one bucket (planes=1 on one-sided data would; here we
+    force pressure with a tiny max_bucket on real buckets), and
+    composed with nprobe."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def rows(**kw):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+            for r in hard_negative_topk_lsh(
+                emb, "vec_id", "embedding", "label", k=2, **kw
+            ).collect()
+        )
+
+    for kw in (
+        dict(planes=2),
+        dict(planes=2, nprobe=2),
+        dict(planes=4, nprobe=3),
+    ):
+        base = rows(**kw)
+        salted = rows(max_bucket=8, **kw)
+        assert salted == base, kw
+    # separate-query form too
+    qs = emb.where(F.col("vec_id") < 30)
+    base = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in hard_negative_topk_lsh(
+            emb, "vec_id", "embedding", "label", k=2, planes=2,
+            queries=qs,
+        ).collect()
+    )
+    salted = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in hard_negative_topk_lsh(
+            emb, "vec_id", "embedding", "label", k=2, planes=2,
+            queries=qs, max_bucket=8,
+        ).collect()
+    )
+    assert salted == base

@@ -215,6 +215,7 @@ def hard_negative_topk_lsh(
     target_bucket: int = 8,
     known_n: int | None = None,
     queries: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Bucketed hard-negative mining — the scale form of
     :func:`hard_negative_topk` for its realistic corpus-as-queries
@@ -238,6 +239,18 @@ def hard_negative_topk_lsh(
       bits. Corpus residency stays single-bucket, so a (query,
       neighbor) pair is scored at most once and recall is monotone
       in nprobe (property-tested).
+
+    - ``max_bucket`` is the skew valve, and unlike the top-k ops'
+      lossy salting it is COMPLETENESS-PRESERVING (the imagededup
+      block-pair construction adapted to query × corpus): an
+      oversized bucket's corpus residents split into r =
+      ceil(size/max_bucket) deterministic id-hash classes, and that
+      bucket's QUERY rows replicate to all r classes — every (query,
+      resident) pair meets exactly once, so the result is IDENTICAL
+      to the unsalted run (property-pinned) at the price of r× query
+      replication inside oversized buckets only. The kernel's pair
+      work drops from size² to r · (size/r · queries). Composes with
+      ``nprobe`` (the probe's target bucket salts the same way).
 
     The exact :func:`hard_negative_topk` stays as the oracle-able
     baseline, like cosine_topk beside lsh_cosine_topk; recall-vs-
@@ -337,11 +350,64 @@ def hard_negative_topk_lsh(
             make_featurize(False, True, nprobe), schema=feat_schema
         )
         feat = cfeat.unionByName(qfeat)
-    local = feat.groupBy("bucket").applyInPandas(
+    group_cols = ["bucket"]
+    if max_bucket is not None:
+        feat = _salt_block_pairs(feat, id_col, max_bucket)
+        group_cols = ["bucket", "__salt"]
+    local = feat.groupBy(*group_cols).applyInPandas(
         _labeled_topk_fn(id_col, k),
         schema="query_id long, neighbor_id long, cos double",
     )
     return _rank_topk(local, k)
+
+
+def _salt_block_pairs(
+    feat: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Completeness-preserving skew valve for query-vs-corpus bucket
+    kernels: a bucket whose CORPUS residency exceeds ``max_bucket``
+    splits its residents into r = ceil(size/max_bucket) deterministic
+    id-hash classes and replicates its query rows to ALL r classes —
+    every (query, resident) pair meets in exactly one (bucket, salt)
+    group, so downstream results are identical to the unsalted run.
+    Un-split buckets pass through with salt 0; the broadcast counts
+    frame holds only the oversized buckets (bounded, same argument
+    as imagededup's valve)."""
+    counts = (
+        feat.where(F.col("is_corpus"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > max_bucket)
+    )
+    nsplit = F.expr(f"(__cnt + {max_bucket} - 1) div {max_bucket}")
+    j = (
+        feat.join(F.broadcast(counts), "bucket", "left")
+        .withColumn("__r", F.coalesce(nsplit.cast("int"), F.lit(1)))
+        .drop("__cnt")
+    )
+    own = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.col("__r")
+    ).cast("int")
+    passthrough = j.where(F.col("__r") == 1).withColumn(
+        "__salt", F.lit(0).cast("int")
+    )
+    corpus_part = (
+        j.where((F.col("__r") > 1) & F.col("is_corpus"))
+        .withColumn("__salt", own)
+        .withColumn("is_query", F.lit(False))
+    )
+    query_part = (
+        j.where((F.col("__r") > 1) & F.col("is_query"))
+        .withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.col("__r") - 1))
+        )
+        .withColumn("is_corpus", F.lit(False))
+    )
+    return (
+        passthrough.unionByName(corpus_part)
+        .unionByName(query_part)
+        .drop("__r")
+    )
 
 
 def _labeled_topk_fn(id_col: str, k: int):
