@@ -161,3 +161,29 @@ def test_max_bucket_valve_is_result_identical(spark):
         ).collect()
     )
     assert salted == base
+
+
+def test_lsh_topk_exact_salt_mode_identical(spark):
+    """lsh_cosine_topk(salt_mode='exact'): the block-pair valve
+    yields row-identical results to the unsalted run (no recall
+    loss), including composed with nprobe — unlike the default
+    subsample salting, which is a documented recall trade."""
+    from umls2rdf_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def rows(**kw):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+            for r in lsh_cosine_topk(
+                emb, "vec_id", "embedding", k=3, **kw
+            ).collect()
+        )
+
+    for kw in (dict(planes=2), dict(planes=3, nprobe=2)):
+        base = rows(**kw)
+        exact_salted = rows(max_bucket=8, salt_mode="exact", **kw)
+        assert exact_salted == base, kw
+    # the default subsample mode on the same pressure DOES differ
+    # (documents the trade the exact mode removes)
+    assert rows(planes=2, max_bucket=8) != rows(planes=2)

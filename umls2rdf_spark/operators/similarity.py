@@ -411,11 +411,19 @@ def _salt_block_pairs(
 
 
 def _labeled_topk_fn(id_col: str, k: int):
-    """Per-bucket hard-negative kernel: rows tagged is_corpus are
-    the bucket's residents, rows tagged is_query mine against them;
-    same-id and SAME-label pairs are masked out; exact int64 dots,
-    deterministic (cos desc, neighbor id asc) ordering. Closure over
-    plain locals so cloudpickle ships it by value."""
+    """Per-bucket hard-negative kernel — see :func:`_role_topk_fn`
+    with the same-label mask on."""
+    return _role_topk_fn(id_col, k, label_aware=True)
+
+
+def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
+    """Per-bucket role-aware top-k kernel: rows tagged is_corpus are
+    the bucket's residents, rows tagged is_query mine against them
+    (the two roles separate so the block-pair skew valve can split
+    residents while replicating queries); same-id pairs — and, when
+    ``label_aware``, SAME-label pairs — are masked out; exact int64
+    dots, deterministic (cos desc, neighbor id asc) ordering.
+    Closure over plain locals so cloudpickle ships it by value."""
     import numpy as np
     import pandas as pd
 
@@ -440,9 +448,10 @@ def _labeled_topk_fn(id_col: str, k: int):
             )
         )
         cos[qids[:, None] == cids[None, :]] = -np.inf
-        cos[
-            qs["lab"].values[:, None] == corpus["lab"].values[None, :]
-        ] = -np.inf
+        if label_aware:
+            cos[
+                qs["lab"].values[:, None] == corpus["lab"].values[None, :]
+            ] = -np.inf
         rows = []
         kk = min(k, len(cids))
         for i in range(len(qids)):
@@ -515,6 +524,7 @@ def lsh_cosine_topk(
     max_bucket: int | None = None,
     known_n: int | None = None,
     nprobe: int = 1,
+    salt_mode: str = "subsample",
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to same-bucket
     pairs — the corpus-vs-corpus scale path.
@@ -549,16 +559,33 @@ def lsh_cosine_topk(
       merges the probes; query rows duplicate ~nprobe×, the corpus
       does not. Recall is monotone in nprobe (probing more buckets
       only adds candidates — property-tested); capped at planes+1
-      (single-bit perturbations). Not composable with ``max_bucket``
-      (probe buckets don't know the salt split); pick one lever.
+      (single-bit perturbations). Not composable with the default
+      ``max_bucket`` salting (probe buckets don't know the salt
+      split) — compose via ``salt_mode="exact"`` instead.
+    - ``salt_mode="exact"`` upgrades the ``max_bucket`` valve to the
+      COMPLETENESS-PRESERVING block-pair construction (round 6, same
+      as hard_negative_topk_lsh): oversized buckets split their
+      resident side into r id-hash classes and replicate their query
+      side to all r, so every pair still meets exactly once and
+      results are IDENTICAL to unsalted (property-pinned) — no
+      recall loss, at r× query replication inside oversized buckets
+      only. Composes with ``nprobe``. The default "subsample" mode
+      stays for oracle compatibility and for corpora where dropping
+      cross-class pairs of a degenerate bucket is the cheaper,
+      documented ANN trade.
     """
     import numpy as np
     import pandas as pd
 
     if planes is None:
         planes = auto_planes(_corpus_n(vectors, known_n), target_bucket)
-    if nprobe > 1 and max_bucket is not None:
-        raise ValueError("nprobe > 1 does not compose with max_bucket")
+    if salt_mode not in ("subsample", "exact"):
+        raise ValueError(f"salt_mode must be subsample or exact: {salt_mode}")
+    if nprobe > 1 and max_bucket is not None and salt_mode != "exact":
+        raise ValueError(
+            "nprobe > 1 composes with max_bucket only under "
+            "salt_mode='exact'"
+        )
     nprobe = max(1, min(nprobe, planes + 1))
     coeff = hyperplane_bucket_expr(dim, planes)
     plane_mat = np.array(
@@ -639,11 +666,21 @@ def lsh_cosine_topk(
             yield pd.concat(frames, ignore_index=True)
 
     part = spread_small_input(vectors, id_col)
-    if nprobe > 1:
-        probe_schema = (
-            f"{id_col} long, qvec array<long>, norm2 long, bucket int, "
-            "is_corpus boolean"
+    probe_schema = (
+        f"{id_col} long, qvec array<long>, norm2 long, bucket int, "
+        "is_corpus boolean"
+    )
+    if max_bucket is not None and salt_mode == "exact":
+        feat = part.mapInPandas(
+            featurize_probe, schema=probe_schema
+        ).withColumn("is_query", F.lit(True))
+        feat = _salt_block_pairs(feat, id_col, max_bucket)
+        local = feat.groupBy("bucket", "__salt").applyInPandas(
+            _role_topk_fn(id_col, k),
+            schema="query_id long, neighbor_id long, cos double",
         )
+        return _rank_topk(local, k)
+    if nprobe > 1:
         local = (
             part.mapInPandas(featurize_probe, schema=probe_schema)
             .groupBy("bucket")
