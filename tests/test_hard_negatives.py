@@ -187,3 +187,24 @@ def test_lsh_topk_exact_salt_mode_identical(spark):
     # the default subsample mode on the same pressure DOES differ
     # (documents the trade the exact mode removes)
     assert rows(planes=2, max_bucket=8) != rows(planes=2)
+
+
+def test_near_dup_pairs_exact_salt_mode_identical(spark):
+    """cosine_near_dup_pairs(salt_mode='exact'): pair set identical
+    to unsalted under heavy bucket pressure — each unordered pair
+    surfaces exactly once (no post-distinct needed)."""
+    from umls2rdf_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def pairs(**kw):
+        rows = cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cos=0.2, planes=2, **kw
+        ).collect()
+        tuples = [(r.id_a, r.id_b, round(r.cos_sim, 9)) for r in rows]
+        assert len(tuples) == len(set(tuples))  # no duplicates
+        return sorted(tuples)
+
+    assert pairs(max_bucket=8, salt_mode="exact") == pairs()
+    # the default subsample mode drops cross-class pairs (the trade)
+    assert pairs(max_bucket=8) != pairs()

@@ -870,6 +870,7 @@ def cosine_near_dup_pairs(
     target_bucket: int = 8,
     max_bucket: int | None = None,
     known_n: int | None = None,
+    salt_mode: str = "subsample",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
     whose exact quantized cosine is >= ``min_cos``, candidates bounded
@@ -877,6 +878,16 @@ def cosine_near_dup_pairs(
     :func:`lsh_cosine_topk` — the dedup-flavored output shape (pair
     list to feed connected components) rather than per-query top-k.
     All math exact int64, so a SQL oracle reproduces it bit-for-bit.
+
+    ``salt_mode="exact"`` (round 6) upgrades the ``max_bucket`` valve
+    to the completeness-preserving block-pair construction: an
+    oversized bucket's residents split into r id-hash classes,
+    queries replicate to all r, and the kernel emits a pair ONLY
+    from the group whose resident side holds the LARGER id
+    (query < resident) — every unordered pair surfaces exactly once,
+    so the pair set is IDENTICAL to unsalted (property-pinned). The
+    default subsample mode keeps the documented drop of cross-class
+    pairs inside degenerate buckets.
     """
     import numpy as np
     import pandas as pd
@@ -908,13 +919,24 @@ def cosine_near_dup_pairs(
                 }
             )
 
+    if salt_mode not in ("subsample", "exact"):
+        raise ValueError(f"salt_mode must be subsample or exact: {salt_mode}")
     feat_schema = f"{id_col} long, qvec array<long>, norm2 long, bucket int"
     feat = spread_small_input(vectors, id_col).mapInPandas(
         featurize, schema=feat_schema
     )
+    threshold = float(min_cos)
+    if max_bucket is not None and salt_mode == "exact":
+        roled = feat.withColumn("is_corpus", F.lit(True)).withColumn(
+            "is_query", F.lit(True)
+        )
+        roled = _salt_block_pairs(roled, id_col, max_bucket)
+        return roled.groupBy("bucket", "__salt").applyInPandas(
+            _role_pairs_fn(id_col, threshold),
+            schema="id_a long, id_b long, cos_sim double",
+        )
     feat = salt_oversized_buckets(feat, id_col, max_bucket)
     group_cols = ["bucket"] if max_bucket is None else ["bucket", "salt"]
-    threshold = float(min_cos)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -944,6 +966,49 @@ def cosine_near_dup_pairs(
     return feat.groupBy(*group_cols).applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cos_sim double"
     )
+
+
+def _role_pairs_fn(id_col: str, threshold: float):
+    """Per-group near-dup PAIR kernel for the block-pair valve: a
+    pair is emitted only when the QUERY side holds the smaller id —
+    with queries replicated to every salt class and residents in
+    exactly one, the unordered pair {a, b} (a < b) then surfaces
+    only in b's resident class: exactly once, no post-distinct.
+    Closure over plain locals (cloudpickle by-value)."""
+    import numpy as np
+    import pandas as pd
+
+    def role_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos_sim": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        corpus = pdf[pdf["is_corpus"]]
+        qs = pdf[pdf["is_query"]]
+        if len(corpus) == 0 or len(qs) == 0:
+            return empty
+        q = np.vstack(qs["qvec"].values).astype(np.int64)
+        c = np.vstack(corpus["qvec"].values).astype(np.int64)
+        qids = qs[id_col].values.astype(np.int64)
+        cids = corpus[id_col].values.astype(np.int64)
+        cos = (q @ c.T) / np.sqrt(
+            np.outer(
+                qs["norm2"].values.astype(np.float64),
+                corpus["norm2"].values.astype(np.float64),
+            )
+        )
+        mask = (qids[:, None] < cids[None, :]) & (cos >= threshold)
+        if not mask.any():
+            return empty
+        qi, ci = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": qids[qi],
+                "id_b": cids[ci],
+                "cos_sim": cos[qi, ci],
+            }
+        )
+
+    return role_pairs
 
 
 def train_ivf_centroids(
