@@ -208,3 +208,45 @@ def test_near_dup_pairs_exact_salt_mode_identical(spark):
     assert pairs(max_bucket=8, salt_mode="exact") == pairs()
     # the default subsample mode drops cross-class pairs (the trade)
     assert pairs(max_bucket=8) != pairs()
+
+
+def test_ivf_form_degenerates_and_is_monotone(spark):
+    """hard_negative_topk_ivf: nprobe=cells degenerates to the exact
+    baseline row-for-row; recall is monotone in nprobe; predicates
+    hold on the separate-query form."""
+    from umls2rdf_spark.operators.similarity import hard_negative_topk_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in _exact(spark, emb)
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 9))
+        for r in hard_negative_topk_ivf(
+            emb, "vec_id", "embedding", "label", k=2, cells=4, nprobe=4
+        ).collect()
+    )
+    assert full == exact
+    exact_set = {(a, b) for a, b, _, _ in exact}
+    recalls = []
+    for nprobe in (1, 2, 3):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in hard_negative_topk_ivf(
+                emb, "vec_id", "embedding", "label",
+                k=2, cells=8, nprobe=nprobe,
+            ).collect()
+        }
+        recalls.append(len(got & exact_set) / len(exact_set))
+    assert recalls == sorted(recalls), recalls
+    # separate-query form respects predicates
+    lab = dict(emb.select("vec_id", "label").rdd.map(tuple).collect())
+    rows = hard_negative_topk_ivf(
+        emb, "vec_id", "embedding", "label", k=2, cells=8, nprobe=2,
+        queries=emb.where(F.col("vec_id") < 25),
+    ).collect()
+    assert rows and {r.query_id for r in rows} <= set(range(25))
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert lab[r.query_id] != lab[r.neighbor_id]

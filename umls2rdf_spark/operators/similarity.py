@@ -361,6 +361,119 @@ def hard_negative_topk_lsh(
     return _rank_topk(local, k)
 
 
+def hard_negative_topk_ivf(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 2,
+    cells: int | None = 8,
+    dim: int = 64,
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
+    known_n: int | None = None,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-cell hard-negative mining — the inverted-file sibling of
+    :func:`hard_negative_topk_lsh` (same role-aware kernel, same
+    different-label mask, same exact-baseline relationship to
+    :func:`hard_negative_topk`): vectors assign to their nearest
+    centroid (exact int64 squared-L2, ties to the lowest cell id;
+    trained matrix from :func:`train_ivf_centroids` or the
+    deterministic grid), corpus residency is single-cell, and
+    ``nprobe`` lets queries probe their nprobe nearest cells — a
+    neighbor is scored at most once, recall monotone in nprobe.
+    nprobe = cells degenerates to the exact result. ``queries``
+    switches to the separate-query-frame form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is not None:
+        cent = np.array(centroids, dtype=np.int64)
+    else:
+        if cells is None:
+            cells = auto_cells(_corpus_n(vectors, known_n))
+        cent = np.array(
+            [[ivf_centroid(i, j) for j in range(dim)] for i in range(cells)],
+            dtype=np.int64,
+        )
+    nprobe = max(1, min(nprobe, len(cent)))
+    feat_schema = (
+        f"{id_col} long, lab string, qvec array<long>, norm2 long, "
+        "bucket int, is_corpus boolean, is_query boolean"
+    )
+
+    def make_featurize(as_corpus: bool, as_query: bool, probes: int):
+        def featurize(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf[vec_col].values).astype(np.float64)
+                Y = V * 1000
+                q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(
+                    np.int64
+                )
+                norm2 = (q * q).sum(axis=1)
+                d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+                base = {
+                    id_col: pdf[id_col].values,
+                    "lab": pdf["lab"].values,
+                    "qvec": list(q),
+                    "norm2": norm2,
+                }
+                frames = [
+                    pd.DataFrame(
+                        {
+                            **base,
+                            "bucket": order[:, 0].astype(np.int32),
+                            "is_corpus": as_corpus,
+                            "is_query": as_query,
+                        }
+                    )
+                ]
+                for j in range(1, probes):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                **base,
+                                "bucket": order[:, j].astype(np.int32),
+                                "is_corpus": False,
+                                "is_query": True,
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return featurize
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(label_col).cast("string").alias("lab"),
+            F.col(vec_col),
+        )
+
+    if queries is None:
+        feat = spread_small_input(prep(vectors), id_col).mapInPandas(
+            make_featurize(True, True, nprobe), schema=feat_schema
+        )
+    else:
+        cfeat = spread_small_input(prep(vectors), id_col).mapInPandas(
+            make_featurize(True, False, 1), schema=feat_schema
+        )
+        qfeat = prep(queries).mapInPandas(
+            make_featurize(False, True, nprobe), schema=feat_schema
+        )
+        feat = cfeat.unionByName(qfeat)
+    local = feat.groupBy("bucket").applyInPandas(
+        _labeled_topk_fn(id_col, k),
+        schema="query_id long, neighbor_id long, cos double",
+    )
+    return _rank_topk(local, k)
+
+
 def _salt_block_pairs(
     feat: DataFrame, id_col: str, max_bucket: int
 ) -> DataFrame:
