@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from umls2rdf_spark.functions import audio as _audio
 from umls2rdf_spark.functions import jpeg as _jpeg
 from umls2rdf_spark.functions import png as _png
 from umls2rdf_spark.operators.spread import spread_small_input
@@ -260,10 +261,12 @@ def audio_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract an audio binary column via
     mapInPandas — the audio counterpart of image_features.
 
-    With soundfile importable: real decode (sample rate, frame count,
-    RMS amplitude). Without (this container): a deterministic fake
-    derived from the content hash — schema, Arrow batching and
-    determinism identical, so the pipeline shape is fully testable.
+    Decode ladder: soundfile when importable (any libsndfile
+    format) → the pure-stdlib PCM WAV parser (functions/audio.py —
+    integer 8/16/24/32-bit and IEEE-float RIFF/WAVE decode for REAL
+    in dependency-less containers) → for non-WAV bytes without
+    soundfile, a deterministic content-hash fake (STUB, documented)
+    so the pipeline shape stays testable.
     """
     df = spread_small_input(df, "media_id")
 
@@ -296,6 +299,13 @@ def audio_features(df: DataFrame) -> DataFrame:
                         )
                     except Exception:
                         rate, ns, rms = 0, 0, 0.0
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    # real stdlib PCM WAV decode; corrupt RIFF rows
+                    # degrade to zeros (data, not job death)
+                    try:
+                        rate, ns, rms = _audio.decode_wav(b)
+                    except Exception:
+                        rate, ns, rms = 0, 0, 0.0
                 else:
                     # deterministic fake decode (STUB): rate/samples/
                     # rms from the content hash, reproducible in tests
@@ -319,7 +329,13 @@ def audio_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_audio)
+    try:
+        return df.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+    finally:
+        cloudpickle.unregister_pickle_by_value(_audio)
 
 
 def frame_sample(
