@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from umls2rdf_spark.functions import audio as _audio
 from umls2rdf_spark.functions import jpeg as _jpeg
 from umls2rdf_spark.functions import png as _png
+from umls2rdf_spark.functions import video as _video
 from umls2rdf_spark.operators.spread import spread_small_input
 
 MEDIA_SCHEMA = T.StructType(
@@ -375,4 +376,151 @@ def frame_sample(
     return df.mapInPandas(
         sample,
         schema="media_id long, frame_idx int, offset long, frame_sha1 string",
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "mean_luma double, ahash long"
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    max_frames: int = 8,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """REAL per-frame features for MJPEG-AVI video binaries — the
+    upgrade of the byte-stride :func:`frame_sample` stub for the one
+    container+codec pair the stdlib codecs can fully decode: RIFF
+    parse (functions/video.py) → evenly-spaced frame sample → each
+    frame's luma plane via the baseline JPEG decoder → (width,
+    height, mean luma, 8x8 aHash) per sampled frame. One input row
+    fans out to ≤ ``max_frames`` rows.
+
+    ``mode`` follows the media-family contract: FAILFAST raises on
+    the first undecodable video/frame; PERMISSIVE emits a single
+    quarantine row per bad video (frame_idx -1, null features,
+    ``_corrupt_record`` reason) and keeps the job alive.
+    """
+    from umls2rdf_spark.operators.imagededup import _ahash_int
+    from umls2rdf_spark.operators.spread import spread_small_input
+
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE: {mode}")
+    permissive = mode == "PERMISSIVE"
+    corrupt_col = "_corrupt_record"
+    df = spread_small_input(df.select("media_id", "content"), "media_id")
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "mean_luma": [], "ahash": [],
+            }
+            errs = []
+
+            def emit(mid, idx, w, h, luma, ah, err=None):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma)
+                out["ahash"].append(ah)
+                errs.append(err)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                try:
+                    for idx, fb in _video.sample_mjpeg_frames(
+                        b, max_frames
+                    ):
+                        gray = _jpeg.decode_jpeg_gray(fb)
+                        emit(
+                            mid, idx, gray.shape[1], gray.shape[0],
+                            float(gray.mean()), _ahash_int(gray),
+                        )
+                except Exception as e:
+                    if not permissive:
+                        raise
+                    emit(mid, -1, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+            frame = pd.DataFrame(
+                {
+                    "media_id": pd.Series(
+                        out["media_id"], dtype="int64"
+                    ),
+                    "frame_idx": pd.Series(
+                        out["frame_idx"], dtype="int32"
+                    ),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "mean_luma": pd.Series(
+                        out["mean_luma"], dtype="float64"
+                    ),
+                    "ahash": pd.Series(out["ahash"], dtype="Int64"),
+                }
+            )
+            if permissive:
+                frame[corrupt_col] = pd.Series(errs, dtype="object")
+            yield frame
+
+    from pyspark import cloudpickle
+
+    import umls2rdf_spark.operators.imagededup as _idmod
+
+    schema = VIDEO_FRAME_SCHEMA
+    if permissive:
+        schema += f", {corrupt_col} string"
+    for m in (_video, _jpeg, _png, _idmod):
+        cloudpickle.register_pickle_by_value(m)
+    try:
+        return df.mapInPandas(extract, schema=schema)
+    finally:
+        for m in (_idmod, _png, _jpeg, _video):
+            cloudpickle.unregister_pickle_by_value(m)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    max_frames: int = 8,
+    max_hamming: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """(id_a < id_b, n_shared) video pairs sharing >= ``min_shared``
+    near-duplicate sampled frames — frame aHashes from
+    :func:`video_frame_features` fed through the SAME banded Hamming
+    machinery as the image family (imagededup.hamming_near_dup_pairs:
+    complete for hamming <= bands-1, skew-valved), then rolled up per
+    video pair. Frame node ids are media_id*2^20 + frame_idx, so
+    frame_idx must stay below 2^20 (max_frames bounds it)."""
+    from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
+
+    frames = video_frame_features(df, max_frames=max_frames, mode=mode)
+    if mode == "PERMISSIVE":
+        frames = frames.where(F.col("_corrupt_record").isNull())
+    nodes = frames.select(
+        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx"))
+        .cast("bigint")
+        .alias("fid"),
+        F.col("ahash").cast("bigint").alias("ahash"),
+    )
+    pairs = hamming_near_dup_pairs(
+        nodes, "fid", "ahash", max_hamming=max_hamming, bands=bands
+    )
+    va = F.expr(f"id_a div {1 << 20}")
+    vb = F.expr(f"id_b div {1 << 20}")
+    return (
+        pairs.select(
+            F.least(va, vb).alias("id_a"),
+            F.greatest(va, vb).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
