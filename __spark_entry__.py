@@ -50,6 +50,9 @@ def queries() -> dict[str, QueryFn]:
     out.update(tpch_extra.QUERIES)
     out.update(surface_extra.QUERIES)
     out.update(completion.QUERIES)
+    # curation_demos' C37/C38 ride as text_scoring sections —
+    # queries() stays at exactly 50 keys (the driver checks the
+    # first 50 insertion positions; see SURVEY §2 preamble)
     return out
 
 

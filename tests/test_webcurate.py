@@ -1,0 +1,129 @@
+"""Web-curation operators (SURVEY §2 C37/C38): per-domain caps and
+DSIR hashed-n-gram importance weights — oracle, plan-shape, and
+property coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from umls2rdf_spark.operators.webcurate import (
+    cap_per_domain,
+    cap_per_domain_sql,
+    dsir_bucket_weights,
+    dsir_score,
+    dsir_sql,
+    dsir_topk,
+)
+from umls2rdf_spark.plans import curation_demos
+from umls2rdf_spark.sources.parquet import load_table
+
+
+# ── oracle parity (the driver's bar, at the oracle SF) ──────────────
+def test_domain_cap_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE
+
+    df = curation_demos.domain_cap(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, curation_demos.DOMAIN_CAP_SQL)
+
+
+def test_dsir_weights_match_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE
+
+    df = curation_demos.dsir_weights(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, curation_demos.DSIR_SQL)
+
+
+def test_dsir_topk_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    wts = dsir_bucket_weights(docs, "text", F.col("lang") == "en")
+    scored = dsir_score(docs, wts, "doc_id", "text")
+    df = dsir_topk(scored, "doc_id", 25)
+    sql = dsir_sql("doc_id", "text", "lang = 'en'", "documents", topk=25)
+    assert_matches_oracle(df, duck, sql)
+
+
+# ── cap semantics ───────────────────────────────────────────────────
+def test_cap_and_blocklist_enforced(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = cap_per_domain(
+        docs, "doc_id", "source", cap=3, blocklist=["src1", "src5"]
+    ).toPandas()
+    assert out["r"].max() <= 3
+    per_dom = out.groupby("source").size()
+    assert per_dom.max() <= 3
+    assert not set(per_dom.index) & {"src1", "src5"}
+    # sources that survive and had >= 3 docs keep exactly 3
+    totals = docs.groupBy("source").count().toPandas().set_index("source")
+    for dom, kept in per_dom.items():
+        assert kept == min(3, int(totals.loc[dom, "count"]))
+
+
+def test_cap_rank_is_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(
+        map(tuple, cap_per_domain(docs, "doc_id", "source", 4).collect())
+    )
+    b = sorted(
+        map(tuple, cap_per_domain(docs, "doc_id", "source", 4).collect())
+    )
+    assert a == b
+
+
+def test_cap_plan_has_partial_window_group_limit(spark):
+    """The 100 TB property: each map task prunes to <= cap rows per
+    domain BEFORE the shuffle. A Spark regression dropping the
+    WindowGroupLimit(Partial) node would silently reintroduce the
+    full-mega-domain shuffle."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = cap_per_domain(docs, "doc_id", "source", cap=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+# ── dsir semantics ──────────────────────────────────────────────────
+def test_dsir_model_state_is_bounded(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    wts = dsir_bucket_weights(docs, "text", F.col("lang") == "en")
+    n = wts.count()
+    assert n <= 256
+    cols = dict(wts.dtypes)
+    assert cols == {"bucket": "bigint", "w": "bigint"}
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    """Sanity direction: documents in the target slice should carry a
+    higher mean importance weight than the rest — the property DSIR
+    resampling relies on."""
+    docs = load_table(spark, SF_DIR, "documents")
+    wts = dsir_bucket_weights(docs, "text", F.col("lang") == "en")
+    scored = dsir_score(docs, wts, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = (
+        scored.groupBy(F.col("lang") == "en")
+        .agg(F.avg("avg_dsir").alias("m"))
+        .collect()
+    )
+    by = {bool(r[0]): r["m"] for r in means}
+    assert by[True] > by[False]
+
+
+def test_dsir_topk_is_takeordered(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    wts = dsir_bucket_weights(docs, "text", F.col("lang") == "en")
+    scored = dsir_score(docs, wts, "doc_id", "text")
+    top = dsir_topk(scored, "doc_id", 7)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert top.count() == 7
+
+
+def test_cap_sql_quotes_blocklist_entries():
+    sql = cap_per_domain_sql(
+        "doc_id", "source", "documents", 2, blocklist=["o'reilly.com"]
+    )
+    assert "'o''reilly.com'" in sql

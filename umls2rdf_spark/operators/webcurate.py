@@ -1,0 +1,297 @@
+"""Web-corpus curation operators: per-domain caps with blocklists
+(the RefinedWeb/FineWeb host-level curation step) and DSIR-style
+hashed-n-gram importance weighting (Xie et al., NeurIPS 2023).
+
+Neither has a reference twin (umls2rdf is an ontology ETL); both are
+LLM-training-pipeline table stakes the brief asks for as first-class
+components. Both are pure DataFrame plans — no UDFs — and both have
+DuckDB oracle SQL generated from the same constants.
+
+Scale notes (the 100 TB question):
+
+- ``cap_per_domain`` declares ``row_number() <= cap`` over a
+  per-domain window and lets Catalyst insert the
+  ``WindowGroupLimit`` Partial/Final pair (Spark >= 3.5): every map
+  task locally keeps at most ``cap`` rows per domain BEFORE the
+  shuffle, so a mega-domain (the classic skew case: one host is 5%
+  of the crawl) ships at most ``cap x n_input_partitions`` rows,
+  not its full row count. ``tests/test_webcurate.py`` pins the
+  Partial node's presence so a Spark regression can't silently
+  reintroduce the full-domain shuffle.
+- ``dsir_bucket_weights`` keeps model state at exactly
+  ``num_buckets`` rows regardless of corpus size — the entire point
+  of DSIR's hashed features vs the unbounded-vocabulary
+  :func:`~umls2rdf_spark.operators.textstats.token_log_odds` model
+  it complements. One conditional-aggregation pass trains both the
+  target and raw distributions (no second scan); scoring joins the
+  broadcast bucket dim (``num_buckets`` rows) so the only shuffle is
+  the per-doc sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import stable_hash40, stable_hash40_sql
+
+DSIR_BUCKETS = 256
+DSIR_QUANT_BITS = 20
+
+#: lowercase alnum-run tokenization shared with token_log_odds /
+#: gopher_quality — one tokenizer across every text-scoring op.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+# ── per-domain caps (FineWeb-style host curation) ───────────────────
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, chosen by a
+    deterministic hash rank (so the "sample" is reproducible across
+    runs and engines), after dropping blocklisted domains.
+
+    Output: (id, domain, r) for every kept row, r in [1, cap].
+
+    The rank key is ``stable_hash40(id)`` with the id itself as
+    tiebreak — a uniform pseudo-random order that both engines
+    compute identically, unlike a timestamp or ingestion order that
+    would bias the kept set toward one crawl segment.
+
+    Plan shape: blocklist as a broadcast anti-join when given
+    (a blocklist is thousands of hosts — always broadcastable);
+    window + filter compiles to WindowGroupLimit(Partial) ->
+    Exchange(domain) -> WindowGroupLimit(Final), i.e. map-side
+    top-``cap`` per domain before any data moves.
+    """
+    out = df.select(
+        F.col(id_col), F.col(domain_col), F.col(id_col).cast("string").alias("__s")
+    )
+    if blocklist:
+        bl = df.sparkSession.createDataFrame(
+            [(d,) for d in blocklist], f"{domain_col} string"
+        )
+        out = out.join(F.broadcast(bl), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(
+        stable_hash40(F.col("__s")), F.col(id_col)
+    )
+    return (
+        out.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= cap)
+        .select(id_col, domain_col, "r")
+    )
+
+
+def cap_per_domain_sql(
+    id_col: str,
+    domain_col: str,
+    table: str,
+    cap: int,
+    blocklist: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`cap_per_domain` (QUALIFY form)."""
+    where = ""
+    if blocklist:
+        quoted = ", ".join("'" + d.replace("'", "''") + "'" for d in blocklist)
+        where = f"WHERE {domain_col} NOT IN ({quoted})"
+    rank_h = stable_hash40_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {id_col}, {domain_col},
+       CAST(row_number() OVER (
+           PARTITION BY {domain_col}
+           ORDER BY {rank_h}, {id_col}) AS INT) AS r
+FROM {table}
+{where}
+QUALIFY r <= {cap}
+"""
+
+
+# ── DSIR hashed-n-gram importance weights ───────────────────────────
+def dsir_bucket_weights(
+    df: DataFrame,
+    text_col: str,
+    target_col,
+    num_buckets: int = DSIR_BUCKETS,
+    quant_bits: int = DSIR_QUANT_BITS,
+) -> DataFrame:
+    """Train the DSIR importance model: per-hash-bucket integer
+    log-ratio weights between the TARGET token distribution (rows
+    where ``target_col`` is true — the high-quality reference slice)
+    and the RAW distribution (every row).
+
+    Returns (bucket, w) with exactly ``num_buckets`` rows — the
+    bounded-state property that makes DSIR viable where a
+    full-vocabulary model is not: at 100 TB the vocabulary is
+    billions of tokens, the bucket table is still ``num_buckets``
+    rows.
+
+    w(b) = round(2^quant_bits * (log2 P(b|target) - log2 P(b|raw)))
+    with add-one smoothing, arranged as
+    log2((t_n+1)*(r_tot+B)) - log2((r_n+1)*(t_tot+B)) so every log2
+    argument is a double product of exactly-representable ints (the
+    token_log_odds overflow/stability pattern, textstats.py).
+
+    One tokenize+explode pass trains both distributions via
+    conditional aggregation; buckets never seen anywhere get weight
+    0 by construction downstream (left join + coalesce), matching
+    the smoothed estimate of "no evidence either way".
+    """
+    occ = df.select(
+        F.coalesce(target_col.cast("boolean"), F.lit(False)).alias("__t"),
+        F.explode(_tokens(text_col)).alias("__tok"),
+    ).select(
+        "__t",
+        F.pmod(stable_hash40(F.col("__tok")), F.lit(num_buckets)).alias("bucket"),
+    )
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_n"),
+        F.count(F.lit(1)).alias("r_n"),
+    )
+    # Totals over an UNBOUNDED window rather than the
+    # agg+crossJoin(broadcast) pattern token_log_odds uses: counts is
+    # <= num_buckets rows BY CONSTRUCTION, so a single-partition
+    # window is free here and saves both a second evaluation of the
+    # counts lineage (one full corpus scan) and a BNLJ node. The
+    # window form would be wrong for token_log_odds, whose vocabulary
+    # frame is unbounded.
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totals = counts.select(
+        "bucket",
+        "t_n",
+        "r_n",
+        F.sum("t_n").over(everything).alias("__tt"),
+        F.sum("r_n").over(everything).alias("__rt"),
+    )
+    scale = 1 << quant_bits
+    b = F.lit(num_buckets)
+    w = F.round(
+        (
+            F.log2(
+                (F.col("t_n") + 1).cast("double")
+                * (F.col("__rt") + b).cast("double")
+            )
+            - F.log2(
+                (F.col("r_n") + 1).cast("double")
+                * (F.col("__tt") + b).cast("double")
+            )
+        )
+        * F.lit(float(scale))
+    ).cast("bigint")
+    return totals.select("bucket", w.alias("w"))
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = DSIR_BUCKETS,
+    quant_bits: int = DSIR_QUANT_BITS,
+) -> DataFrame:
+    """Apply a :func:`dsir_bucket_weights` model: per-document integer
+    importance weight (sum of bucket weights over token occurrences).
+
+    Output: (id, n_tokens, dsir_q, avg_dsir) — dsir_q is the pure
+    int64 order-independent sum; avg_dsir the length-normalized
+    double a resampler thresholds on.
+
+    The weights side is ``num_buckets`` rows — broadcast-joined, so
+    the only shuffle is the per-doc aggregation.
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.explode(_tokens(text_col)).alias("__tok"),
+    ).select(
+        id_col,
+        F.pmod(stable_hash40(F.col("__tok")), F.lit(num_buckets)).alias("bucket"),
+    )
+    scored = occ.join(F.broadcast(weights), "bucket", "left").withColumn(
+        "__w", F.coalesce(F.col("w"), F.lit(0))
+    )
+    scale = 1 << quant_bits
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__w").alias("dsir_q"),
+        )
+        .withColumn(
+            "avg_dsir",
+            F.col("dsir_q").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def dsir_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """The resampling step as deterministic selection: top-``k``
+    documents by importance weight, id as tiebreak. Compiles to
+    TakeOrderedAndProject — map-side top-k, no full sort, no
+    single-partition window.
+    """
+    return scored.orderBy(F.desc("dsir_q"), F.asc(id_col)).limit(k)
+
+
+def dsir_sql(
+    id_col: str,
+    text_col: str,
+    target_sql: str,
+    table: str,
+    num_buckets: int = DSIR_BUCKETS,
+    quant_bits: int = DSIR_QUANT_BITS,
+    topk: int | None = None,
+) -> str:
+    """DuckDB twin of train+score (+ optional top-k): identical
+    tokenization, bucket hash, smoothing, and quantization."""
+    scale = 1 << quant_bits
+    h = stable_hash40_sql("token")
+    limit = (
+        f"ORDER BY dsir_q DESC, {id_col} LIMIT {topk}" if topk else ""
+    )
+    return f"""
+WITH occ AS (
+  SELECT {id_col},
+         ({target_sql}) AS t,
+         {h} % {num_buckets} AS bucket
+  FROM (
+    SELECT *,
+           unnest(list_filter(
+               string_split_regex(lower({text_col}), '{_TOKEN_SPLIT}'),
+               x -> x <> '')) AS token
+    FROM {table})),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS t_n,
+         COUNT(*) AS r_n
+  FROM occ GROUP BY 1),
+tot AS (SELECT SUM(t_n) AS tt, SUM(r_n) AS rt FROM counts),
+wts AS (
+  SELECT bucket,
+         CAST(round((log2(CAST(t_n + 1 AS DOUBLE)
+                          * CAST(rt + {num_buckets} AS DOUBLE))
+                   - log2(CAST(r_n + 1 AS DOUBLE)
+                          * CAST(tt + {num_buckets} AS DOUBLE)))
+                    * {float(scale)}) AS BIGINT) AS w
+  FROM counts CROSS JOIN tot)
+SELECT {id_col},
+       COUNT(*) AS n_tokens,
+       CAST(SUM(COALESCE(w, 0)) AS BIGINT) AS dsir_q,
+       CAST(SUM(COALESCE(w, 0)) AS DOUBLE) / {float(scale)}
+           / COUNT(*) AS avg_dsir
+FROM occ LEFT JOIN wts USING (bucket)
+GROUP BY 1
+{limit}
+"""

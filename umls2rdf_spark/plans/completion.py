@@ -43,6 +43,7 @@ from umls2rdf_spark.functions.hashing import (
     stable_hash40,
     stable_hash40_sql,
 )
+from umls2rdf_spark.plans import curation_demos
 from umls2rdf_spark.sources.parquet import load_table
 
 _SEP = "\x1f"
@@ -544,6 +545,21 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.octet_length("text"), target_bytes=_SIZED_TARGET,
             ),
             "sized_write_plan",
+        ),
+        # SURVEY C37 (round 6): FineWeb-style host-level curation —
+        # blocklist anti-join + deterministic hash-rank cap per
+        # domain, compiled to WindowGroupLimit Partial/Final (map
+        # tasks prune to <= cap rows per domain pre-shuffle)
+        fingerprint_section(
+            curation_demos.domain_cap(spark, sf_dir), "domain_cap"
+        ),
+        # SURVEY C38 (round 6): DSIR hashed-n-gram importance
+        # weights — 256-bucket bounded-state model trained in one
+        # conditional-agg pass, scored through a broadcast dim
+        fingerprint_section(
+            curation_demos.dsir_weights(spark, sf_dir),
+            "dsir_weights",
+            ("avg_dsir",),
         ),
     ]
     return _union(sections)
@@ -1318,6 +1334,17 @@ def _text_scoring_sql() -> str:
                 "column", "n_rows", "n_nulls", "n_distinct",
                 "min_value", "max_value",
             ],
+        ),
+        fingerprint_sql(
+            "domain_cap",
+            curation_demos.DOMAIN_CAP_SQL,
+            ["doc_id", "source", "r"],
+        ),
+        fingerprint_sql(
+            "dsir_weights",
+            curation_demos.DSIR_SQL,
+            ["doc_id", "n_tokens", "dsir_q", "avg_dsir"],
+            ("avg_dsir",),
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
