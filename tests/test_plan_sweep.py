@@ -68,8 +68,10 @@ FULL_SCAN_OK = {
     "histogram": {"orders.parquet": 2},
     # the zorder_code section Morton-encodes EVERY lineitem
     # (orderkey, partkey) pair by definition — no predicate exists;
-    # the key's 13 TPC-H sections keep their pushed filters
-    "tpch_completion": {"lineitem.parquet": 1},
+    # the key's 13 TPC-H sections keep their pushed filters; the
+    # round-6 turtle_validate section (D2's smoke-tier core) renders
+    # and classifies a Turtle block for EVERY customer by definition
+    "tpch_completion": {"lineitem.parquet": 1, "customer.parquet": 1},
     # the streaming batch-twin sections — redelivery dedup (every
     # event_id) and stateful final-state counts (every event) consume
     # the full events table by definition; the interval-join twin's

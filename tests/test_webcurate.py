@@ -127,3 +127,24 @@ def test_cap_sql_quotes_blocklist_entries():
         "doc_id", "source", "documents", 2, blocklist=["o'reilly.com"]
     )
     assert "'o''reilly.com'" in sql
+
+
+# ── turtle_validate section semantics (D2 core, completion.py) ──────
+def test_turtle_validate_flags_exactly_the_corrupted_blocks(spark):
+    from umls2rdf_spark.plans.completion import (
+        _TV_BRACKET_MOD,
+        _TV_CHOP_MOD,
+        _turtle_validate_frame,
+    )
+
+    out = _turtle_validate_frame(spark, SF_DIR).toPandas()
+    key = out["subject"].astype("int64")
+    corrupted = (key % _TV_CHOP_MOD == 0) | (key % _TV_BRACKET_MOD == 0)
+    assert (out.loc[corrupted, "ok"] == False).all()  # noqa: E712
+    assert (out.loc[~corrupted, "ok"] == True).all()  # noqa: E712
+    # chopped blocks lose their terminator; bracket blocks gain an
+    # unbalanced '<' on the final line
+    chop_only = (key % _TV_CHOP_MOD == 0) & (key % _TV_BRACKET_MOD != 0)
+    assert (out.loc[chop_only, "n_terminators"] == 0).all()
+    bracket = key % _TV_BRACKET_MOD == 0
+    assert (out.loc[bracket, "n_bad_bracket"] >= 1).all()

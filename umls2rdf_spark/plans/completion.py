@@ -156,7 +156,128 @@ def tpch_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sections.append(
         fingerprint_section(_zorder_code(spark, sf_dir), "zorder_code")
     )
+    # SURVEY D2's structural-validation core under the driver gate
+    # (round 6): the smoke-tier Turtle checks (rdf/validate.py
+    # validate_turtle's line classifiers) value-verified per exported
+    # block. Blocks are generated in-plan by the same codegen the
+    # turtle_export demo oracles, then deterministically corrupted —
+    # subject % _TV_CHOP_MOD rows lose their terminator bytes,
+    # subject % _TV_BRACKET_MOD rows gain a stray '<' — so both
+    # engines build, break, scan, and classify identical documents.
+    # The strict tokenizer/rdflib tier stays tests-only by nature.
+    sections.append(
+        fingerprint_section(
+            _turtle_validate_frame(spark, sf_dir), "turtle_validate"
+        )
+    )
     return _union(sections)
+
+
+_TV_CHOP_MOD = 7
+_TV_BRACKET_MOD = 13
+_TV_BLOCK_RE = "^<.* a owl:(Class|Ontology)"
+_TV_TERM_RE = "\\.\\s*$"
+
+
+def _corrupt_ttl(blocks: DataFrame) -> DataFrame:
+    key = F.col("subject").cast("bigint")
+    ttl = F.col("ttl")
+    chopped = F.when(
+        key % _TV_CHOP_MOD == 0,
+        F.expr("substring(ttl, 1, length(ttl) - 2)"),
+    ).otherwise(ttl)
+    return blocks.select(
+        "subject",
+        F.when(
+            key % _TV_BRACKET_MOD == 0, F.concat(chopped, F.lit("<"))
+        )
+        .otherwise(chopped)
+        .alias("ttl"),
+    )
+
+
+def _turtle_validate_frame(spark, sf_dir: str) -> DataFrame:
+    from umls2rdf_spark.plans.reference_demos import turtle_export
+
+    blocks = _corrupt_ttl(turtle_export(spark, sf_dir))
+    lines = blocks.select(
+        "subject", F.explode(F.split("ttl", "\n")).alias("line")
+    )
+    tq = (
+        (
+            F.length("line")
+            - F.length(F.replace(F.col("line"), F.lit('"""'), F.lit("")))
+        )
+        / 3
+    ).cast("bigint")
+    opens = F.length("line") - F.length(
+        F.replace(F.col("line"), F.lit("<"), F.lit(""))
+    )
+    closes = F.length("line") - F.length(
+        F.replace(F.col("line"), F.lit(">"), F.lit(""))
+    )
+    per = lines.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("line").rlike(_TV_BLOCK_RE), 1).otherwise(0)
+        ).alias("n_class_lines"),
+        F.sum(
+            F.when(F.col("line").rlike(_TV_TERM_RE), 1).otherwise(0)
+        ).alias("n_terminators"),
+        F.sum(F.when(tq % 2 != 0, 1).otherwise(0)).alias("n_odd_tq"),
+        F.sum(F.when(opens != closes, 1).otherwise(0)).alias(
+            "n_bad_bracket"
+        ),
+    )
+    return per.withColumn(
+        "ok",
+        (F.col("n_class_lines") == 1)
+        & (F.col("n_terminators") >= 1)
+        & (F.col("n_odd_tq") == 0)
+        & (F.col("n_bad_bracket") == 0),
+    )
+
+
+def _turtle_validate_sql() -> str:
+    from umls2rdf_spark.plans.reference_demos import TURTLE_EXPORT_SQL
+
+    return f"""
+WITH blocks AS ({TURTLE_EXPORT_SQL}),
+corrupted AS (
+  SELECT subject,
+         CASE WHEN CAST(subject AS BIGINT) % {_TV_BRACKET_MOD} = 0
+              THEN chopped || '<' ELSE chopped END AS ttl
+  FROM (
+    SELECT subject,
+           CASE WHEN CAST(subject AS BIGINT) % {_TV_CHOP_MOD} = 0
+                THEN substr(ttl, 1, length(ttl) - 2) ELSE ttl
+           END AS chopped
+    FROM blocks)),
+lines AS (
+  SELECT subject, unnest(string_split(ttl, chr(10))) AS line
+  FROM corrupted),
+per AS (
+  SELECT subject,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line,
+             '^<.* a owl:(Class|Ontology)') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_class_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '\\.\\s*$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_terminators,
+         CAST(SUM(CASE WHEN ((length(line)
+             - length(replace(line, '\"\"\"', ''))) // 3) % 2 <> 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_tq,
+         CAST(SUM(CASE WHEN
+             length(line) - length(replace(line, '<', ''))
+             <> length(line) - length(replace(line, '>', ''))
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_bracket
+  FROM lines GROUP BY 1)
+SELECT subject, n_lines, n_class_lines, n_terminators, n_odd_tq,
+       n_bad_bracket,
+       (n_class_lines = 1 AND n_terminators >= 1 AND n_odd_tq = 0
+        AND n_bad_bracket = 0) AS ok
+FROM per
+"""
 
 
 def _zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +323,16 @@ def _tpch_completion_sql() -> str:
     ]
     pieces.append(
         fingerprint_sql("zorder_code", _zorder_code_sql(), ["a", "b", "z"])
+    )
+    pieces.append(
+        fingerprint_sql(
+            "turtle_validate",
+            _turtle_validate_sql(),
+            [
+                "subject", "n_lines", "n_class_lines", "n_terminators",
+                "n_odd_tq", "n_bad_bracket", "ok",
+            ],
+        )
     )
     return "\nUNION ALL\n".join(pieces)
 
