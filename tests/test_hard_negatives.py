@@ -250,3 +250,48 @@ def test_ivf_form_degenerates_and_is_monotone(spark):
     for r in rows:
         assert r.query_id != r.neighbor_id
         assert lab[r.query_id] != lab[r.neighbor_id]
+
+
+def test_null_labels_never_mine_or_get_mined(spark):
+    """Three-valued '<>' parity: a NULL-label vector can neither
+    mine negatives nor be mined as one — in the exact baseline
+    (Spark's q_lab != c_lab is unknown for nulls) AND in both
+    bucketed kernels, whose numpy object-array == would otherwise
+    keep null-vs-labeled pairs (None == 'x' is False, not unknown).
+    Degeneracy (full-probe bucketed == exact) must hold on a corpus
+    containing a null label."""
+    from umls2rdf_spark.operators.similarity import (
+        hard_negative_topk_ivf,
+    )
+
+    rows = [
+        (1, [1.0] * 4 + [0.0] * 60, "a"),
+        (2, [0.9, 0.1] + [0.0] * 62, None),
+        (3, [0.8, 0.3] + [0.0] * 62, "b"),
+        (4, [0.7, 0.4] + [0.0] * 62, "a"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hard_negative_topk(
+            emb, emb, "vec_id", "embedding", "label", k=3
+        ).collect()
+    )
+    assert all(2 not in (q, n) for q, n, _ in exact)
+    assert exact  # the labeled rows do mine each other
+    lsh = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hard_negative_topk_lsh(
+            emb, "vec_id", "embedding", "label", k=3, planes=1, nprobe=2
+        ).collect()
+    )
+    assert lsh == exact
+    ivf = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hard_negative_topk_ivf(
+            emb, "vec_id", "embedding", "label", k=3, cells=4, nprobe=4
+        ).collect()
+    )
+    assert ivf == exact

@@ -93,13 +93,17 @@ def _write_split(tbl, path: str, splits: int) -> None:
     spread branch; round 6 closes that evidence gap)."""
     import pyarrow.parquet as pq
 
+    import shutil
+
+    # a previous run may have left the OTHER layout at this path
+    # (single file vs split directory) — clear either
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
     if splits <= 1:
         pq.write_table(tbl, path)
         return
-    import shutil
-
-    if os.path.exists(path):
-        shutil.rmtree(path)
     os.makedirs(path)
     n = tbl.num_rows
     per = (n + splits - 1) // splits

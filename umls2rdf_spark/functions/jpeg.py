@@ -294,6 +294,12 @@ def decode_jpeg_gray(b: bytes):
                 raise ValueError("JPEG AC index out of range")
             coef[k] = _extend(reader.read_bits(size), size)
             k += 1
+        if cid != luma_id:
+            # chroma pixels are discarded (luma-only decode) — the
+            # entropy decode above still had to run to advance the
+            # bit stream and the DC predictor, but dequant + IDCT
+            # would be pure waste (~1/3 of all blocks in 4:2:0)
+            return None
         q = qtables.get(tq)
         if q is None:
             raise ValueError("JPEG scan references missing DQT")

@@ -22,6 +22,7 @@ from umls2rdf_spark.functions import jpeg as _jpeg
 from umls2rdf_spark.functions import png as _png
 from umls2rdf_spark.functions import video as _video
 from umls2rdf_spark.operators.spread import spread_small_input
+from umls2rdf_spark.sources.text import CORRUPT_COL
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -161,7 +162,7 @@ def resize_images(
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE: {mode}")
     permissive = mode == "PERMISSIVE"
-    corrupt_col = "_corrupt_record"
+    corrupt_col = CORRUPT_COL
     df = spread_small_input(df, "media_id")
 
     def resize(batches):
@@ -409,7 +410,7 @@ def video_frame_features(
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE: {mode}")
     permissive = mode == "PERMISSIVE"
-    corrupt_col = "_corrupt_record"
+    corrupt_col = CORRUPT_COL
     df = spread_small_input(df.select("media_id", "content"), "media_id")
 
     def extract(batches):
@@ -496,24 +497,31 @@ def video_near_dup_pairs(
     :func:`video_frame_features` fed through the SAME banded Hamming
     machinery as the image family (imagededup.hamming_near_dup_pairs:
     complete for hamming <= bands-1, skew-valved), then rolled up per
-    video pair. Frame node ids are media_id*2^20 + frame_idx, so
-    frame_idx must stay below 2^20 (max_frames bounds it)."""
+    video pair. Frame node ids pack (media_id, frame_idx) as
+    ``media_id << 32 | frame_idx``: frame_idx is int32 by schema (so
+    always < 2^32; any frame count a real container can index is
+    representable — not just the first 2^20), and reconstruction
+    uses ARITHMETIC shiftright, which sign-extends and therefore
+    recovers negative media ids exactly where a truncating div would
+    not. Contract: media_id must fit in 32 bits (|id| < 2^31) so the
+    pack cannot overflow int64."""
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
 
     frames = video_frame_features(df, max_frames=max_frames, mode=mode)
     if mode == "PERMISSIVE":
-        frames = frames.where(F.col("_corrupt_record").isNull())
+        frames = frames.where(F.col(CORRUPT_COL).isNull())
     nodes = frames.select(
-        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx"))
-        .cast("bigint")
-        .alias("fid"),
+        (
+            F.shiftleft(F.col("media_id").cast("bigint"), 32)
+            + F.col("frame_idx").cast("bigint")
+        ).alias("fid"),
         F.col("ahash").cast("bigint").alias("ahash"),
     )
     pairs = hamming_near_dup_pairs(
         nodes, "fid", "ahash", max_hamming=max_hamming, bands=bands
     )
-    va = F.expr(f"id_a div {1 << 20}")
-    vb = F.expr(f"id_b div {1 << 20}")
+    va = F.shiftright(F.col("id_a"), 32)
+    vb = F.shiftright(F.col("id_b"), 32)
     return (
         pairs.select(
             F.least(va, vb).alias("id_a"),

@@ -260,7 +260,6 @@ def hard_negative_topk_lsh(
     neighbor id.
     """
     import numpy as np
-    import pandas as pd
 
     if planes is None:
         planes = auto_planes(_corpus_n(vectors, known_n), target_bucket)
@@ -270,16 +269,60 @@ def hard_negative_topk_lsh(
         [[coeff(i, j) for j in range(dim)] for i in range(planes)],
         dtype=np.int64,
     )
+
+    # NOTE: a plain closure over locals (plane_mat/planes + numpy) —
+    # cloudpickle ships it by value inside the shared featurize; see
+    # lsh_cosine_topk.
+    def assign(q, probes):
+        sign_dots = q @ plane_mat.T
+        bucket = (
+            ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
+        ).astype(np.int64)
+        cols = [bucket]
+        if probes > 1:
+            flip_order = np.argsort(
+                np.abs(sign_dots), axis=1, kind="stable"
+            )
+            for j in range(probes - 1):
+                cols.append(bucket ^ (1 << flip_order[:, j]))
+        return np.stack(cols, axis=1)
+
+    return _bucketed_role_topk(
+        vectors, queries, id_col, vec_col, label_col,
+        k=k, nprobe=nprobe, assign_fn=assign, max_bucket=max_bucket,
+    )
+
+
+def _bucketed_role_topk(
+    vectors: DataFrame,
+    queries: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    nprobe: int,
+    assign_fn,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Shared assembly for the bucketed hard-negative family
+    (:func:`hard_negative_topk_lsh` / :func:`hard_negative_topk_ivf`):
+    quantize → bucket via ``assign_fn`` → role-aware per-bucket
+    kernel → global re-rank. ``assign_fn(q, probes)`` maps an
+    (n, dim) int64 matrix to an (n, probes) bucket matrix, column 0
+    the primary residency bucket; it must be a plain closure
+    (locals + numpy only) so cloudpickle ships the whole featurize
+    by value. ``max_bucket`` routes through the completeness-
+    preserving block-pair valve for either variant."""
     feat_schema = (
         f"{id_col} long, lab string, qvec array<long>, norm2 long, "
         "bucket int, is_corpus boolean, is_query boolean"
     )
 
-    # NOTE: closures fully self-contained (locals + numpy/pandas
-    # only) — cloudpickle must ship them by value; see
-    # lsh_cosine_topk.
     def make_featurize(as_corpus: bool, as_query: bool, probes: int):
         def featurize(batches):
+            import numpy as np
+            import pandas as pd
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -291,10 +334,7 @@ def hard_negative_topk_lsh(
                     np.int64
                 )
                 norm2 = (q * q).sum(axis=1)
-                sign_dots = q @ plane_mat.T
-                bucket = (
-                    ((sign_dots > 0) << np.arange(planes)).sum(axis=1)
-                ).astype(np.int64)
+                buckets = assign_fn(q, probes)
                 base = {
                     id_col: pdf[id_col].values,
                     "lab": pdf["lab"].values,
@@ -305,28 +345,23 @@ def hard_negative_topk_lsh(
                     pd.DataFrame(
                         {
                             **base,
-                            "bucket": bucket.astype(np.int32),
+                            "bucket": buckets[:, 0].astype(np.int32),
                             "is_corpus": as_corpus,
                             "is_query": as_query,
                         }
                     )
                 ]
-                if probes > 1:
-                    flip_order = np.argsort(
-                        np.abs(sign_dots), axis=1, kind="stable"
-                    )
-                    for j in range(probes - 1):
-                        flipped = bucket ^ (1 << flip_order[:, j])
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    **base,
-                                    "bucket": flipped.astype(np.int32),
-                                    "is_corpus": False,
-                                    "is_query": True,
-                                }
-                            )
+                for j in range(1, probes):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                **base,
+                                "bucket": buckets[:, j].astype(np.int32),
+                                "is_corpus": False,
+                                "is_query": True,
+                            }
                         )
+                    )
                 yield pd.concat(frames, ignore_index=True)
 
         return featurize
@@ -373,6 +408,7 @@ def hard_negative_topk_ivf(
     nprobe: int = 1,
     known_n: int | None = None,
     queries: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """IVF-cell hard-negative mining — the inverted-file sibling of
     :func:`hard_negative_topk_lsh` (same role-aware kernel, same
@@ -384,10 +420,11 @@ def hard_negative_topk_ivf(
     ``nprobe`` lets queries probe their nprobe nearest cells — a
     neighbor is scored at most once, recall monotone in nprobe.
     nprobe = cells degenerates to the exact result. ``queries``
-    switches to the separate-query-frame form.
+    switches to the separate-query-frame form; ``max_bucket`` routes
+    through the same completeness-preserving block-pair valve as the
+    LSH form (shared assembly).
     """
     import numpy as np
-    import pandas as pd
 
     if centroids is not None:
         cent = np.array(centroids, dtype=np.int64)
@@ -399,79 +436,15 @@ def hard_negative_topk_ivf(
             dtype=np.int64,
         )
     nprobe = max(1, min(nprobe, len(cent)))
-    feat_schema = (
-        f"{id_col} long, lab string, qvec array<long>, norm2 long, "
-        "bucket int, is_corpus boolean, is_query boolean"
+
+    def assign(q, probes):
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return np.argsort(d2, axis=1, kind="stable")[:, :probes]
+
+    return _bucketed_role_topk(
+        vectors, queries, id_col, vec_col, label_col,
+        k=k, nprobe=nprobe, assign_fn=assign, max_bucket=max_bucket,
     )
-
-    def make_featurize(as_corpus: bool, as_query: bool, probes: int):
-        def featurize(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.vstack(pdf[vec_col].values).astype(np.float64)
-                Y = V * 1000
-                q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(
-                    np.int64
-                )
-                norm2 = (q * q).sum(axis=1)
-                d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
-                base = {
-                    id_col: pdf[id_col].values,
-                    "lab": pdf["lab"].values,
-                    "qvec": list(q),
-                    "norm2": norm2,
-                }
-                frames = [
-                    pd.DataFrame(
-                        {
-                            **base,
-                            "bucket": order[:, 0].astype(np.int32),
-                            "is_corpus": as_corpus,
-                            "is_query": as_query,
-                        }
-                    )
-                ]
-                for j in range(1, probes):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                **base,
-                                "bucket": order[:, j].astype(np.int32),
-                                "is_corpus": False,
-                                "is_query": True,
-                            }
-                        )
-                    )
-                yield pd.concat(frames, ignore_index=True)
-
-        return featurize
-
-    def prep(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.col(label_col).cast("string").alias("lab"),
-            F.col(vec_col),
-        )
-
-    if queries is None:
-        feat = spread_small_input(prep(vectors), id_col).mapInPandas(
-            make_featurize(True, True, nprobe), schema=feat_schema
-        )
-    else:
-        cfeat = spread_small_input(prep(vectors), id_col).mapInPandas(
-            make_featurize(True, False, 1), schema=feat_schema
-        )
-        qfeat = prep(queries).mapInPandas(
-            make_featurize(False, True, nprobe), schema=feat_schema
-        )
-        feat = cfeat.unionByName(qfeat)
-    local = feat.groupBy("bucket").applyInPandas(
-        _labeled_topk_fn(id_col, k),
-        schema="query_id long, neighbor_id long, cos double",
-    )
-    return _rank_topk(local, k)
 
 
 def _salt_block_pairs(
@@ -562,9 +535,18 @@ def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
         )
         cos[qids[:, None] == cids[None, :]] = -np.inf
         if label_aware:
-            cos[
-                qs["lab"].values[:, None] == corpus["lab"].values[None, :]
-            ] = -np.inf
+            qlab = qs["lab"].values
+            clab = corpus["lab"].values
+            # three-valued '<>' semantics, matching the exact
+            # baseline's Spark predicate and the SQL twin: a NULL
+            # label can never form a DIFFERENT-label pair, so null
+            # rows are masked on BOTH sides (object-array == alone
+            # would keep null-vs-labeled pairs: None == 'x' is
+            # False, not unknown)
+            blocked = qlab[:, None] == clab[None, :]
+            blocked |= pd.isnull(qlab)[:, None]
+            blocked |= pd.isnull(clab)[None, :]
+            cos[blocked] = -np.inf
         rows = []
         kk = min(k, len(cids))
         for i in range(len(qids)):

@@ -59,7 +59,14 @@ def spread_small_input(
     """
     spark = df.sparkSession
     if min_parallelism is None:
-        min_parallelism = spark.sparkContext.defaultParallelism
+        try:
+            min_parallelism = spark.sparkContext.defaultParallelism
+        except Exception:
+            # SparkSession.sparkContext itself raises on Spark
+            # Connect — treat exactly like the missing-RDD-bridge
+            # case below: no way to observe the layout, degrade to
+            # the shuffle-detection fast path, else always-spread.
+            min_parallelism = None
     try:
         analyzed = df._jdf.queryExecution().analyzed().toString()
         # match NODE names at their tree position (start of line
@@ -78,6 +85,8 @@ def spread_small_input(
         pass  # fall through to the partition-count check
     key_col = key if isinstance(key, Column) else F.col(key)
     try:
+        if min_parallelism is None:
+            raise RuntimeError("no parallelism probe (Connect)")
         if df.rdd.getNumPartitions() >= min_parallelism:
             return df
     except Exception:
