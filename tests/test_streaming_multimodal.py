@@ -774,3 +774,66 @@ def test_sessionize_stateful_out_of_order_backfill(spark, tmp_path):
     # the bridged session: one emission, start 10:00, THREE events
     user1 = {(s, n) for u, s, n in got if u == 1}
     assert user1 == {("2024-01-01 10:00:00", 3)}, got
+
+
+def test_left_outer_interval_join_watermark_withholding(spark):
+    """LEFT-OUTER stream-stream interval join: every matched pair is
+    emitted (append, exactly once), and a NULL row is emitted for
+    exactly the purchases whose no-match status the click watermark
+    has PROVEN — purchase_ts < max(click_ts) - watermark_delay (no
+    future click can satisfy click_ts <= purchase_ts once the click
+    watermark passes it). The batch twin keeps every unmatched
+    purchase; the drained stream must equal the twin filtered to
+    that provable set — the exact withholding semantics a user has
+    to reason about when choosing outer interval joins."""
+    import datetime
+
+    from umls2rdf_spark.sources.parquet import load_table
+    from umls2rdf_spark.streaming.events import (
+        click_purchase_attribution,
+        read_events_stream,
+        run_append_to_memory,
+    )
+
+    def sides(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = sides(read_events_stream(spark, SF_DIR))
+    got = run_append_to_memory(
+        click_purchase_attribution(s_clicks, s_purch, how="leftOuter"),
+        "attr_outer_test",
+        spark,
+    ).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    b_clicks, b_purch = sides(ev)
+    batch = click_purchase_attribution(
+        b_clicks, b_purch, how="leftOuter"
+    ).collect()
+
+    g_matched = sorted(tuple(r) for r in got if r.click_id is not None)
+    b_matched = sorted(tuple(r) for r in batch if r.click_id is not None)
+    assert g_matched == b_matched and len(g_matched) > 0
+
+    max_click = max(
+        r.ts
+        for r in ev.where(F.col("event_type") == "click").collect()
+    )
+    cutoff = max_click - datetime.timedelta(hours=2)
+    g_null = sorted(
+        (r.purchase_id, r.purchase_ts)
+        for r in got
+        if r.click_id is None
+    )
+    b_null_provable = sorted(
+        (r.purchase_id, r.purchase_ts)
+        for r in batch
+        if r.click_id is None and r.purchase_ts < cutoff
+    )
+    assert g_null == b_null_provable and len(g_null) > 0
+    # and some purchases ARE withheld on this data — the relationship
+    # being pinned is a strict subset, not accidental equality
+    b_null_all = [r for r in batch if r.click_id is None]
+    assert len(b_null_all) > len(g_null)

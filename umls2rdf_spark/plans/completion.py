@@ -1568,15 +1568,54 @@ FROM events GROUP BY user_id
 """
 
 
+def _interval_join_outer_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the LEFT-OUTER stream-stream interval join:
+    every purchase with its attributing clicks OR null click columns
+    (conversion without a tracked click). The batch twin keeps every
+    unmatched purchase; the streaming form emits a null row only
+    once the click watermark proves no match can arrive — that
+    subset relationship is pinned in tests/test_streaming_multimodal.
+    """
+    from umls2rdf_spark.streaming.events import (
+        click_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+        how="leftOuter",
+    )
+
+
+_INTERVAL_JOIN_OUTER_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP)
+     <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window families over events PLUS the streaming batch-twins
     as fingerprint sections of one driver key: tumbling 1-hour
     buckets (SURVEY B6), native gap-merged 30-minute session windows
     (B22), hopping 1-hour/15-minute sliding windows where every event
-    lands in exactly 4 epoch-aligned windows (B23b), and the three
+    lands in exactly 4 epoch-aligned windows (B23b), and the four
     SQL-expressible twins of the C14 streaming surface — redelivery
     dedup (streaming_dedup), the stream-stream interval join
-    (click_purchase_attribution, batch sources), and the
+    (click_purchase_attribution, batch sources), its LEFT-OUTER form
+    (unattributed purchases kept; the streaming watermark-withholding
+    subset is pinned in tests), and the
     applyInPandasWithState final-state counts. The streaming forms
     themselves run under watermarks in streaming/events.py with
     batch-equality tests; these sections put the twin semantics under
@@ -1615,6 +1654,11 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _stateful_counts_twin(spark, sf_dir),
                 "stateful_counts",
+            ),
+            fingerprint_section(
+                _interval_join_outer_twin(spark, sf_dir),
+                "interval_join_outer",
+                ("value",),
             ),
         ]
     )
@@ -1668,6 +1712,19 @@ def _event_windows_sql() -> str:
             "stateful_counts",
             _STATEFUL_COUNTS_SQL,
             ["user_id", "n_events"],
+        ),
+        fingerprint_sql(
+            "interval_join_outer",
+            _INTERVAL_JOIN_OUTER_SQL,
+            [
+                "purchase_id",
+                "click_id",
+                "user_id",
+                "purchase_ts",
+                "click_ts",
+                "value",
+            ],
+            ("value",),
         ),
     ]
     return "\nUNION ALL\n".join(pieces)

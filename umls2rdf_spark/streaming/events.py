@@ -308,6 +308,7 @@ def click_purchase_attribution(
     purchases: DataFrame,
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join — the attribution shape: every
     (purchase, click) pair by the same user where the click precedes
@@ -325,6 +326,16 @@ def click_purchase_attribution(
     The same function applied to batch frames is its own batch twin
     (the expressions are identical; only the source differs), which
     is how the equivalence test oracles the streaming state logic.
+
+    ``how="leftOuter"`` keeps UNATTRIBUTED purchases (null click
+    columns) — the "conversion without a tracked click" shape. In
+    streaming, an outer null row is emitted only once the CLICK
+    side's watermark has passed the purchase's event time (no future
+    click can satisfy click_ts <= purchase_ts), so the drained
+    stream yields every matched pair but only the null rows whose
+    no-match status the watermark has proven; the batch twin keeps
+    them all. tests/test_streaming_multimodal.py pins exactly that
+    relationship.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -349,7 +360,7 @@ def click_purchase_attribution(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")
         ),
-        "inner",
+        how,
     ).select(
         "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
         "value",
