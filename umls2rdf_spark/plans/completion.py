@@ -1605,6 +1605,50 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def _rolling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregation (SURVEY B40): per-user count
+    and value-sum over the trailing 1-hour RANGE frame at every
+    event — the sliding-lookback shape (rate limiting, trailing
+    spend, rolling error counts) that tumbling/hopping buckets
+    cannot express because each row needs ITS OWN window anchored at
+    its own timestamp.
+
+    Spark has no interval-typed RANGE frame, so the frame runs over
+    epoch seconds — ``rangeBetween(-3599, 0)`` on unix_timestamp is
+    value-identical to DuckDB's ``RANGE BETWEEN INTERVAL 59 MINUTES
+    59 SECONDS PRECEDING AND CURRENT ROW`` (microsecond timestamps
+    here are whole seconds; peers at the same instant are included
+    by RANGE semantics in both engines). One shuffle on user_id,
+    in-partition time sort, frame bounded by the time horizon — at
+    100 TB the state per partition is the 1-hour slice, not the
+    user's history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value").over(w).alias("sum_1h"),
+    )
+
+
+_ROLLING_WINDOW_SQL = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       SUM(value) OVER w AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+  RANGE BETWEEN INTERVAL 3599 SECONDS PRECEDING AND CURRENT ROW)
+"""
+
+
 def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window families over events PLUS the streaming batch-twins
     as fingerprint sections of one driver key: tumbling 1-hour
@@ -1659,6 +1703,11 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _interval_join_outer_twin(spark, sf_dir),
                 "interval_join_outer",
                 ("value",),
+            ),
+            fingerprint_section(
+                _rolling_window_twin(spark, sf_dir),
+                "rolling",
+                ("sum_1h",),
             ),
         ]
     )
@@ -1725,6 +1774,12 @@ def _event_windows_sql() -> str:
                 "value",
             ],
             ("value",),
+        ),
+        fingerprint_sql(
+            "rolling",
+            _ROLLING_WINDOW_SQL,
+            ["event_id", "user_id", "ts", "n_1h", "sum_1h"],
+            ("sum_1h",),
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
