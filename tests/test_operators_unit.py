@@ -1019,3 +1019,114 @@ def test_events_hopping_windows_match_oracle(spark, duck):
     n_events = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     total = got.agg(F.sum("n")).collect()[0][0]
     assert total == 4 * n_events
+
+
+def test_asof_directions_paths_agree_and_match_oracle(spark, duck):
+    """forward / nearest as-of: the window and cogroup paths must
+    return identical rows, and both must match an engine-neutral
+    ROW_NUMBER oracle (nearest oracle encodes the defined tie rule:
+    smallest |distance|, ties prefer the backward row, then the
+    tiebreak)."""
+    from tests.conftest import SF_DIR_ORACLE
+    from umls2rdf_spark.operators.sessionize import asof_join_auto
+    from umls2rdf_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, SF_DIR_ORACLE, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    # the testdata's orders (1995-2001) all PRECEDE its events
+    # (2024), so forward is exercised orders->events (earliest later
+    # event per order) and nearest events->orders (distance ordering
+    # over an all-backward candidate set)
+    fwd_kw = dict(
+        left_id="o_orderkey", left_key="o_custkey",
+        right_key="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_tiebreak="event_id", right_cols=["event_id", "ts"],
+        direction="forward",
+    )
+    near_kw = dict(
+        left_id="event_id", left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        direction="nearest",
+    )
+    fwd_sql = """
+        SELECT o_orderkey, event_id FROM (
+          SELECT o.o_orderkey, e.event_id,
+                 ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                   ORDER BY e.ts ASC, e.event_id) AS rn
+          FROM orders o JOIN events e
+            ON e.user_id = o.o_custkey
+           AND CAST(e.ts AS TIMESTAMP)
+               >= CAST(o.o_orderdate AS TIMESTAMP))
+        WHERE rn = 1
+    """
+    near_sql = """
+        SELECT event_id, o_orderkey FROM (
+          SELECT e.event_id, o.o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                              - epoch_us(CAST(e.ts AS TIMESTAMP))) ASC,
+                            o.o_orderdate ASC, o.o_orderkey) AS rn
+          FROM events e JOIN orders o ON o.o_custkey = e.user_id)
+        WHERE rn = 1
+    """
+    for name, (l, r, kw, sql, pick) in {
+        "forward": (
+            orders, ev, fwd_kw, fwd_sql,
+            lambda row: (row.o_orderkey, row.event_id),
+        ),
+        "nearest": (
+            ev, orders, near_kw, near_sql,
+            lambda row: (row.event_id, row.o_orderkey),
+        ),
+    }.items():
+        w = asof_join_auto(l, r, pair_budget=1 << 60, **kw)
+        m = asof_join_auto(l, r, pair_budget=0, **kw)
+        ws = {pick(row) for row in w.collect()}
+        ms = {pick(row) for row in m.collect()}
+        assert ws == ms, f"paths disagree for {name}"
+        exp = {tuple(row) for row in duck.execute(sql).fetchall()}
+        assert ws == exp, f"oracle mismatch for {name}"
+        assert len(ws) > 0
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Exact-distance tie: right rows 10s before AND 10s after the
+    left timestamp — the DEFINED rule picks the backward one; among
+    equal backward rows, the lowest tiebreak. Both physical paths."""
+    import datetime
+
+    from umls2rdf_spark.operators.sessionize import asof_join_auto
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=10)
+    left = spark.createDataFrame(
+        [(1, 100, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, t0 - s, 7),
+            (100, t0 - s, 5),
+            (100, t0 + s, 1),
+        ],
+        "o_custkey long, o_orderdate timestamp, o_orderkey long",
+    )
+    kw = dict(
+        left_id="event_id", left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey"],
+        direction="nearest",
+    )
+    for budget in (1 << 60, 0):
+        got = asof_join_auto(
+            left, right, pair_budget=budget, **kw
+        ).collect()
+        assert [(r.event_id, r.o_orderkey) for r in got] == [(1, 5)], (
+            f"budget={budget}"
+        )

@@ -62,21 +62,46 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row (unique ``left_id``), the most recent right
-    row with right_ts <= left_ts on the same key.
+    """For each left row (unique ``left_id``), the as-of right row on
+    the same key:
+
+    - ``backward`` (default): most recent right_ts <= left_ts,
+    - ``forward``: earliest right_ts >= left_ts,
+    - ``nearest``: smallest |right_ts - left_ts|; exact-distance
+      ties prefer the BACKWARD row (then the tiebreak column) — a
+      DEFINED rule rather than whatever a library happens to do,
+      and the cogroup path implements the identical rule.
 
     Implemented as range-join + per-left-row top-1 window — the
     declarative form Catalyst can optimize; at scale, pre-bucket both
-    sides on the key so the range join is co-partitioned.
+    sides on the key so the range join is co-partitioned. ``nearest``
+    has no time bound to push into the join, so its pair set is the
+    full key join — at scale prefer the cogroup path for it (the
+    auto dispatcher's pair bound is exact there).
     """
-    cond = (left[left_key] == right[right_key]) & (
-        right[right_ts] <= left[left_ts]
-    )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    cond = left[left_key] == right[right_key]
+    if direction == "backward":
+        cond = cond & (right[right_ts] <= left[left_ts])
+        order = [right[right_ts].desc(), right[right_tiebreak].asc()]
+    elif direction == "forward":
+        cond = cond & (right[right_ts] >= left[left_ts])
+        order = [right[right_ts].asc(), right[right_tiebreak].asc()]
+    else:
+        dist = F.abs(
+            F.unix_micros(right[right_ts].cast("timestamp"))
+            - F.unix_micros(left[left_ts].cast("timestamp"))
+        )
+        order = [
+            dist.asc(),
+            right[right_ts].asc(),  # ties: backward ts < forward ts
+            right[right_tiebreak].asc(),
+        ]
     joined = left.join(right, cond, "inner")
-    w = Window.partitionBy(left[left_id]).orderBy(
-        right[right_ts].desc(), right[right_tiebreak].asc()
-    )
+    w = Window.partitionBy(left[left_id]).orderBy(*order)
     return joined.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") == 1
     ).drop("__rn")
@@ -136,6 +161,7 @@ def asof_join_auto(
     pair_budget: int = 5_000_000,
     n_left: int | None = None,
     right_stats: tuple[int, int, int] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Adaptive as-of join: picks the range-join+window path or the
     bucket-cogroup merge_asof path by estimated join fan-out.
@@ -182,16 +208,21 @@ def asof_join_auto(
     n_right, n_keys, max_per_key = right_stats
     est_pairs = n_left * max_per_key
     l_cols = [f.name for f in left.schema.fields]
+    if direction == "nearest":
+        # no time bound prunes the window path's join for nearest, so
+        # its true pair count is n_left x rows-per-key — the same
+        # bound the dispatcher estimates, making the estimate exact
+        est_pairs = n_left * max_per_key
     if est_pairs <= pair_budget:
         joined = asof_join(
             left, right, left_id, left_key, right_key, left_ts, right_ts,
-            right_tiebreak,
+            right_tiebreak, direction=direction,
         )
         return joined.select(*[left[c] for c in l_cols],
                              *[right[c] for c in right_cols])
     return asof_join_cogroup(
         left, right, left_key, right_key, left_ts, right_ts,
-        right_tiebreak, right_cols,
+        right_tiebreak, right_cols, direction=direction,
     )
 
 
@@ -205,6 +236,7 @@ def asof_join_cogroup(
     right_tiebreak: str,
     right_cols: list[str],
     num_buckets: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Scale path for the as-of join: cogroup both sides on a HASH
     BUCKET of the key (one shuffle each) and run one vectorized
@@ -214,9 +246,17 @@ def asof_join_cogroup(
     sf0.1: 1500 tiny pandas groups vs ~2x shuffle partitions
     vectorized ones).
 
-    Tie semantics match asof_join/the SQL oracle: latest right_ts,
-    then LOWEST right_tiebreak (achieved by sorting the right side by
-    (ts asc, tiebreak desc) — merge_asof takes the last match).
+    Tie semantics match asof_join/the SQL oracle. backward: latest
+    right_ts, then LOWEST right_tiebreak (right sorted (ts asc,
+    tiebreak desc) — merge_asof backward takes the LAST match in
+    sort order); forward: earliest right_ts, then lowest tiebreak
+    (right sorted (ts asc, tiebreak ASC) — merge_asof forward takes
+    the FIRST match in sort order; both behaviors probe-verified);
+    nearest: smallest |right_ts - left_ts|, exact-distance ties
+    prefer the backward row — implemented as backward + forward
+    merges and a per-row distance pick, NOT pandas'
+    direction="nearest", whose tie rule is an implementation detail
+    we refuse to depend on.
 
     Output: all left columns + the requested right columns.
     PRE-PROJECT both sides to the columns you need — everything you
@@ -249,23 +289,58 @@ def asof_join_cogroup(
             left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    how = direction
+
     def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.drop(columns=["__bucket"])
         rpdf = rpdf.drop(columns=["__bucket"])
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame(columns=l_cols + r_cols)
         ls = lpdf.sort_values(l_ts, kind="mergesort")
-        rs = rpdf.sort_values(
-            [r_ts, r_tb], ascending=[True, False], kind="mergesort"
-        ).rename(columns={r_key: l_key})
-        rs = rs[[l_key, r_ts, r_tb]
-                + [c for c in r_cols if c not in (r_ts, r_tb)]]
+        rpdf = rpdf.rename(columns={r_key: l_key})
+        rpdf = rpdf[[l_key, r_ts, r_tb]
+                    + [c for c in r_cols if c not in (r_ts, r_tb)]]
         # merge_asof requires bit-identical 'by' dtypes
-        rs[l_key] = rs[l_key].astype(ls[l_key].dtype)
-        merged = pd.merge_asof(
-            ls, rs, left_on=l_ts, right_on=r_ts, by=l_key,
-            direction="backward",
-        )
+        rpdf[l_key] = rpdf[l_key].astype(ls[l_key].dtype)
+
+        def one(dirn):
+            # backward takes the LAST match in sort order -> tb desc
+            # puts the lowest tiebreak last; forward takes the FIRST
+            # -> tb asc puts it first (both probe-verified)
+            tb_asc = dirn == "forward"
+            rs = rpdf.sort_values(
+                [r_ts, r_tb], ascending=[True, tb_asc], kind="mergesort"
+            )
+            return pd.merge_asof(
+                ls, rs, left_on=l_ts, right_on=r_ts, by=l_key,
+                direction=dirn,
+            )
+
+        if how != "nearest":
+            merged = one(how)
+        else:
+            back = one("backward")
+            fwd = one("forward")
+            # per-row pick by |distance|; exact ties prefer backward
+            bd = (ls[l_ts].values - back[r_ts].values)
+            fd = (fwd[r_ts].values - ls[l_ts].values)
+            bdist = pd.Series(bd).abs()
+            fdist = pd.Series(fd).abs()
+            use_fwd = (back[r_ts].isna() & fwd[r_ts].notna()) | (
+                back[r_ts].notna()
+                & fwd[r_ts].notna()
+                & (fdist < bdist)
+            )
+            merged = back.copy()
+            pick_cols = [r_ts, r_tb] + [
+                c for c in r_cols if c not in (r_ts, r_tb)
+            ]
+            for c in pick_cols:
+                merged.loc[use_fwd.values, c] = fwd.loc[
+                    use_fwd.values, c
+                ]
         merged = merged.dropna(subset=[r_ts])
         return merged[l_cols + r_cols]
 
