@@ -508,3 +508,47 @@ def test_resample_mixture_matches_replica(spark, items, parts):
     else:
         exp = []
     assert got == sorted(exp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id
+            st.sampled_from(["a", "b", "c", "d"]),        # domain
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),               # cap
+)
+@settings(**_SETTINGS)
+def test_cap_per_domain_matches_replica(spark, rows, cap):
+    """cap_per_domain vs a plain-Python replica of its contract:
+    within each non-blocklisted domain, keep the ``cap`` lowest rows
+    by (stable_hash40(str(id)), id), ranked 1..cap."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_py
+    from umls2rdf_spark.operators.webcurate import cap_per_domain
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        map(
+            tuple,
+            cap_per_domain(
+                df, "doc_id", "source", cap=cap, blocklist=["d"]
+            ).collect(),
+        )
+    )
+    by_dom: dict[str, list[tuple[int, int]]] = {}
+    for i, dom in rows:
+        if dom == "d":
+            continue
+        by_dom.setdefault(dom, []).append(
+            (stable_hash40_py(str(i)), i)
+        )
+    expected = sorted(
+        (i, dom, r + 1)
+        for dom, members in by_dom.items()
+        for r, (_, i) in enumerate(sorted(members)[:cap])
+    )
+    assert got == expected
