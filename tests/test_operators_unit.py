@@ -1130,3 +1130,37 @@ def test_asof_nearest_tie_prefers_backward(spark):
         assert [(r.event_id, r.o_orderkey) for r in got] == [(1, 5)], (
             f"budget={budget}"
         )
+
+
+def test_asof_nearest_ignores_null_right_ts(spark):
+    """A NULL right_ts row can never be an as-of match: without the
+    explicit null exclusion a NULL distance sorts FIRST under asc()
+    and silently wins every group on the window path, and trips
+    merge_asof's monotonicity check on the cogroup path."""
+    import datetime
+
+    from umls2rdf_spark.operators.sessionize import asof_join_auto
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=10)
+    left = spark.createDataFrame(
+        [(1, 100, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, None, 9), (100, t0 - s, 5)],
+        "o_custkey long, o_orderdate timestamp, o_orderkey long",
+    )
+    kw = dict(
+        left_id="event_id", left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey"],
+        direction="nearest",
+    )
+    for budget in (1 << 60, 0):
+        got = asof_join_auto(
+            left, right, pair_budget=budget, **kw
+        ).collect()
+        assert [(r.event_id, r.o_orderkey) for r in got] == [(1, 5)], (
+            f"budget={budget}"
+        )

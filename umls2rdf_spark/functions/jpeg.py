@@ -294,15 +294,19 @@ def decode_jpeg_gray(b: bytes):
                 raise ValueError("JPEG AC index out of range")
             coef[k] = _extend(reader.read_bits(size), size)
             k += 1
+        q = qtables.get(tq)
+        if q is None:
+            # validate BEFORE the chroma early-return: a component
+            # referencing an absent DQT is structurally invalid and
+            # must keep failing/quarantining even when its pixels
+            # would be discarded
+            raise ValueError("JPEG scan references missing DQT")
         if cid != luma_id:
             # chroma pixels are discarded (luma-only decode) — the
             # entropy decode above still had to run to advance the
             # bit stream and the DC predictor, but dequant + IDCT
             # would be pure waste (~1/3 of all blocks in 4:2:0)
             return None
-        q = qtables.get(tq)
-        if q is None:
-            raise ValueError("JPEG scan references missing DQT")
         deq = coef * np.asarray(q, dtype=np.float64)
         block = np.zeros(64, dtype=np.float64)
         block[zz] = deq

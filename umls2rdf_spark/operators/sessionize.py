@@ -91,6 +91,11 @@ def asof_join(
         cond = cond & (right[right_ts] >= left[left_ts])
         order = [right[right_ts].asc(), right[right_tiebreak].asc()]
     else:
+        # backward/forward exclude NULL right_ts via their ts
+        # comparison; nearest joins on key alone, so nulls must be
+        # excluded explicitly — a NULL distance would sort FIRST
+        # under asc() and silently win every group
+        cond = cond & right[right_ts].isNotNull()
         dist = F.abs(
             F.unix_micros(right[right_ts].cast("timestamp"))
             - F.unix_micros(left[left_ts].cast("timestamp"))
@@ -208,11 +213,9 @@ def asof_join_auto(
     n_right, n_keys, max_per_key = right_stats
     est_pairs = n_left * max_per_key
     l_cols = [f.name for f in left.schema.fields]
-    if direction == "nearest":
-        # no time bound prunes the window path's join for nearest, so
-        # its true pair count is n_left x rows-per-key — the same
-        # bound the dispatcher estimates, making the estimate exact
-        est_pairs = n_left * max_per_key
+    # (for direction="nearest" the bound is not just an upper bound
+    # but EXACT on the hot key — no time predicate prunes the window
+    # path's join — so the dispatcher needs no special casing)
     if est_pairs <= pair_budget:
         joined = asof_join(
             left, right, left_id, left_key, right_key, left_ts, right_ts,
@@ -302,6 +305,10 @@ def asof_join_cogroup(
         rpdf = rpdf.rename(columns={r_key: l_key})
         rpdf = rpdf[[l_key, r_ts, r_tb]
                     + [c for c in r_cols if c not in (r_ts, r_tb)]]
+        # NULL right_ts rows can never be an as-of match (parity
+        # with the window path's conditions) and would trip
+        # merge_asof's monotonicity check as trailing NaT
+        rpdf = rpdf.dropna(subset=[r_ts])
         # merge_asof requires bit-identical 'by' dtypes
         rpdf[l_key] = rpdf[l_key].astype(ls[l_key].dtype)
 

@@ -1622,6 +1622,12 @@ def _rolling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-partition time sort, frame bounded by the time horizon — at
     100 TB the state per partition is the 1-hour slice, not the
     user's history.
+
+    The value sum quantizes each row to int64 BEFORE summing (the
+    bm25 convention): a double sum's addition order inside a frame
+    is engine-dependent once frames grow (caught by the 10x replica
+    gate — green at sf0.01, hash-mismatch at 10x), while the int64
+    sum is order-independent and engine-exact at any frame size.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -1629,19 +1635,21 @@ def _rolling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3599, 0)
     )
+    vq = F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum("value").over(w).alias("sum_1h"),
+        F.sum(vq).over(w).alias("sum_1h_q"),
     )
 
 
 _ROLLING_WINDOW_SQL = """
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-       SUM(value) OVER w AS sum_1h
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_1h_q
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
@@ -1705,9 +1713,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("value",),
             ),
             fingerprint_section(
-                _rolling_window_twin(spark, sf_dir),
-                "rolling",
-                ("sum_1h",),
+                _rolling_window_twin(spark, sf_dir), "rolling"
             ),
         ]
     )
@@ -1778,8 +1784,7 @@ def _event_windows_sql() -> str:
         fingerprint_sql(
             "rolling",
             _ROLLING_WINDOW_SQL,
-            ["event_id", "user_id", "ts", "n_1h", "sum_1h"],
-            ("sum_1h",),
+            ["event_id", "user_id", "ts", "n_1h", "sum_1h_q"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
