@@ -1614,14 +1614,16 @@ def _rolling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own timestamp.
 
     Spark has no interval-typed RANGE frame, so the frame runs over
-    epoch seconds — ``rangeBetween(-3599, 0)`` on unix_timestamp is
-    value-identical to DuckDB's ``RANGE BETWEEN INTERVAL 59 MINUTES
-    59 SECONDS PRECEDING AND CURRENT ROW`` (microsecond timestamps
-    here are whole seconds; peers at the same instant are included
-    by RANGE semantics in both engines). One shuffle on user_id,
-    in-partition time sort, frame bounded by the time horizon — at
-    100 TB the state per partition is the 1-hour slice, not the
-    user's history.
+    MICROSECOND epoch — ``rangeBetween(-3_600_000_000, 0)`` on
+    unix_micros is value-identical to DuckDB's ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` (both are the
+    inclusive [t-1h, t] frame at full timestamp precision; an
+    earlier unix_timestamp() form TRUNCATED to seconds and the 10x
+    replica gate caught the frame-membership drift on
+    boundary-straddling pairs the small SF never produced). One
+    shuffle on user_id, in-partition time sort, frame bounded by the
+    time horizon — at 100 TB the state per partition is the 1-hour
+    slice, not the user's history.
 
     The value sum quantizes each row to int64 BEFORE summing (the
     bm25 convention): a double sum's addition order inside a frame
@@ -1632,8 +1634,8 @@ def _rolling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3599, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     vq = F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint")
     return ev.select(
@@ -1653,7 +1655,7 @@ SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-  RANGE BETWEEN INTERVAL 3599 SECONDS PRECEDING AND CURRENT ROW)
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
 
 
