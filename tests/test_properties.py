@@ -552,3 +552,85 @@ def test_cap_per_domain_matches_replica(spark, rows, cap):
         for r, (_, i) in enumerate(sorted(members)[:cap])
     )
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000),
+            st.text(
+                alphabet="ab1 .,XZ",
+                max_size=30,
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_dsir_matches_python_replica(spark, rows):
+    """dsir train+score vs a plain-Python replica: same tokenizer
+    (lowercase alnum runs), same md5 bucket hash, same smoothing and
+    int64 quantization — over adversarial text (punctuation, case,
+    empties)."""
+    import math
+    import re
+
+    from umls2rdf_spark.functions.hashing import stable_hash40_py
+    from umls2rdf_spark.operators.webcurate import (
+        DSIR_QUANT_BITS,
+        dsir_bucket_weights,
+        dsir_score,
+    )
+
+    B = 256
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tgt boolean"
+    )
+    wts = dsir_bucket_weights(df, "text", F.col("tgt"), num_buckets=B)
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_q)
+        for r in dsir_score(df, wts, "doc_id", "text", num_buckets=B)
+        .collect()
+    }
+
+    def toks(t):
+        return [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+
+    counts: dict[int, list[int]] = {}
+    for _, text, tgt in rows:
+        for tok in toks(text):
+            b = stable_hash40_py(tok) % B
+            c = counts.setdefault(b, [0, 0])
+            c[0] += 1 if tgt else 0
+            c[1] += 1
+    tt = sum(c[0] for c in counts.values())
+    rt = sum(c[1] for c in counts.values())
+    scale = 1 << DSIR_QUANT_BITS
+    def round_half_away(x: float) -> int:
+        # Python round() is banker's; Spark/DuckDB round() is half
+        # AWAY FROM ZERO (so e.g. -2.5 -> -3, not -2)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    w = {
+        b: round_half_away(
+            (
+                math.log2((c[0] + 1) * float(rt + B))
+                - math.log2((c[1] + 1) * float(tt + B))
+            )
+            * scale
+        )
+        for b, c in counts.items()
+    }
+    expected = {}
+    for i, text, _ in rows:
+        tk = toks(text)
+        if not tk:
+            continue  # no token rows -> doc absent from occ
+        expected[i] = (
+            len(tk),
+            sum(w.get(stable_hash40_py(t) % B, 0) for t in tk),
+        )
+    assert got == expected
