@@ -79,7 +79,7 @@ FULL_SCAN_OK = {
     # DO push, leaving one unfiltered scan node
     "event_windows": {"events.parquet": 1},
     # every section consumes the whole corpus: scoring/dedup over all
-    # documents — 24 scans at the 25-section round-6 surface: the 21
+    # documents — 26 scans at the 26-section round-6 surface: the 21
     # audited earlier-round scans (ingest_quarantine's parse and
     # sized_write_plan's sizing agg each add one by definition), plus
     # domain_cap (ranks every non-blocklisted row — the blocklist is
@@ -87,12 +87,15 @@ FULL_SCAN_OK = {
     # dsir_weights (one train scan with bucket totals via a
     # bounded-by-construction 256-row window, one score scan — two
     # pruned scans beat caching a corpus-token-scale occurrence frame
-    # between them); semantic_dedup's train+assign+dedup over all
+    # between them) and snapshot_diff (its base/new modulus
+    # predicates are not parquet-pushable, like incremental_dedupe's
+    # shard split; 2 scans, each pruned to (doc_id, text));
+    # semantic_dedup's train+assign+dedup over all
     # embeddings, plus hard_negatives_lsh's corpus-as-queries
     # featurize (audited: no predicate exists to push —
     # hard_negatives' query side and bloom's benchmark side DO push
     # their id filters)
-    "text_scoring": {"documents.parquet": 24, "embeddings.parquet": 2},
+    "text_scoring": {"documents.parquet": 26, "embeddings.parquet": 2},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

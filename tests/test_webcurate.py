@@ -148,3 +148,38 @@ def test_turtle_validate_flags_exactly_the_corrupted_blocks(spark):
     assert (out.loc[chop_only, "n_terminators"] == 0).all()
     bracket = key % _TV_BRACKET_MOD == 0
     assert (out.loc[bracket, "n_bad_bracket"] >= 1).all()
+
+
+# ── snapshot_diff semantics (corpus.py, text_scoring section 26) ────
+def test_snapshot_diff_classifies_every_transition(spark):
+    from umls2rdf_spark.operators.corpus import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(base, new, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+
+
+def test_snapshot_diff_shuffle_carries_fingerprints_not_text(spark):
+    """The full-outer join's inputs are pre-projected to
+    (id, md5) — text must not appear in any column crossing the
+    exchange."""
+    from umls2rdf_spark.operators.corpus import snapshot_diff
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = snapshot_diff(docs, docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)

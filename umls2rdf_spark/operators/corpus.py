@@ -511,3 +511,66 @@ def bloom_contaminated(
         f"exists(transform(array({toks}), t -> {shingles})[0], "
         f"s -> {member})"
     )
+
+
+def snapshot_diff(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Release-to-release corpus diff: classify every document id as
+    ``added`` (new only), ``removed`` (base only), ``changed`` (both
+    present, content fingerprint differs) or ``unchanged`` — the
+    audit a pipeline runs before shipping a dataset revision (how
+    much churned, what must re-embed / re-tokenize downstream).
+
+    Output: (id, status, base_fp, new_fp) — null fingerprint marks
+    the absent side.
+
+    Scale shape: both sides reduce map-side to (id, md5(text)), so
+    the single full-outer shuffle join carries 16-byte fingerprints
+    per row, never document text. Downstream consumers that only
+    need churn counts can aggregate the result; consumers that
+    re-process changed docs semi-join their text table against the
+    ``changed``/``added`` ids.
+    """
+    b = base.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("base_fp")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_fp")
+    )
+    joined = b.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("base_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("base_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        id_col, status.alias("status"), "base_fp", "new_fp"
+    )
+
+
+def snapshot_diff_sql(
+    id_col: str,
+    text_col: str,
+    base_sql: str,
+    new_sql: str,
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` over two snapshot
+    subqueries."""
+    return f"""
+SELECT COALESCE(b.{id_col}, n.{id_col}) AS {id_col},
+       CASE WHEN b.{id_col} IS NULL THEN 'added'
+            WHEN n.{id_col} IS NULL THEN 'removed'
+            WHEN b.base_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       b.base_fp, n.new_fp
+FROM (SELECT {id_col}, md5({text_col}) AS base_fp
+      FROM ({base_sql})) b
+FULL OUTER JOIN (SELECT {id_col}, md5({text_col}) AS new_fp
+                 FROM ({new_sql})) n
+  ON b.{id_col} = n.{id_col}
+"""

@@ -470,6 +470,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.corpus import (
         bloom_positions,
         decontaminate_bloom,
+        snapshot_diff,
     )
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle,
@@ -691,6 +692,28 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             curation_demos.dsir_weights(spark, sf_dir),
             "dsir_weights",
             ("avg_dsir",),
+        ),
+        # SURVEY C39 (round 6): release-to-release snapshot diff —
+        # added/removed/changed/unchanged per doc id over a
+        # map-side-fingerprinted full-outer join (the shuffle
+        # carries 16-byte md5s, never text). Snapshots derived
+        # deterministically: base drops doc_id%3==0, new drops
+        # doc_id%5==0 and revises the text of doc_id%7==0, so every
+        # status class is populated in both engines.
+        fingerprint_section(
+            snapshot_diff(
+                docs.where(F.col("doc_id") % 3 != 0),
+                docs.where(F.col("doc_id") % 5 != 0).withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 7 == 0,
+                        F.concat(F.col("text"), F.lit(" rev2")),
+                    ).otherwise(F.col("text")),
+                ),
+                "doc_id",
+                "text",
+            ),
+            "snapshot_diff",
         ),
     ]
     return _union(sections)
@@ -1477,8 +1500,27 @@ def _text_scoring_sql() -> str:
             ["doc_id", "n_tokens", "dsir_q", "avg_dsir"],
             ("avg_dsir",),
         ),
+        fingerprint_sql(
+            "snapshot_diff",
+            _snapshot_diff_sql(),
+            ["doc_id", "status", "base_fp", "new_fp"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+def _snapshot_diff_sql() -> str:
+    from umls2rdf_spark.operators.corpus import snapshot_diff_sql
+
+    return snapshot_diff_sql(
+        "doc_id",
+        "text",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0",
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 5 <> 0""",
+    )
 
 
 def _profile_sql() -> str:
