@@ -1706,7 +1706,10 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     as fingerprint sections of one driver key: tumbling 1-hour
     buckets (SURVEY B6), native gap-merged 30-minute session windows
     (B22), hopping 1-hour/15-minute sliding windows where every event
-    lands in exactly 4 epoch-aligned windows (B23b), and the four
+    lands in exactly 4 epoch-aligned windows (B23b), the per-user
+    trailing 1-hour RANGE-frame rolling count/sum (B37 — each row
+    anchors its own window; microsecond-exact frame, int64-quantized
+    sum), and the four
     SQL-expressible twins of the C14 streaming surface — redelivery
     dedup (streaming_dedup), the stream-stream interval join
     (click_purchase_attribution, batch sources), its LEFT-OUTER form
