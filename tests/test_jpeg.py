@@ -123,3 +123,62 @@ def test_mixed_corpus_near_dup_groups(spark):
     }
     assert groups[1] == groups[2]
     assert groups[3] != groups[1]
+
+
+def test_decoders_fail_cleanly_on_fuzzed_bytes():
+    """Corrupt media must raise a normal exception promptly (which
+    PERMISSIVE quarantines) — never hang, loop, or kill the process.
+    Deterministic corpus: truncations + byte-flips of real encodes,
+    plus md5-derived pseudo-random blobs with valid magics."""
+    import hashlib
+
+    import numpy as np
+
+    from umls2rdf_spark.functions.audio import decode_wav
+    from umls2rdf_spark.functions.jpeg import decode_jpeg_gray
+    from umls2rdf_spark.functions.png import decode_png
+    from umls2rdf_spark.functions.video import mjpeg_frames
+
+    img = _gradient(16, 16)
+    good_jpeg = encode_jpeg_gray(img)
+    good_png = make_png([[(x * 16) % 256 for x in range(16)]] * 16)
+
+    def rand(n, tag):
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{tag}-{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    cases = []
+    for good in (good_jpeg, good_png):
+        for cut in (1, len(good) // 3, len(good) - 2):
+            cases.append(good[:cut])
+        flipped = bytearray(good)
+        for pos in (len(good) // 2, len(good) // 2 + 1, -3):
+            flipped[pos] ^= 0xFF
+        cases.append(bytes(flipped))
+    cases += [
+        b"",
+        rand(64, "a"),
+        b"\xff\xd8\xff\xe0" + rand(200, "jpg"),
+        b"\x89PNG\r\n\x1a\n" + rand(200, "png"),
+        b"RIFF" + rand(120, "avi"),
+        b"RIFF\x10\x00\x00\x00WAVE" + rand(64, "wav"),
+    ]
+    decoders = [decode_jpeg_gray, decode_png, decode_wav,
+                mjpeg_frames]
+    for blob in cases:
+        for dec in decoders:
+            try:
+                out = dec(blob)
+                # a lucky parse is fine — it must only return a
+                # well-formed value, not garbage types
+                assert out is not None
+                if isinstance(out, np.ndarray):
+                    assert out.dtype == np.uint8
+            except Exception as e:  # noqa: BLE001 — the contract
+                assert not isinstance(e, (MemoryError, SystemError)), (
+                    dec.__name__, type(e).__name__
+                )
