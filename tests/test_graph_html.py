@@ -1,0 +1,174 @@
+"""PageRank (operators/graphrank.py) and HTML extraction
+(operators/htmlextract.py): unit semantics + DuckDB-oracle value
+equality — the round-6 web-curation additions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+from umls2rdf_spark.operators.graphrank import (
+    clickstream_edges,
+    clickstream_edges_sql,
+    pagerank,
+    pagerank_sql,
+)
+from umls2rdf_spark.operators.htmlextract import (
+    html_stats,
+    html_stats_sql,
+    html_text_expr,
+    html_text_expr_sql,
+    html_to_text,
+)
+
+
+# ── graphrank: unit semantics ───────────────────────────────────────
+def test_clickstream_edges_lead_and_weights(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1 visits a→b→a→b  (a→b twice, b→a once)
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            # user 2 single event → no edge
+            (2, 1, "c"),
+        ],
+        "user_id long, event_id long, page string",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    edges = clickstream_edges(ev, F.col("page")).orderBy("src", "dst")
+    rows = {(r.src, r.dst): r.w for r in edges.collect()}
+    assert rows == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_pagerank_two_node_cycle_conserves_mass(spark):
+    # a↔b symmetric cycle: ranks stay equal, total mass is conserved
+    # up to the documented integer-floor loss per node per iteration
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    total = 10**12
+    out = {r.node: r.rank_q for r in pagerank(edges, iters=3, total_q=total).collect()}
+    assert out["a"] == out["b"]
+    # divisible numbers → zero floor loss; never more than a few
+    # mass units per node per iteration in any case
+    assert 0 <= total - (out["a"] + out["b"]) < 100
+
+
+def test_pagerank_sink_gets_more_than_source(spark):
+    # star a→c, b→c, c→a: c accumulates both inflows, a gets c's,
+    # b (no in-edges) bottoms out at the teleport base
+    edges = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    out = {r.node: r.rank_q for r in pagerank(edges, iters=5).collect()}
+    assert out["c"] > out["a"] > out["b"]
+
+
+def test_pagerank_dangling_mass_decays(spark):
+    # b has no out-edges: its inflow leaks each round (documented
+    # simplified semantics) so total mass strictly decreases
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long"
+    )
+    total = 10**12
+    out = pagerank(edges, iters=2, total_q=total).collect()
+    assert sum(r.rank_q for r in out) < total
+
+
+# ── graphrank: oracle equality on real events ───────────────────────
+_NODE_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+
+def test_pagerank_matches_oracle(spark, duck):
+    ev = spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ranks = pagerank(clickstream_edges(ev, node), iters=3)
+    sql = pagerank_sql(
+        clickstream_edges_sql("SELECT * FROM events", _NODE_SQL), iters=3
+    )
+    assert_matches_oracle(ranks, duck, sql)
+
+
+# ── htmlextract: unit semantics ─────────────────────────────────────
+_PAGE = (
+    '<html><head><title>T</title><script>var a = 1 < 2;</script>'
+    "<style>p{}</style></head><body><nav><a href='/'>Home</a></nav>"
+    "<!-- hidden -->"
+    "<h1>Title</h1><p>Q&amp;A &lt;tag&gt; &#39;x&#39;&nbsp;done</p>"
+    "<p>double &amp;lt; stays</p>"
+    "<footer>&copy; Co <A HREF='/y'>y</A></footer></body></html>"
+)
+
+
+def test_html_to_text_semantics(spark):
+    df = spark.createDataFrame([(1, _PAGE)], "id long, html string")
+    out = html_to_text(df, "html", "clean").head().clean
+    # head (incl. title/script/style) gone, comments gone, entities
+    # decoded, &amp;lt; -> literal "&lt;", unknown &copy; passes through
+    assert out == (
+        "Home Title Q&A <tag> 'x' done double &lt; stays &copy; Co y"
+    )
+
+
+def test_html_stats_counts(spark):
+    df = spark.createDataFrame([(1, _PAGE)], "id long, html string")
+    r = html_stats(df, "id", "html").head()
+    assert r.n_links == 2  # <a href> and <A HREF>
+    assert r.n_tags > 10
+    assert 0 < r.visible_ratio_q < 1_000_000
+    assert r.text_chars < r.html_chars
+
+
+def test_html_case_insensitive_script_strip(spark):
+    df = spark.createDataFrame(
+        [(1, "<SCRIPT>bad()</SCRIPT>ok<BR>next")], "id long, html string"
+    )
+    assert html_to_text(df, "html").head().text == "ok next"
+
+
+# ── htmlextract: oracle equality over wrapped real documents ────────
+_WRAP_SPARK_PRE = (
+    '<html><head><title>Doc</title><script>var k = 1 < 2;</script>'
+    '</head><body><nav><a href="/">Home</a> <a href="/t">T&amp;M</a>'
+    "</nav><p>"
+)
+_WRAP_SPARK_POST = (
+    "</p><p>Q&amp;A &lt;ok&gt;&nbsp;end</p>"
+    '<footer>&copy; 2026 <a href="/x">x</a></footer></body></html>'
+)
+
+
+def _wrapped_pages(spark):
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_WRAP_SPARK_PRE), F.col("text"), F.lit(_WRAP_SPARK_POST)
+        ).alias("html"),
+    )
+
+
+def _wrapped_pages_sql() -> str:
+    pre = _WRAP_SPARK_PRE.replace("'", "''")
+    post = _WRAP_SPARK_POST.replace("'", "''")
+    return (
+        f"SELECT doc_id, '{pre}' || text || '{post}' AS html "
+        "FROM documents"
+    )
+
+
+def test_html_extract_matches_oracle(spark, duck):
+    out = html_to_text(_wrapped_pages(spark), "html", "clean").select(
+        "doc_id", "clean"
+    )
+    sql = (
+        f"SELECT doc_id, {html_text_expr_sql('html')} AS clean "
+        f"FROM ({_wrapped_pages_sql()}) AS p"
+    )
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_html_stats_matches_oracle(spark, duck):
+    out = html_stats(_wrapped_pages(spark), "doc_id", "html")
+    sql = html_stats_sql(_wrapped_pages_sql(), "doc_id", "html")
+    assert_matches_oracle(out, duck, sql)

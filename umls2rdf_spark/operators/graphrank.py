@@ -1,0 +1,234 @@
+"""Link-graph centrality for corpus curation: clickstream edge
+derivation + distributed PageRank with engine-exact integer
+arithmetic.
+
+Why this lives in a training-data engine: graph centrality over the
+link/click graph is a standard web-corpus QUALITY signal (Common
+Crawl publishes harmonic-centrality host rankings; curation
+pipelines weight or threshold documents by the rank of their source
+host). The reference has no graph operator at all — its deepest
+relational structure is the MRREL hierarchy walk
+(``/root/reference/umls2rdf.py:679-770``), re-expressed here as
+:func:`umls2rdf_spark.operators.hierarchy.transitive_closure`.
+PageRank is the second iterative-fixpoint operator of the engine,
+built on the same discipline: per-iteration
+``localCheckpoint(eager=True)`` to truncate the otherwise
+exponentially growing lineage.
+
+Engine-exact semantics (the repo's int64 discipline): every rank is
+a scaled BIGINT (``total_q`` mass units split across nodes), every
+division is integer division (Spark ``div`` ≡ DuckDB ``//`` on
+positive longs), so Spark and the DuckDB oracle agree bit-for-bit at
+any scale — no float drift across iterations. Per-edge contribution
+is ``(rank_q div out_w) * w`` (divide FIRST, then scale by the edge
+weight): bounded by ``rank_q``, so the sum over a node's in-edges
+can never overflow int64 even on mega-hub nodes, at the cost of
+dropping at most ``out_w-1`` mass units per node per iteration —
+deterministically, identically in both engines.
+
+Simplified-PageRank semantics, stated: dangling-node mass (nodes
+with no out-edges) is NOT redistributed — it decays. This is the
+documented variant, replicated exactly by the oracle; production
+rank *ordering* is insensitive to it for connected click graphs.
+
+100 TB design: nodes and ranks are (node, rank_q) pairs — bytes per
+node. One iteration = one join (edges ⋈ ranks on src) + one groupBy
+(dst) + one left join back to nodes: two shuffles, both on node
+keys, with the degree-annotated edge frame computed ONCE and
+checkpointed, never per-iteration. Hub skew (one page with millions
+of in-links) lands in the groupBy(dst) sum — a partial-aggregated
+shuffle, the skew-tolerant shape (map-side combine collapses each
+partition's contribution to one row per dst). AQE handles residual
+reducer skew. Rank state is checkpointed per iteration, so the plan
+depth is constant in the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def clickstream_edges(
+    events: DataFrame,
+    node: Column,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Weighted page-transition edges from an event stream.
+
+    Per user, order events by ``order_cols`` (the trailing unique id
+    makes the order total — timestamp ties are routine in click
+    data) and emit an edge from each event's page to the next one's;
+    duplicate transitions collapse into an integer weight ``w``.
+    One window shuffle (by user) + one groupBy — both partition on
+    keys whose cardinality grows with the data, so the shape holds
+    at crawl scale.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    paged = events.select(
+        F.col(user_col), *[F.col(c) for c in order_cols],
+        node.alias("src"),
+    ).withColumn("dst", F.lead("src").over(w))
+    return (
+        paged.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    total_q: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank, exact int64 arithmetic.
+
+    ``edges``: (src, dst, w) with positive integer weights.
+    Returns (node, rank_q): ``rank_q`` is the node's share of
+    ``total_q`` mass units after ``iters`` rounds with teleport
+    probability ``(100-damping_pct)%``.
+
+    Update rule (all integer ops, oracle-identical):
+
+        base      = ((100-d) * (total_q div N)) div 100
+        contrib_v = Σ_{(u,v,w)} (rank_q(u) div out_w(u)) * w
+        rank_q'_v = base + (d * contrib_v) div 100
+
+    The degree-annotated edge frame and every iteration's rank frame
+    are eagerly localCheckpoint'd — same lineage discipline as
+    ``transitive_closure`` (hierarchy.py:114): without it the rank
+    plan references the previous iteration's plan once per term and
+    grows without bound.
+    """
+    edges = edges.select("src", "dst", F.col("w").cast("bigint"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(out_w, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # N and the per-node teleport base stay IN-PLAN (single-row agg
+    # cross-joined onto the node frame — broadcast by size), attached
+    # ONCE: the checkpointed node frame carries __n through every
+    # iteration, so the loop adds no per-round broadcast or count.
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    nodes = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .localCheckpoint(eager=True)
+    )
+    teleport = F.expr(f"CAST({total_q} AS BIGINT) div __n")
+    ranks = nodes.select("node", teleport.alias("rank_q"))
+    d = damping_pct
+    base = F.expr(
+        f"CAST(({100 - d}) AS BIGINT) * (CAST({total_q} AS BIGINT) div __n) div 100"
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank_q div out_w) * w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"CAST({d} AS BIGINT) * coalesce(contrib, CAST(0 AS BIGINT)) div 100"
+                    )
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_q")
+
+
+def clickstream_edges_sql(
+    events_sql: str,
+    node_expr: str,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> str:
+    """DuckDB twin of :func:`clickstream_edges` (LEAD over the same
+    total order, identical weight aggregation)."""
+    order = ", ".join(order_cols)
+    return f"""
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM (
+  SELECT {node_expr} AS src,
+         LEAD({node_expr}) OVER (
+           PARTITION BY {user_col} ORDER BY {order}
+         ) AS dst
+  FROM ({events_sql}) AS __ev
+) AS __paged
+WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 5,
+    damping_pct: int = 85,
+    total_q: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same fixed iterations
+    unrolled as chained CTEs, every arithmetic step the identical
+    integer op (``//`` ≡ Spark ``div`` on positive BIGINTs), so the
+    oracle value-verifies training dynamics, not just the final
+    shape — same discipline as the Lloyd-iteration CTEs in
+    plans/completion.py semantic_dedup."""
+    d = damping_pct
+    ctes = [
+        f"__edges AS ({edges_sql})",
+        """__ew AS (
+  SELECT src, dst, CAST(w AS BIGINT) AS w,
+         SUM(CAST(w AS BIGINT)) OVER (PARTITION BY src) AS out_w
+  FROM __edges)""",
+        """__nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM __edges
+    UNION ALL SELECT dst FROM __edges) AS __u)""",
+        "__nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __nodes)",
+        f"""__r0 AS (
+  SELECT node, CAST({total_q} AS BIGINT) // n AS rank_q
+  FROM __nodes CROSS JOIN __nn)""",
+    ]
+    base = (
+        f"(CAST({100 - d} AS BIGINT)"
+        f" * (CAST({total_q} AS BIGINT) // __nn.n)) // 100"
+    )
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""__c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((r.rank_q // e.out_w) * e.w) AS BIGINT) AS contrib
+  FROM __ew e JOIN __r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""__r{i} AS (
+  SELECT n.node,
+         CAST({base} + (CAST({d} AS BIGINT)
+                   * COALESCE(c.contrib, CAST(0 AS BIGINT))) // 100
+           AS BIGINT) AS rank_q
+  FROM __nodes n CROSS JOIN __nn
+  LEFT JOIN __c{i} c ON c.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_q FROM __r{iters}"
+    )

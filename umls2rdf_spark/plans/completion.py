@@ -456,7 +456,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       int64-quantized weights, engine-exact doc sums (C35),
     - ``bigram_surprisal`` — per-doc bigram cross-entropy vs the
       corpus's own bigram LM; two bounded distinct-count weight
-      dims, pure-int64 doc sums (C36).
+      dims, pure-int64 doc sums (C36),
+    - ``html_extract`` — HTML → visible-text extraction + page
+      audit stats in one codegen select over the deterministically
+      wrapped corpus, byte-exact vs the oracle built from the same
+      pattern constants (C40, round 6; operators/htmlextract.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -482,6 +486,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_topk_lsh,
         semantic_dedup,
     )
+    from umls2rdf_spark.operators.htmlextract import html_stats
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
@@ -714,6 +719,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text",
             ),
             "snapshot_diff",
+        ),
+        # SURVEY C40 (round 6): HTML → text extraction + page audit
+        # in ONE codegen select over the wrapped corpus — the crawl
+        # pipeline's first step (C4/RefinedWeb), value-verified
+        # byte-for-byte including entity decode order
+        fingerprint_section(
+            html_stats(
+                _html_pages_frame(docs), "doc_id", "html",
+                text_col="clean",
+            ),
+            "html_extract",
         ),
     ]
     return _union(sections)
@@ -1505,8 +1521,56 @@ def _text_scoring_sql() -> str:
             _snapshot_diff_sql(),
             ["doc_id", "status", "base_fp", "new_fp"],
         ),
+        fingerprint_sql(
+            "html_extract",
+            _html_extract_sql(),
+            [
+                "doc_id", "clean", "n_links", "n_tags",
+                "html_chars", "text_chars", "visible_ratio_q",
+            ],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+# C40 (round 6): the HTML wrap applied identically in both engines —
+# a deterministic page template around each document's text, with
+# head/script/style noise, entities (incl. a double-escaped one and
+# an unknown one), nav/footer boilerplate and two links, so every
+# extraction rule is exercised on every row.
+_HTML_PRE = (
+    '<html><head><title>Doc</title><script>var k = 1 < 2;</script>'
+    '<style>p { color: red; }</style></head><body>'
+    '<nav><a href="/">Home</a> <a href="/t">T&amp;M</a></nav>'
+    "<!-- generated --><h1>Heading</h1><p>"
+)
+_HTML_POST = (
+    "</p><p>Q&amp;A &lt;ok&gt; &amp;lt;literal&nbsp;end</p>"
+    '<footer>&copy; 2026 <a href="/x">x</a></footer></body></html>'
+)
+
+
+def _html_pages_frame(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)
+        ).alias("html"),
+    )
+
+
+def _html_extract_sql() -> str:
+    from umls2rdf_spark.operators.htmlextract import html_stats_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return html_stats_sql(
+        f"SELECT doc_id, '{pre}' || text || '{post}' AS html "
+        "FROM documents",
+        "doc_id",
+        "html",
+        text_col="clean",
+    )
 
 
 def _snapshot_diff_sql() -> str:
@@ -1718,7 +1782,10 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState final-state counts. The streaming forms
     themselves run under watermarks in streaming/events.py with
     batch-equality tests; these sections put the twin semantics under
-    the driver's value gate."""
+    the driver's value gate. Round 6 adds ``pagerank`` (B41):
+    clickstream page-graph centrality — per-user LEAD transitions
+    into fixed-iteration int64 PageRank (operators/graphrank.py),
+    oracle-unrolled so every iteration is value-verified."""
     from umls2rdf_spark.plans.analytics_extra import (
         events_hopping,
         events_windowed,
@@ -1762,7 +1829,50 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _rolling_window_twin(spark, sf_dir), "rolling"
             ),
+            # B41 (round 6): clickstream PageRank — weighted page
+            # transitions per user (LEAD over the total ts/event_id
+            # order) into fixed-iteration PageRank with engine-exact
+            # int64 mass units; the oracle unrolls the SAME
+            # iterations as CTEs, so the training dynamics are
+            # value-verified, not just the shape
+            fingerprint_section(
+                _pagerank_frame(spark, sf_dir), "pagerank"
+            ),
         ]
+    )
+
+
+_PR_ITERS = 4
+
+
+def _pagerank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: page-graph centrality over the events clickstream —
+    nodes are the JSON ``props.k`` page ids, edges the per-user
+    consecutive transitions. Fixed iterations so the oracle can
+    unroll them; the operator itself (operators/graphrank.py) is
+    iteration-count-agnostic with per-round localCheckpoint."""
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges,
+        pagerank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return pagerank(clickstream_edges(ev, node), iters=_PR_ITERS)
+
+
+def _pagerank_sql() -> str:
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges_sql,
+        pagerank_sql,
+    )
+
+    return pagerank_sql(
+        clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        ),
+        iters=_PR_ITERS,
     )
 
 
@@ -1832,6 +1942,11 @@ def _event_windows_sql() -> str:
             "rolling",
             _ROLLING_WINDOW_SQL,
             ["event_id", "user_id", "ts", "n_1h", "sum_1h_q"],
+        ),
+        fingerprint_sql(
+            "pagerank",
+            _pagerank_sql(),
+            ["node", "rank_q"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
