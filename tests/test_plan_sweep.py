@@ -95,7 +95,7 @@ FULL_SCAN_OK = {
     # featurize (audited: no predicate exists to push —
     # hard_negatives' query side and bloom's benchmark side DO push
     # their id filters)
-    "text_scoring": {"documents.parquet": 27, "embeddings.parquet": 2},
+    "text_scoring": {"documents.parquet": 28, "embeddings.parquet": 2},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -183,3 +183,61 @@ def test_snapshot_diff_shuffle_carries_fingerprints_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+# ── URL canonicalization + dedup (C41, round 6) ─────────────────────
+def test_normalize_url_rules(spark):
+    from umls2rdf_spark.operators.webcurate import normalize_url_expr
+
+    cases = [
+        # case + default port + tracking + fragment + trailing slash
+        ("HTTPS://Example.COM:443/a/b/?utm_source=f&id=7#x",
+         "https://example.com/a/b?id=7"),
+        ("http://example.com:80/", "http://example.com"),
+        # non-default port kept; param ORDER preserved (no re-sort)
+        ("http://h.io:8080/x?b=2&utm_campaign=z&a=1",
+         "http://h.io:8080/x?b=2&a=1"),
+        ("https://h.io/p?utm_a=1&fbclid=2", "https://h.io/p"),
+        ("notaurl", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_url_expr(F.col("url")).alias("n")
+        ).collect()
+    }
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, (cases[i][0], got[i], exp)
+
+
+def test_dedup_by_url_keeps_min_id_and_drops_invalid(spark):
+    from umls2rdf_spark.operators.webcurate import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (5, "https://a.io/p#one"),
+            (2, "HTTPS://A.IO/p"),
+            (9, "https://a.io/p/"),
+            (1, "garbage"),
+            (3, "https://b.io/q"),
+        ],
+        "id long, url string",
+    )
+    rows = {
+        r.id: r.url_norm for r in dedup_by_url(df, "id", "url").collect()
+    }
+    assert rows == {2: "https://a.io/p", 3: "https://b.io/q"}
+
+
+def test_dedup_by_url_window_group_limit_plan(spark):
+    from umls2rdf_spark.operators.webcurate import dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, "https://a.io/p")], "id long, url string"
+    )
+    plan = dedup_by_url(df, "id", "url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan

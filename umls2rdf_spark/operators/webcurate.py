@@ -295,3 +295,135 @@ FROM occ LEFT JOIN wts USING (bucket)
 GROUP BY 1
 {limit}
 """
+
+
+# ── URL canonicalization + URL-keyed dedup (FineWeb step 1) ─────────
+#: query parameters that never distinguish content — tracking ids.
+URL_TRACKING_PARAM_PAT = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)="
+)
+_SCHEME_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_PAT = r"\?([^#]*)"
+
+
+def normalize_url_expr(url: F.Column) -> F.Column:
+    """Canonical URL as one Column expression: fragment dropped,
+    scheme+host lowercased, default port stripped (:443 on https,
+    :80 on http), trailing path slashes removed, tracking query
+    params (``URL_TRACKING_PARAM_PAT``) filtered out with the
+    remaining params left in page order (FineWeb does not re-sort
+    params; neither do we — reordering is a different URL author's
+    choice we must not merge). Unparseable urls (no ``scheme://``)
+    normalize to NULL.
+
+    Deliberately composed from regexp_extract + CASE + list_filter —
+    NO backreference replacements, because Java spells them ``$1``
+    and RE2 ``\\1``: every pattern here is valid and equivalent in
+    both engines, keeping the oracle byte-exact (same discipline as
+    operators/htmlextract.py).
+    """
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_PAT, 1))
+    auth = F.lower(F.regexp_extract(nofrag, _AUTH_PAT, 1))
+    # port strip without backrefs: CASE on (scheme, suffix)
+    auth = F.when(
+        (scheme == "https") & auth.rlike(r":443$"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).when(
+        (scheme == "http") & auth.rlike(r":80$"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).otherwise(auth)
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, _PATH_PAT, 1), r"/+$", ""
+    )
+    query = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract(nofrag, _QUERY_PAT, 1), "&"),
+            lambda t: (t != "") & ~t.rlike(URL_TRACKING_PARAM_PAT),
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        rebuilt
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """One kept document per canonical URL (smallest id wins —
+    deterministic across runs and engines): FineWeb's first dedup
+    pass, upstream of any content hashing. Declared as
+    ``row_number() <= 1`` per normalized URL so Catalyst plants
+    WindowGroupLimit(Partial): each map task forwards ONE candidate
+    per URL before the shuffle — a hot URL (the re-crawled homepage)
+    ships partitions rows, not its full occurrence count. Rows with
+    unparseable URLs are dropped (they have no dedup key; route them
+    through a quarantine branch if they must be kept).
+
+    Output: (id, url_norm) for every kept row.
+    """
+    out = df.select(
+        F.col(id_col), normalize_url_expr(F.col(url_col)).alias("url_norm")
+    ).where(F.col("url_norm").isNotNull())
+    w = Window.partitionBy("url_norm").orderBy(F.col(id_col))
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "url_norm")
+    )
+
+
+def normalize_url_expr_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url_expr`, generated from the
+    same pattern constants."""
+    nofrag = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    scheme = f"lower(regexp_extract({nofrag}, '{_SCHEME_PAT}', 1))"
+    auth0 = f"lower(regexp_extract({nofrag}, '{_AUTH_PAT}', 1))"
+    auth = f"""CASE
+      WHEN {scheme} = 'https' AND regexp_matches({auth0}, ':443$')
+        THEN substring({auth0}, 1, length({auth0}) - 4)
+      WHEN {scheme} = 'http' AND regexp_matches({auth0}, ':80$')
+        THEN substring({auth0}, 1, length({auth0}) - 3)
+      ELSE {auth0} END"""
+    path = (
+        f"regexp_replace(regexp_extract({nofrag}, '{_PATH_PAT}', 1),"
+        " '/+$', '', 'g')"
+    )
+    tracking = URL_TRACKING_PARAM_PAT.replace("'", "''")
+    query = (
+        f"list_aggregate(list_filter("
+        f"string_split(regexp_extract({nofrag}, '{_QUERY_PAT}', 1), '&'),"
+        f" t -> t <> '' AND NOT regexp_matches(t, '{tracking}')),"
+        " 'string_agg', '&')"
+    )
+    query = f"COALESCE({query}, '')"
+    return f"""CASE WHEN {scheme} = '' THEN NULL
+      ELSE {scheme} || '://' || {auth} || {path}
+           || CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END
+      END"""
+
+
+def dedup_by_url_sql(table_sql: str, id_col: str, url_expr: str) -> str:
+    """DuckDB twin of :func:`dedup_by_url` (QUALIFY form)."""
+    norm = normalize_url_expr_sql(url_expr)
+    return f"""
+SELECT {id_col}, url_norm
+FROM (
+  SELECT {id_col}, {norm} AS url_norm
+  FROM ({table_sql}) AS __docs
+) AS __normed
+WHERE url_norm IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY {id_col}) = 1
+"""

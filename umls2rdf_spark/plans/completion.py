@@ -460,7 +460,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
-      pattern constants (C40, round 6; operators/htmlextract.py).
+      pattern constants (C40, round 6; operators/htmlextract.py),
+    - ``url_dedup`` — canonical-URL dedup: normalize (case, default
+      ports, fragments, trailing slashes, tracking params) then one
+      kept doc per URL via the WindowGroupLimit-pruned window (C41,
+      round 6; operators/webcurate.py dedup_by_url).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -487,6 +491,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
     from umls2rdf_spark.operators.htmlextract import html_stats
+    from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
@@ -730,6 +735,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 text_col="clean",
             ),
             "html_extract",
+        ),
+        # SURVEY C41 (round 6): canonical-URL dedup — FineWeb's
+        # first dedup pass; normalization rules all fire on the
+        # 3-variant fixture and WindowGroupLimit prunes per-URL
+        # candidates map-side (same machinery as domain_cap)
+        fingerprint_section(
+            dedup_by_url(_url_pages_frame(docs), "doc_id", "url"),
+            "url_dedup",
         ),
     ]
     return _union(sections)
@@ -1529,8 +1542,52 @@ def _text_scoring_sql() -> str:
                 "html_chars", "text_chars", "visible_ratio_q",
             ],
         ),
+        fingerprint_sql(
+            "url_dedup",
+            _url_dedup_sql(),
+            ["doc_id", "url_norm"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+# C41 (round 6): deterministic URL variants — three per canonical
+# page (uppercased scheme/host + default port + tracking param;
+# trailing slash; fragment) so every normalization rule fires and
+# each 3-variant group collapses to its smallest doc_id.
+def _url_pages_frame(docs: DataFrame) -> DataFrame:
+    url = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("HTTPS://Example.COM:443/p/"),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://example.com/p/"))
+        .otherwise(F.lit("https://example.com/p")),
+        F.lit("?id="),
+        F.expr("doc_id div 3").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_PAGES_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443/p/' "
+    "     WHEN doc_id % 3 = 1 THEN 'https://example.com/p/' "
+    "     ELSE 'https://example.com/p' END "
+    "|| '?id=' || CAST(doc_id // 3 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '&utm_source=x' "
+    "        WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url "
+    "FROM documents"
+)
+
+
+def _url_dedup_sql() -> str:
+    from umls2rdf_spark.operators.webcurate import dedup_by_url_sql
+
+    return dedup_by_url_sql(_URL_PAGES_SQL, "doc_id", "url")
 
 
 # C40 (round 6): the HTML wrap applied identically in both engines —
