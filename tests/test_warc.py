@@ -91,3 +91,25 @@ def test_read_warc_is_splittable_scan(spark, warc_path):
         .executedPlan().toString()
     assert "Scan text" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_read_warc_fuzz_never_dies(spark, tmp_path):
+    """Truncated / garbage / empty inputs parse to quarantine rows or
+    nothing — never a job failure (the D5 philosophy on the crawl
+    container)."""
+    blobs = [
+        b"",                                     # empty file
+        b"garbage with no record marker at all",
+        b"WARC/1.0\r\ntruncated-mid-head",
+        b"WARC/1.0\r\n\r\n\r\n",                 # empty headers+payload
+        make_warc_bytes(
+            [{"type": "response", "uri": "u", "payload": "x"}]
+        )[:-10],                                  # truncated tail
+    ]
+    for i, blob in enumerate(blobs):
+        p = tmp_path / f"fuzz{i}.warc"
+        p.write_bytes(blob)
+        rows = read_warc(spark, str(p)).collect()  # must not raise
+        for r in rows:
+            # every row is either parsed or quarantined, never both
+            assert (r[CORRUPT_COL] is None) == (r.warc_type is not None)

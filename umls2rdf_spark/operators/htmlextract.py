@@ -121,10 +121,13 @@ def html_stats(
         F.regexp_count(h, F.lit(_TAG_PAT)).cast("bigint").alias("n_tags"),
         F.length(h).cast("bigint").alias("html_chars"),
         F.length(text).cast("bigint").alias("text_chars"),
-        F.floor(
-            F.length(text).cast("bigint")
-            * F.lit(1_000_000)
-            / F.length(h).cast("bigint")
+        F.when(
+            F.length(h) > 0,
+            F.floor(
+                F.length(text).cast("bigint")
+                * F.lit(1_000_000)
+                / F.length(h).cast("bigint")
+            ),
         ).cast("bigint").alias("visible_ratio_q"),
     )
 
@@ -168,7 +171,9 @@ SELECT {id_col},
             {_sql_quote(_TAG_PAT)})) AS BIGINT) AS n_tags,
        CAST(length({html_expr}) AS BIGINT) AS html_chars,
        CAST(length({text}) AS BIGINT) AS text_chars,
-       CAST(FLOOR(length({text}) * 1000000.0
-            / length({html_expr})) AS BIGINT) AS visible_ratio_q
+       CAST(CASE WHEN length({html_expr}) > 0
+            THEN FLOOR(length({text}) * 1000000.0
+                 / length({html_expr})) END AS BIGINT)
+         AS visible_ratio_q
 FROM ({table_sql}) AS __pages
 """
