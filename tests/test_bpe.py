@@ -1,0 +1,143 @@
+"""Byte-level BPE tokenizer training (SURVEY §2 C42) — plain-Python
+reference replica, oracle parity, tie-break pin, and the
+apply-merges round trip."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+from umls2rdf_spark.operators.bpe import (
+    segment_words,
+    train_bpe_merges,
+    train_bpe_merges_sql,
+    word_freqs,
+)
+
+
+# ── plain-Python reference trainer (independent implementation) ────
+def _ref_train(texts: list[str], rounds: int):
+    """Reference BPE over the word-frequency table: symbols are
+    |-wrapped uppercase byte hex, merges replace left-to-right
+    non-overlapping, ties broken by (a, b) ascending."""
+    wf = collections.Counter(
+        w for t in texts for w in t.split() if w != ""
+    )
+    seg = {
+        w: ["|%02X|" % b for b in w.encode("utf-8")] for w in wf
+    }
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = collections.Counter()
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = a[:-1] + b[1:]
+        merges.append((r, a, b, merged, cnt))
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = out
+    return merges, seg, wf
+
+
+_CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "héllo héllo naïve",          # multi-byte UTF-8 symbols
+    "aaa aa aaaa",                # overlapping same-symbol runs
+    "xy xy yx yx",                # tie-break exercise
+    "low\tnewer\n aaa  xy",       # whitespace-run tokenization
+]
+
+
+def test_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    got = sorted(
+        tuple(r) for r in train_bpe_merges(df, "text", rounds=5)
+        .select("round", "pair_a", "pair_b", "merged", "cnt")
+        .collect()
+    )
+    exp, _, _ = _ref_train(_CORPUS, rounds=5)
+    assert got == sorted(exp)
+
+
+def test_tie_break_is_pair_ascending(spark):
+    # |78||79| ("xy") and |79||78| ("yx") tie at 2 — the ascending
+    # pair must win round 1 in both engines' collation
+    df = spark.createDataFrame(
+        [("xy xy",), ("yx yx",)], ["text"]
+    )
+    top = train_bpe_merges(df, "text", rounds=1).collect()[0]
+    assert (top["pair_a"], top["pair_b"]) == ("|78|", "|79|")
+    assert top["cnt"] == 2
+
+
+def test_oracle_parity_at_oracle_sf(spark, duck):
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        train_bpe_merges(docs, "text", rounds=3),
+        duck,
+        train_bpe_merges_sql(
+            "SELECT * FROM documents", "text", rounds=3
+        ),
+    )
+
+
+def test_segment_words_round_trip(spark):
+    """Applying the trained merge table: every word's final
+    segmentation concatenates back to its exact byte hex (no bytes
+    lost or invented), subword count shrinks only for words
+    containing a merged pair, and the reference replica agrees."""
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    merges = train_bpe_merges(df, "text", rounds=5)
+    segged = segment_words(df, merges, "text").collect()
+    _, ref_seg, ref_wf = _ref_train(_CORPUS, rounds=5)
+    assert {r["word"] for r in segged} == set(ref_wf)
+    for r in segged:
+        syms = r["seg"].split(" ")
+        assert syms == ref_seg[r["word"]]
+        assert r["n_subwords"] == len(syms)
+        joined = "".join(s.strip("|") for s in syms)
+        assert joined == r["word"].encode("utf-8").hex().upper()
+        assert r["freq"] == ref_wf[r["word"]]
+
+
+def test_word_freqs_whitespace_runs(spark):
+    df = spark.createDataFrame(
+        [("a\tb\n\n c  a",), ("", ), ("   ",)], ["text"]
+    )
+    got = {
+        r["word"]: r["freq"] for r in word_freqs(df, "text").collect()
+    }
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_no_python_udfs_and_bounded_final_plan(spark):
+    """The returned merge frame is a union of checkpointed 1-row
+    frames — constant-size plan regardless of round count — and the
+    whole family is codegen Column ops (no Python eval anywhere)."""
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    out = train_bpe_merges(df, "text", rounds=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -94,7 +94,10 @@ FULL_SCAN_OK = {
     # embeddings, plus hard_negatives_lsh's corpus-as-queries
     # featurize (audited: no predicate exists to push —
     # hard_negatives' query side and bloom's benchmark side DO push
-    # their id filters)
+    # their id filters). bpe_merges (section 29) scans documents
+    # once too, but behind its eager localCheckpoint (the
+    # pagerank pattern) — the FINAL plan sees only the checkpoint
+    # RDD, so the pinned parquet-scan count stays 28.
     "text_scoring": {"documents.parquet": 28, "embeddings.parquet": 2},
 }
 

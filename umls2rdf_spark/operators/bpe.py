@@ -1,0 +1,274 @@
+"""Byte-level BPE tokenizer TRAINING as a fixed-round Spark plan —
+the missing front of the token-counting family (C9's whitespace +
+BPE-ish regex counter consumes a tokenizer; this op trains one).
+
+Why this lives in a training-data engine: every LLM pipeline trains
+(or at least re-fits) a subword vocabulary on its own corpus, and at
+100 TB the classic single-process trainers (Sennrich et al. 2016
+``learn_bpe``; SentencePiece) cannot see the data. The reference has
+nothing like it — its closest text op is the row-at-a-time Turtle
+escaping (``/root/reference/umls2rdf.py:103-116``), re-expressed in
+functions/text.py; this module follows the engine's iterative-
+fixpoint discipline instead (operators/graphrank.py pagerank,
+hierarchy.py transitive_closure).
+
+The 100 TB shape — corpus touched ONCE, iterations vocab-bounded:
+
+- one corpus scan builds the (word, freq) frame: the ONLY stage
+  whose input grows with the data, and it is a map-side-combined
+  groupBy on the word key (the classic word-count shape);
+- every merge round then runs on the DISTINCT-WORD frame — bounded
+  by vocabulary size (Heaps' law: ~1e6-1e7 rows for a web corpus,
+  i.e. megabytes), NOT corpus size. Pair counting is a
+  map-side-combined groupBy over that frame, weighted by ``freq``;
+- the round's winning pair is a 1-row TakeOrdered frame (no global
+  sort materializes) cross-joined back — broadcast by size — and
+  applied with a plain left-to-right ``replace``;
+- per-round ``localCheckpoint(eager=True)`` keeps plan depth
+  constant in the round count (the transitive_closure /pagerank
+  lineage discipline).
+
+Engine-exact semantics (so the DuckDB oracle can unroll the SAME
+rounds as CTEs and value-verify training dynamics, not just shape):
+
+- symbols are BYTES, rendered as uppercase hex (Spark
+  ``hex(encode(word,'utf-8'))`` ≡ DuckDB ``hex(word)``), so the
+  initial alphabet is the GPT-2-style byte alphabet and any UTF-8
+  input is representable without an <unk>;
+- a segmentation is a string of ``|``-wrapped symbols joined by
+  single spaces (``"|6C| |6F| |77|"``). The wrap makes pair
+  replacement boundary-safe: searching ``"|A| |B|"`` cannot match
+  inside another symbol that merely ends with A or starts with B,
+  and hex symbols never contain the delimiter;
+- one round merges THE single most frequent adjacent pair
+  (ties broken by (pair_a, pair_b) ascending — deterministic and
+  identical in both engines' string collation over hex+pipe ASCII),
+  replacing left-to-right non-overlapping occurrences — exactly the
+  semantics of ``replace()`` in BOTH engines (probed: ``"a a a"``
+  with pair (a,a) merges the first two, keeping the greedy
+  leftmost-first behavior of reference BPE trainers);
+- pair counts weight each word's pairs by its corpus frequency
+  (training on the word-frequency table, not the raw corpus — the
+  standard Sennrich formulation and the reason state stays
+  vocab-bounded).
+
+Returns the MERGE TABLE — (round, pair_a, pair_b, merged, cnt) —
+which is what a pipeline persists: applying it to new text is k
+chained ``replace`` calls (see :func:`apply_merges_expr`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: initial byte-level segmentation of ``word`` as a SQL expression
+#: fragment (engine-shared shape; see module docstring)
+_SEG_SPARK = (
+    "concat('|', array_join(transform("
+    "sequence(1, length(hex(encode({w}, 'utf-8'))) div 2), "
+    "i -> substring(hex(encode({w}, 'utf-8')), 2*i-1, 2)), '| |'), '|')"
+)
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over whitespace-run tokens — the one
+    corpus-sized stage; map-side-combined word-count shape."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """freq-weighted adjacent-pair counts over the vocab frame.
+
+    Single-symbol words contribute no pairs (the ``size >= 2``
+    guard; the oracle's parallel slice-unnest yields zero rows for
+    them by construction — probed equivalent)."""
+    toks = vocab.withColumn("toks", F.split("seg", " "))
+    pairs = toks.where(F.expr("size(toks) >= 2")).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1), "
+                "i -> struct(element_at(toks, i) AS a, "
+                "element_at(toks, i+1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("freq", "p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round byte-level BPE training; returns the merge table
+    (round, pair_a, pair_b, merged, cnt) — ``rounds`` rows (fewer
+    only if a round finds no pair at all).
+
+    ``rounds`` is fixed so the oracle can unroll it; the operator
+    itself takes any count — plan depth stays constant via the
+    per-round checkpoint.
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_freqs(df, text_col)
+        .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
+        .localCheckpoint(eager=True)
+    )
+    merged_expr = F.expr(
+        "concat(substring(pair_a, 1, length(pair_a)-1), "
+        "substring(pair_b, 2))"
+    )
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("cnt").desc(),
+                F.col("a").asc(),
+                F.col("b").asc(),
+            )
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("cnt"),
+            )
+            .withColumn("merged", merged_expr)
+            # 1 row: eager, so each round runs exactly one job and
+            # the next round's vocab plan references a literal-sized
+            # checkpoint, not the previous round's full lineage
+            .localCheckpoint(eager=True)
+        )
+        out = top if out is None else out.unionByName(top)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("pair_a", "pair_b", "merged")))
+            .withColumn(
+                "seg",
+                F.expr(
+                    "replace(seg, concat(pair_a, ' ', pair_b), merged)"
+                ),
+            )
+            .select("word", "freq", "seg")
+            .localCheckpoint(eager=True)
+        )
+    assert out is not None
+    return out.select("round", "pair_a", "pair_b", "merged", "cnt")
+
+
+def segment_words(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table to a corpus: per-word final
+    segmentation + subword token count. ``merges`` is collected —
+    it is the MODEL (k rows by construction), the one frame of the
+    family that is driver-sized at any corpus scale — and applied
+    as k chained column-level replaces (no UDF, scan-speed).
+    """
+    rows = sorted(
+        merges.select("round", "pair_a", "pair_b", "merged").collect(),
+        key=lambda x: x["round"],
+    )
+    seg: Column = F.expr(_SEG_SPARK.format(w="word"))
+    for m in rows:
+        seg = F.replace(
+            seg,
+            F.lit(f"{m['pair_a']} {m['pair_b']}"),
+            F.lit(m["merged"]),
+        )
+    wf = word_freqs(df, text_col)
+    return wf.select(
+        "word",
+        "freq",
+        seg.alias("seg"),
+    ).withColumn("n_subwords", F.size(F.split("seg", " ")))
+
+
+# ---------------------------------------------------------------
+# DuckDB twins (generated from the same shapes; dialect notes:
+# generate_series(1,0) is EMPTY in DuckDB vs descending in Spark —
+# the Spark side guards with size>=2, the DuckDB side pairs via
+# parallel slice-unnest which zips positionally and is empty for
+# single-symbol words, probed equivalent).
+# ---------------------------------------------------------------
+
+_SEG_DUCK = (
+    "'|' || array_to_string(list_transform("
+    "generate_series(1, length(hex({w}))//2), "
+    "i -> substring(hex({w}), 2*i-1, 2)), '| |') || '|'"
+)
+
+
+def word_freqs_sql(docs_sql: str, text_col: str = "text") -> str:
+    return f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_filter(
+           regexp_split_to_array({text_col}, '\\s+'),
+           t -> t <> '')) AS word
+  FROM ({docs_sql}) AS __docs
+) AS __w
+GROUP BY word
+"""
+
+
+def train_bpe_merges_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> str:
+    """The same fixed rounds unrolled as chained CTEs — pair counts,
+    deterministic top-1, left-to-right replace — every step the
+    identical string/integer op, so the oracle value-verifies the
+    training trajectory (the pagerank_sql / Lloyd-CTE discipline).
+    """
+    seg0 = _SEG_DUCK.format(w="word")
+    ctes = [
+        f"__wf AS ({word_freqs_sql(docs_sql, text_col)})",
+        f"__v0 AS (SELECT word, freq, {seg0} AS seg FROM __wf)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"__v{r - 1}"
+        ctes.append(
+            f"""__p{r} AS (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_slice(toks, 1, len(toks)-1)) AS a,
+           unnest(list_slice(toks, 2, len(toks))) AS b
+    FROM (SELECT freq, string_split(seg, ' ') AS toks FROM {prev})
+  ) GROUP BY a, b)"""
+        )
+        ctes.append(
+            f"""__m{r} AS (
+  SELECT {r} AS round, a AS pair_a, b AS pair_b,
+         CAST(cnt AS BIGINT) AS cnt,
+         substring(a, 1, length(a)-1) || substring(b, 2) AS merged
+  FROM __p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""__v{r} AS (
+  SELECT v.word, v.freq,
+         replace(v.seg, m.pair_a || ' ' || m.pair_b, m.merged) AS seg
+  FROM {prev} v, __m{r} m)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT round, pair_a, pair_b, merged, cnt FROM __m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions

@@ -464,7 +464,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``url_dedup`` — canonical-URL dedup: normalize (case, default
       ports, fragments, trailing slashes, tracking params) then one
       kept doc per URL via the WindowGroupLimit-pruned window (C41,
-      round 6; operators/webcurate.py dedup_by_url).
+      round 6; operators/webcurate.py dedup_by_url),
+    - ``bpe_merges`` — byte-level BPE tokenizer training: one corpus
+      scan into the vocab-bounded (word, freq) frame, then fixed
+      merge rounds (freq-weighted pair counts → deterministic top-1
+      → boundary-safe left-to-right replace) whose state never grows
+      with corpus size; the oracle unrolls the SAME rounds as CTEs,
+      value-verifying the training trajectory (C42, round 6;
+      operators/bpe.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -490,6 +497,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_topk_lsh,
         semantic_dedup,
     )
+    from umls2rdf_spark.operators.bpe import train_bpe_merges
     from umls2rdf_spark.operators.htmlextract import html_stats
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
@@ -744,8 +752,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup_by_url(_url_pages_frame(docs), "doc_id", "url"),
             "url_dedup",
         ),
+        # SURVEY C42 (round 6): byte-level BPE tokenizer training —
+        # fixed rounds so the oracle unrolls them as CTEs (the
+        # pagerank/Lloyd discipline); corpus scanned once into the
+        # vocab-bounded (word,freq) frame, every round runs on THAT
+        fingerprint_section(
+            train_bpe_merges(docs, "text", rounds=_BPE_ROUNDS),
+            "bpe_merges",
+        ),
     ]
     return _union(sections)
+
+
+_BPE_ROUNDS = 4
 
 
 def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
@@ -1547,8 +1566,21 @@ def _text_scoring_sql() -> str:
             _url_dedup_sql(),
             ["doc_id", "url_norm"],
         ),
+        fingerprint_sql(
+            "bpe_merges",
+            _bpe_merges_sql(),
+            ["round", "pair_a", "pair_b", "merged", "cnt"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+def _bpe_merges_sql() -> str:
+    from umls2rdf_spark.operators.bpe import train_bpe_merges_sql
+
+    return train_bpe_merges_sql(
+        "SELECT * FROM documents", "text", rounds=_BPE_ROUNDS
+    )
 
 
 # C41 (round 6): deterministic URL variants — three per canonical
