@@ -1,0 +1,81 @@
+"""Embedding-based benchmark decontamination (SURVEY §2 C43) —
+oracle parity, planted-leak detection, empty-benchmark semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+from umls2rdf_spark.operators.similarity import (
+    decontaminate_embeddings,
+    decontaminate_embeddings_sql,
+)
+from umls2rdf_spark.sources.parquet import load_table
+
+
+def test_oracle_parity(spark, duck):
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    got = decontaminate_embeddings(
+        emb.where(F.col("vec_id") % 23 != 0),
+        emb.where(F.col("vec_id") % 23 == 0),
+        "vec_id",
+        "embedding",
+        min_cos=0.35,
+    ).withColumn(
+        # stringified-float compare: quantize like the driver's
+        # fingerprint does
+        "max_cos",
+        F.floor(F.col("max_cos") * 1e6).cast("bigint"),
+    )
+    sql = decontaminate_embeddings_sql(
+        "vec_id % 23 <> 0", "vec_id % 23 = 0", 0.35
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        f"SELECT vec_id, CAST(FLOOR(max_cos * 1000000) AS BIGINT)"
+        f" AS max_cos, keep FROM ({sql}) AS __d",
+    )
+
+
+def test_planted_leak_is_dropped(spark):
+    """A corpus vector that IS a benchmark vector (paraphrase limit
+    case: identical embedding) must come back keep=false with
+    max_cos 1.0; an orthogonal one survives."""
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),   # exact leak
+            (11, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            (12, [0.9, 0.1, 0.0, 0.0]),   # near-paraphrase
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in decontaminate_embeddings(
+            corpus, bench, "vec_id", "embedding", min_cos=0.9, dim=4
+        ).collect()
+    }
+    assert not rows[10]["keep"] and abs(rows[10]["max_cos"] - 1.0) < 1e-9
+    assert rows[11]["keep"] and abs(rows[11]["max_cos"]) < 1e-9
+    assert not rows[12]["keep"]  # cos ≈ 0.9939 ≥ 0.9
+
+
+def test_empty_benchmark_keeps_everything(spark):
+    """No benchmark rows → nothing to decontaminate: every corpus
+    row survives with null max_cos (NOT an empty result — the
+    fail-open-vs-vanish hazard)."""
+    bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    rows = decontaminate_embeddings(
+        corpus, bench, "vec_id", "embedding", min_cos=0.5, dim=2
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["keep"] and r["max_cos"] is None for r in rows)

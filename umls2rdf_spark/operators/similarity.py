@@ -1443,3 +1443,122 @@ def semantic_dedup(
     return feat.groupBy(*group_cols).applyInPandas(
         cell_keep, schema=f"{id_col} long, cell int, keep boolean"
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-based benchmark decontamination — the SEMANTIC
+    complement of the exact n-gram pass (operators/corpus.py
+    decontaminate / decontaminate_bloom): a corpus document is
+    contaminated when its embedding's max cosine against ANY
+    benchmark embedding reaches ``min_cos``, catching paraphrased
+    or reformatted benchmark leakage that shingle overlap misses.
+
+    Returns one row per corpus vector: (id, max_cos, keep) —
+    ``keep`` false means "drop before training".
+
+    100 TB shape: benchmark suites are bounded by nature (evaluation
+    sets, not corpora), so the bench side broadcasts whole —
+    quantized vectors + norms — and the corpus is read in ONE scan
+    whose per-row work is |bench| exact int64 dot products inside
+    whole-stage codegen (the unrolled ``_dot_expr``; a deliberate
+    broadcast nested-loop, whitelisted like hard_negative_topk's).
+    The per-corpus-row max then map-side-combines, so the only
+    shuffle carries one row per corpus vector. If the benchmark
+    side ever outgrows broadcast, mine within shared LSH/IVF
+    buckets instead — :func:`_bucketed_role_topk` with corpus rows
+    as queries and the benchmark as the (different-"label") corpus,
+    k=1, is exactly this op's approximate form.
+
+    Exactness: cosine is int64 dot / sqrt(int64 norm product) in
+    IEEE double — bit-identical in Spark and DuckDB (the
+    dedup_embedding convention), so MAX and the threshold compare
+    agree exactly; no epsilon.
+    """
+    b = _with_qvec(bench, id_col, vec_col, dim).select(
+        F.col(id_col).alias("__bid"),
+        F.col("qvec").alias("bvec"),
+        F.col("norm2").alias("bnorm2"),
+    )
+    c = _with_qvec(corpus, id_col, vec_col, dim)
+    cos = _dot_expr("qvec", "bvec", dim).cast("double") / F.sqrt(
+        (F.col("norm2") * F.col("bnorm2")).cast("double")
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        F.col(id_col), cos.alias("__cos")
+    )
+    agg = scored.groupBy(id_col).agg(F.max("__cos").alias("max_cos"))
+    # corpus-anchored output: an EMPTY benchmark means "nothing to
+    # decontaminate — keep everything", not "drop everything" (the
+    # fail-open-vs-vanish hazard class the ingest loop's
+    # path-not-found fix addressed); the left join is id-keyed on
+    # both sides and a no-op row-wise when bench is non-empty
+    return (
+        c.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "max_cos",
+            (
+                F.col("max_cos").isNull()
+                | (F.col("max_cos") < F.lit(min_cos))
+            ).alias("keep"),
+        )
+    )
+
+
+def decontaminate_embeddings_sql(
+    corpus_where: str,
+    bench_where: str,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_embeddings` over one
+    ``table`` split by the two WHERE predicates (each may reference
+    only ``id_col`` — they are applied to both the long-form comps
+    CTE and the corpus-anchor subquery) — long-form comps join for
+    the exact int64 dots (the dedup_embedding oracle shape),
+    identical double cosine, MAX, threshold compare, and the same
+    corpus-anchored LEFT JOIN (empty benchmark keeps all)."""
+    return f"""
+WITH __qv AS (
+  SELECT {id_col},
+         list_transform({vec_col},
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM {table}),
+__comps AS (
+  SELECT {id_col}, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM __qv),
+__norms AS (
+  SELECT {id_col}, SUM(comp * comp) AS norm2
+  FROM __comps GROUP BY 1),
+__dots AS (
+  SELECT c.{id_col} AS cid, b.{id_col} AS bid,
+         SUM(c.comp * b.comp) AS dot
+  FROM (SELECT * FROM __comps WHERE {corpus_where}) c
+  JOIN (SELECT * FROM __comps WHERE {bench_where}) b
+    ON c.pos = b.pos
+  GROUP BY 1, 2),
+__scored AS (
+  SELECT cid,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(nc.norm2 * nb.norm2 AS DOUBLE)) AS cos
+  FROM __dots
+  JOIN __norms nc ON nc.{id_col} = cid
+  JOIN __norms nb ON nb.{id_col} = bid),
+__agg AS (
+  SELECT cid, MAX(cos) AS max_cos FROM __scored GROUP BY 1)
+SELECT q.{id_col}, a.max_cos,
+       (a.max_cos IS NULL OR a.max_cos < {min_cos}) AS keep
+FROM (SELECT {id_col} FROM __qv WHERE {corpus_where}) q
+LEFT JOIN __agg a ON a.cid = q.{id_col}
+"""

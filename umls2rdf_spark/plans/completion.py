@@ -471,7 +471,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       → boundary-safe left-to-right replace) whose state never grows
       with corpus size; the oracle unrolls the SAME rounds as CTEs,
       value-verifying the training trajectory (C42, round 6;
-      operators/bpe.py).
+      operators/bpe.py),
+    - ``embedding_decontam`` — embedding-based benchmark
+      decontamination: per-corpus-vector max exact cosine against
+      the broadcast benchmark set, keep = below threshold — catches
+      paraphrased benchmark leakage the n-gram passes miss (C43,
+      round 6; operators/similarity.py decontaminate_embeddings).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -493,6 +498,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         select_to_token_budget,
     )
     from umls2rdf_spark.operators.similarity import (
+        decontaminate_embeddings,
         hard_negative_topk,
         hard_negative_topk_lsh,
         semantic_dedup,
@@ -760,11 +766,27 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             train_bpe_merges(docs, "text", rounds=_BPE_ROUNDS),
             "bpe_merges",
         ),
+        # SURVEY C43 (round 6): embedding-based benchmark
+        # decontamination — the semantic complement of the exact
+        # n-gram passes; benchmark = every-23rd embedding (the
+        # bounded-by-nature side, broadcast), corpus scanned once
+        fingerprint_section(
+            decontaminate_embeddings(
+                emb.where(F.col("vec_id") % 23 != 0),
+                emb.where(F.col("vec_id") % 23 == 0),
+                "vec_id",
+                "embedding",
+                min_cos=_DECON_MIN_COS,
+            ),
+            "embedding_decontam",
+            float_cols=("max_cos",),
+        ),
     ]
     return _union(sections)
 
 
 _BPE_ROUNDS = 4
+_DECON_MIN_COS = 0.35
 
 
 def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
@@ -1571,8 +1593,24 @@ def _text_scoring_sql() -> str:
             _bpe_merges_sql(),
             ["round", "pair_a", "pair_b", "merged", "cnt"],
         ),
+        fingerprint_sql(
+            "embedding_decontam",
+            _embedding_decontam_sql(),
+            ["vec_id", "max_cos", "keep"],
+            ("max_cos",),
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+def _embedding_decontam_sql() -> str:
+    from umls2rdf_spark.operators.similarity import (
+        decontaminate_embeddings_sql,
+    )
+
+    return decontaminate_embeddings_sql(
+        "vec_id % 23 <> 0", "vec_id % 23 = 0", _DECON_MIN_COS
+    )
 
 
 def _bpe_merges_sql() -> str:
