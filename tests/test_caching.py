@@ -22,6 +22,23 @@ def _n_cached(spark) -> int:
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
+def _release_all_persistent(spark) -> None:
+    """Deterministic zero-cache baseline: blocking-unpersist every
+    persistent RDD left behind by EARLIER test files (eager
+    localCheckpoints from the iterative ops — bpe/pagerank/closure
+    — survive catalog.clearCache() and are otherwise released
+    asynchronously by the ContextCleaner, which can fire MID-test
+    and shift the absolute counts these contracts compare). Their
+    owning frames are dead by the time this file runs, so releasing
+    storage is safe."""
+    spark.catalog.clearCache()
+    # py4j surfaces the Java map as a dict view
+    for jrdd in list(
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        jrdd.unpersist(True)
+
+
 def _docs(spark):
     return (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -40,7 +57,7 @@ def test_selection_ops_hold_zero_cache(spark):
     cached RDDs behind (the round-5 version pinned a corpus-sized
     MEMORY_AND_DISK copy per call)."""
     docs = _docs(spark)
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)
     before = _n_cached(spark)
     for _ in range(3):
         select_to_token_budget(
@@ -56,7 +73,7 @@ def test_surprisal_latest_call_only_residency(spark):
     frames, so cache count after three invocations equals the count
     after one."""
     docs = _docs(spark)
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)
     baseline = _n_cached(spark)
     bigram_surprisal(docs, "doc_id", "text").count()
     unigram_surprisal(docs, "doc_id", "text").count()
@@ -66,14 +83,14 @@ def test_surprisal_latest_call_only_residency(spark):
         bigram_surprisal(docs, "doc_id", "text").count()
         unigram_surprisal(docs, "doc_id", "text").count()
     assert _n_cached(spark) == after_one
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)
 
 
 def test_cache_scope_releases_everything(spark):
     """Explicit CacheScope: zero residual cache after the with-block,
     and the result computed inside matches a fresh computation."""
     docs = _docs(spark)
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)
     before = _n_cached(spark)
     with CacheScope() as scope:
         rows = sorted(
@@ -89,7 +106,7 @@ def test_cache_scope_releases_everything(spark):
         for r in bigram_surprisal(docs, "doc_id", "text").collect()
     )
     assert rows == fresh
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)
 
 
 def test_released_result_still_correct(spark):
@@ -101,4 +118,4 @@ def test_released_result_still_correct(spark):
     bigram_surprisal(docs, "doc_id", "text").count()  # releases r1's cache
     again = {r["doc_id"]: r["surprisal_q"] for r in r1.collect()}
     assert first == again
-    spark.catalog.clearCache()
+    _release_all_persistent(spark)

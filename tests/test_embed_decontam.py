@@ -79,3 +79,73 @@ def test_empty_benchmark_keeps_everything(spark):
     ).collect()
     assert len(rows) == 2
     assert all(r["keep"] and r["max_cos"] is None for r in rows)
+
+
+# ── bucketed (LSH) form — recall relative to the exact baseline ────
+def _load_split(spark):
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return (
+        emb.where(F.col("vec_id") % 23 != 0),
+        emb.where(F.col("vec_id") % 23 == 0),
+    )
+
+
+def test_lsh_form_is_fail_open_and_score_exact(spark):
+    """Every (id, max_cos) the bucketed form reports agrees exactly
+    with the exact baseline's score for that id (same quantized
+    arithmetic), approximate max_cos never EXCEEDS the true max
+    (missed candidates can only lower it — fail-open), and every
+    corpus row is present."""
+    from umls2rdf_spark.operators.similarity import (
+        decontaminate_embeddings_lsh,
+    )
+
+    corp, bench = _load_split(spark)
+    exact = {
+        r["vec_id"]: r["max_cos"]
+        for r in decontaminate_embeddings(
+            corp, bench, "vec_id", "embedding", min_cos=0.35
+        ).collect()
+    }
+    approx = decontaminate_embeddings_lsh(
+        corp, bench, "vec_id", "embedding", min_cos=0.35, nprobe=2
+    ).collect()
+    assert {r["vec_id"] for r in approx} == set(exact)
+    for r in approx:
+        if r["max_cos"] is not None:
+            assert r["max_cos"] <= exact[r["vec_id"]] + 1e-12
+    # dropped-by-approx must be a subset of dropped-by-exact
+    adrop = {r["vec_id"] for r in approx if not r["keep"]}
+    edrop = {v for v, c in exact.items() if c >= 0.35}
+    assert adrop <= edrop and adrop
+
+
+def test_lsh_recall_monotone_in_nprobe(spark):
+    from umls2rdf_spark.operators.similarity import (
+        decontaminate_embeddings_lsh,
+    )
+
+    corp, bench = _load_split(spark)
+    exact_drop = {
+        r["vec_id"]
+        for r in decontaminate_embeddings(
+            corp, bench, "vec_id", "embedding", min_cos=0.35
+        ).collect()
+        if not r["keep"]
+    }
+    recalls = []
+    for nprobe in (1, 2, 5):
+        drop = {
+            r["vec_id"]
+            for r in decontaminate_embeddings_lsh(
+                corp, bench, "vec_id", "embedding",
+                min_cos=0.35, nprobe=nprobe,
+            ).collect()
+            if not r["keep"]
+        }
+        assert drop <= exact_drop
+        recalls.append(len(drop) / max(1, len(exact_drop)))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > 0

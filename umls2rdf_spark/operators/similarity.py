@@ -1471,10 +1471,11 @@ def decontaminate_embeddings(
     broadcast nested-loop, whitelisted like hard_negative_topk's).
     The per-corpus-row max then map-side-combines, so the only
     shuffle carries one row per corpus vector. If the benchmark
-    side ever outgrows broadcast, mine within shared LSH/IVF
-    buckets instead — :func:`_bucketed_role_topk` with corpus rows
-    as queries and the benchmark as the (different-"label") corpus,
-    k=1, is exactly this op's approximate form.
+    side outgrows broadcast, use
+    :func:`decontaminate_embeddings_lsh` — the shared bucketed
+    kernel with corpus rows as queries and the benchmark as
+    residents, k=1; this exact form stays as its oracle-able
+    recall baseline.
 
     Exactness: cosine is int64 dot / sqrt(int64 norm product) in
     IEEE double — bit-identical in Spark and DuckDB (the
@@ -1562,3 +1563,74 @@ SELECT q.{id_col}, a.max_cos,
 FROM (SELECT {id_col} FROM __qv WHERE {corpus_where}) q
 LEFT JOIN __agg a ON a.cid = q.{id_col}
 """
+
+
+def decontaminate_embeddings_lsh(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    planes: int | None = 4,
+    dim: int = 64,
+    nprobe: int = 1,
+    target_bucket: int = 8,
+    known_n: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Bucketed form of :func:`decontaminate_embeddings` for when
+    the benchmark side outgrows broadcast (a union of every eval
+    suite ever shipped, or decontaminating against another CORPUS).
+
+    A thin role-flip over the shared bucketed kernel
+    (:func:`_bucketed_role_topk` via :func:`hard_negative_topk_lsh`):
+    benchmark vectors are the bucket RESIDENTS (labeled ``b``),
+    corpus vectors probe as QUERIES (labeled ``c``) with k=1 — the
+    per-corpus-row top-1 cosine against probed benchmark residents
+    IS this op's approximate ``max_cos``. ``nprobe`` is the recall
+    lever (monotone, property-tested on the shared kernel);
+    ``max_bucket`` the completeness-preserving skew valve. Ids must
+    be distinct across the two frames (the kernel's same-id mask —
+    shared with the queries form of hard-negative mining).
+
+    APPROXIMATE and fail-open by construction: a contaminated
+    vector whose benchmark twin lands outside its probed buckets is
+    KEPT (max_cos null or under-estimated) — the standard ANN
+    decontamination tradeoff; calibrate nprobe/planes against the
+    exact form (SCALE.md carries the recall table). The exact
+    :func:`decontaminate_embeddings` stays as the oracle-able
+    baseline, like cosine_topk beside lsh_cosine_topk.
+    """
+    top1 = hard_negative_topk_lsh(
+        bench.withColumn("__side", F.lit("b")),
+        id_col,
+        vec_col,
+        "__side",
+        k=1,
+        planes=planes,
+        dim=dim,
+        nprobe=nprobe,
+        target_bucket=target_bucket,
+        known_n=known_n,
+        queries=corpus.withColumn("__side", F.lit("c")),
+        max_bucket=max_bucket,
+    )
+    return (
+        corpus.select(id_col)
+        .join(
+            top1.select(
+                F.col("query_id").alias(id_col),
+                F.col("cos_sim").alias("max_cos"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "max_cos",
+            (
+                F.col("max_cos").isNull()
+                | (F.col("max_cos") < F.lit(min_cos))
+            ).alias("keep"),
+        )
+    )
