@@ -149,3 +149,31 @@ def test_lsh_recall_monotone_in_nprobe(spark):
         recalls.append(len(drop) / max(1, len(exact_drop)))
     assert recalls == sorted(recalls)
     assert recalls[-1] > 0
+
+
+def test_ivf_form_full_probe_degenerates_to_exact(spark):
+    """nprobe = cells makes the IVF form scan every cell — its
+    (max_cos, keep) must EQUAL the exact baseline's, row for row."""
+    from umls2rdf_spark.operators.similarity import (
+        decontaminate_embeddings_ivf,
+    )
+
+    corp, bench = _load_split(spark)
+    exact = {
+        r["vec_id"]: (r["max_cos"], r["keep"])
+        for r in decontaminate_embeddings(
+            corp, bench, "vec_id", "embedding", min_cos=0.35
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: (r["max_cos"], r["keep"])
+        for r in decontaminate_embeddings_ivf(
+            corp, bench, "vec_id", "embedding",
+            min_cos=0.35, cells=4, nprobe=4,
+        ).collect()
+    }
+    assert set(full) == set(exact)
+    for vid, (cos, keep) in full.items():
+        ecos, ekeep = exact[vid]
+        assert keep == ekeep
+        assert abs(cos - ecos) < 1e-12

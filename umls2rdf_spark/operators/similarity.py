@@ -1634,3 +1634,61 @@ def decontaminate_embeddings_lsh(
             ).alias("keep"),
         )
     )
+
+
+def decontaminate_embeddings_ivf(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    cells: int | None = 8,
+    dim: int = 64,
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
+    known_n: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Inverted-file sibling of :func:`decontaminate_embeddings_lsh`
+    (same role flip over the shared kernel, via
+    :func:`hard_negative_topk_ivf`): benchmark vectors assign to
+    their nearest centroid as residents, corpus vectors probe their
+    ``nprobe`` nearest cells — nprobe = cells degenerates to the
+    exact result (the kernel's property), making recall directly
+    purchasable. Same fail-open guarantee and id-distinctness
+    requirement as the LSH form. Note ``known_n`` sizes auto_cells
+    from the BENCH side (the resident side) when ``cells=None``.
+    """
+    top1 = hard_negative_topk_ivf(
+        bench.withColumn("__side", F.lit("b")),
+        id_col,
+        vec_col,
+        "__side",
+        k=1,
+        cells=cells,
+        dim=dim,
+        centroids=centroids,
+        nprobe=nprobe,
+        known_n=known_n,
+        queries=corpus.withColumn("__side", F.lit("c")),
+        max_bucket=max_bucket,
+    )
+    return (
+        corpus.select(id_col)
+        .join(
+            top1.select(
+                F.col("query_id").alias(id_col),
+                F.col("cos_sim").alias("max_cos"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "max_cos",
+            (
+                F.col("max_cos").isNull()
+                | (F.col("max_cos") < F.lit(min_cos))
+            ).alias("keep"),
+        )
+    )
