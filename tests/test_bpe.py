@@ -141,3 +141,54 @@ def test_no_python_udfs_and_bounded_final_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_vocab_after_matches_reference_and_oracle(spark, duck):
+    from umls2rdf_spark.operators.bpe import (
+        bpe_vocab_after,
+        bpe_vocab_after_sql,
+    )
+
+    # reference seg lengths on the adversarial corpus
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    got = {
+        r["word"]: (r["freq"], r["n_subwords"])
+        for r in bpe_vocab_after(df, "text", rounds=5).collect()
+    }
+    _, ref_seg, ref_wf = _ref_train(_CORPUS, rounds=5)
+    assert got == {
+        w: (ref_wf[w], len(ref_seg[w])) for w in ref_wf
+    }
+    # oracle parity at the driver's SF
+    from tests.conftest import SF_DIR_ORACLE
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        bpe_vocab_after(docs, "text", rounds=3),
+        duck,
+        bpe_vocab_after_sql("SELECT * FROM documents", "text", rounds=3),
+    )
+
+
+def test_one_run_feeds_both_artifacts(spark):
+    """train_bpe returns (merges, vocab) from ONE run; the vocab's
+    total subword count equals initial byte count minus one per
+    merge occurrence applied — conservation, no bytes lost."""
+    from umls2rdf_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    merges, vocab = train_bpe(df, "text", rounds=5)
+    rows = vocab.collect()
+    total_sub = sum(
+        r["freq"] * len(r["seg"].split(" ")) for r in rows
+    )
+    total_bytes = sum(
+        r["freq"] * len(r["word"].encode("utf-8")) for r in rows
+    )
+    _, ref_seg, ref_wf = _ref_train(_CORPUS, rounds=5)
+    ref_sub = sum(
+        ref_wf[w] * len(ref_seg[w]) for w in ref_wf
+    )
+    assert total_sub == ref_sub
+    assert total_sub < total_bytes  # merges actually compressed

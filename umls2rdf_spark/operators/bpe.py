@@ -54,7 +54,8 @@ rounds as CTEs and value-verify training dynamics, not just shape):
 
 Returns the MERGE TABLE — (round, pair_a, pair_b, merged, cnt) —
 which is what a pipeline persists: applying it to new text is k
-chained ``replace`` calls (see :func:`apply_merges_expr`).
+chained ``replace`` calls (see :func:`segment_words`); the training
+corpus's own post-merge segmentation is :func:`bpe_vocab_after`.
 """
 
 from __future__ import annotations
@@ -122,7 +123,35 @@ def train_bpe_merges(
     itself takes any count — plan depth stays constant via the
     per-round checkpoint.
     """
-    spark = df.sparkSession
+    merges, _ = train_bpe(df, text_col, rounds)
+    return merges
+
+
+def bpe_vocab_after(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """The APPLICATION side of the same training run: the vocabulary
+    segmentation after ``rounds`` merges — (word, freq, n_subwords)
+    per distinct word. ``sum(freq * n_subwords)`` over it is the
+    corpus's post-BPE token count, the number a data pipeline
+    budgets epochs and packing with; the frame itself stays
+    vocab-bounded at any corpus size (same argument as training)."""
+    _, vocab = train_bpe(df, text_col, rounds)
+    return vocab.select(
+        "word",
+        "freq",
+        F.size(F.split("seg", " ")).alias("n_subwords"),
+    )
+
+
+def train_bpe(
+    df: DataFrame, text_col: str = "text", rounds: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """One training run, both artifacts: (merge table, post-merge
+    vocab segmentation) — callers composing both sections use this
+    so the eager per-round jobs execute once."""
     vocab = (
         word_freqs(df, text_col)
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
@@ -167,7 +196,10 @@ def train_bpe_merges(
             .localCheckpoint(eager=True)
         )
     assert out is not None
-    return out.select("round", "pair_a", "pair_b", "merged", "cnt")
+    return (
+        out.select("round", "pair_a", "pair_b", "merged", "cnt"),
+        vocab,
+    )
 
 
 def segment_words(
@@ -228,16 +260,12 @@ GROUP BY word
 """
 
 
-def train_bpe_merges_sql(
-    docs_sql: str,
-    text_col: str = "text",
-    rounds: int = 4,
-) -> str:
-    """The same fixed rounds unrolled as chained CTEs — pair counts,
-    deterministic top-1, left-to-right replace — every step the
-    identical string/integer op, so the oracle value-verifies the
-    training trajectory (the pagerank_sql / Lloyd-CTE discipline).
-    """
+def _round_ctes(
+    docs_sql: str, text_col: str, rounds: int
+) -> list[str]:
+    """Shared CTE chain for both oracle twins: word freqs, initial
+    byte segmentation, then per round the pair counts (__p{r}),
+    deterministic top-1 (__m{r}) and merged vocab (__v{r})."""
     seg0 = _SEG_DUCK.format(w="word")
     ctes = [
         f"__wf AS ({word_freqs_sql(docs_sql, text_col)})",
@@ -267,8 +295,41 @@ def train_bpe_merges_sql(
          replace(v.seg, m.pair_a || ' ' || m.pair_b, m.merged) AS seg
   FROM {prev} v, __m{r} m)"""
         )
+    return ctes
+
+
+def train_bpe_merges_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> str:
+    """The same fixed rounds unrolled as chained CTEs — pair counts,
+    deterministic top-1, left-to-right replace — every step the
+    identical string/integer op, so the oracle value-verifies the
+    training trajectory (the pagerank_sql / Lloyd-CTE discipline).
+    """
+    ctes = _round_ctes(docs_sql, text_col, rounds)
     unions = "\nUNION ALL\n".join(
         f"SELECT round, pair_a, pair_b, merged, cnt FROM __m{r}"
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def bpe_vocab_after_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bpe_vocab_after`: the final __v{rounds}
+    vocab CTE with the subword count (list length of the space-split
+    segmentation — identical in both engines)."""
+    ctes = _round_ctes(docs_sql, text_col, rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT word, freq,
+       CAST(len(string_split(seg, ' ')) AS INT) AS n_subwords
+FROM __v{rounds}"""
+    )

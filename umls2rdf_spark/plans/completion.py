@@ -472,6 +472,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       with corpus size; the oracle unrolls the SAME rounds as CTEs,
       value-verifying the training trajectory (C42, round 6;
       operators/bpe.py),
+    - ``bpe_tokens`` — the same training run's application half:
+      post-merge vocab segmentation (word, freq, n_subwords); the
+      oracle selects the final __v{rounds} CTE of the same chain,
+
     - ``embedding_decontam`` — embedding-based benchmark
       decontamination: per-corpus-vector max exact cosine against
       the broadcast benchmark set, keep = below threshold — catches
@@ -503,7 +507,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_topk_lsh,
         semantic_dedup,
     )
-    from umls2rdf_spark.operators.bpe import train_bpe_merges
+    from umls2rdf_spark.operators.bpe import train_bpe
     from umls2rdf_spark.operators.htmlextract import html_stats
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
@@ -526,6 +530,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.withColumn(
         "ntok",
         F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
+    # one BPE training run feeds BOTH its sections (the per-round
+    # checkpoints execute once)
+    bpe_merges_df, bpe_vocab = train_bpe(
+        docs, "text", rounds=_BPE_ROUNDS
     )
     sections = [
         fingerprint_section(
@@ -762,9 +771,18 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixed rounds so the oracle unrolls them as CTEs (the
         # pagerank/Lloyd discipline); corpus scanned once into the
         # vocab-bounded (word,freq) frame, every round runs on THAT
+        fingerprint_section(bpe_merges_df, "bpe_merges"),
+        # SURVEY C42's application half: the post-merge vocab
+        # segmentation — per-word subword counts, the number
+        # packing/epoch budgeting consumes; same run, same oracle
+        # CTE chain (final __v{rounds} select)
         fingerprint_section(
-            train_bpe_merges(docs, "text", rounds=_BPE_ROUNDS),
-            "bpe_merges",
+            bpe_vocab.select(
+                "word",
+                "freq",
+                F.size(F.split("seg", " ")).alias("n_subwords"),
+            ),
+            "bpe_tokens",
         ),
         # SURVEY C43 (round 6): embedding-based benchmark
         # decontamination — the semantic complement of the exact
@@ -1594,6 +1612,11 @@ def _text_scoring_sql() -> str:
             ["round", "pair_a", "pair_b", "merged", "cnt"],
         ),
         fingerprint_sql(
+            "bpe_tokens",
+            _bpe_tokens_sql(),
+            ["word", "freq", "n_subwords"],
+        ),
+        fingerprint_sql(
             "embedding_decontam",
             _embedding_decontam_sql(),
             ["vec_id", "max_cos", "keep"],
@@ -1601,6 +1624,14 @@ def _text_scoring_sql() -> str:
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
+
+
+def _bpe_tokens_sql() -> str:
+    from umls2rdf_spark.operators.bpe import bpe_vocab_after_sql
+
+    return bpe_vocab_after_sql(
+        "SELECT * FROM documents", "text", rounds=_BPE_ROUNDS
+    )
 
 
 def _embedding_decontam_sql() -> str:
