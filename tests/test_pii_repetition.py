@@ -1,0 +1,170 @@
+"""C44 PII scrubbing (operators/pii.py) and C45 within-doc
+repetition signals (operators/repetition.py): oracle parity, rule
+pins, order-dependence, and the zero-shuffle plan contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+from umls2rdf_spark.operators.pii import PII_STAGES, pii_scrub, pii_scrub_sql
+from umls2rdf_spark.operators.repetition import (
+    TOP_BIGRAM_MAX_PPM,
+    doc_repetition,
+    doc_repetition_sql,
+)
+from umls2rdf_spark.plans.completion import (
+    _PII_PAGES_SQL,
+    _pii_pages_frame,
+)
+from umls2rdf_spark.sources.parquet import load_table
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+# ── oracle parity (the driver's bar, full output not fingerprints) ──
+def test_pii_scrub_matches_oracle(spark, duck):
+    got = pii_scrub(
+        _pii_pages_frame(load_table(spark, SF_ORACLE, "documents")),
+        "doc_id",
+        "text",
+    )
+    assert_matches_oracle(
+        got, duck, pii_scrub_sql(_PII_PAGES_SQL, "doc_id", "text")
+    )
+
+
+def test_doc_repetition_matches_oracle(spark, duck):
+    got = doc_repetition(
+        load_table(spark, SF_ORACLE, "documents"), "doc_id", "text"
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        doc_repetition_sql(
+            "SELECT doc_id, text FROM documents", "doc_id", "text"
+        ),
+    )
+
+
+# ── PII rule pins ────────────────────────────────────────────────────
+def _scrub_one(spark, text: str):
+    df = spark.createDataFrame([(1, text)], "id bigint, text string")
+    return pii_scrub(df, "id", "text").collect()[0]
+
+
+def test_pii_all_four_categories_hit_and_redact(spark):
+    row = _scrub_one(
+        spark,
+        "mail user12@ex5.org from 10.12.3.84 ssn 123-45-6789 "
+        "call (555) 210-0012 end",
+    )
+    assert row.clean == (
+        "mail <EMAIL> from <IP> ssn <SSN> call <PHONE> end"
+    )
+    assert (row.n_email, row.n_ipv4, row.n_ssn, row.n_phone) == (
+        1, 1, 1, 1,
+    )
+
+
+def test_pii_dates_versions_prices_untouched(spark):
+    text = "released 2026-08-15 v1.2.3 price 1,000.00 qty 123456"
+    row = _scrub_one(spark, text)
+    assert row.clean == text
+    assert (row.n_email, row.n_ipv4, row.n_ssn, row.n_phone) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_pii_sequential_order_prevents_double_count(spark):
+    # a dotted quad's first three octets WOULD match the phone
+    # pattern — the ipv4 stage must consume it first; an address's
+    # digits must be gone before the phone stage runs
+    row = _scrub_one(spark, "ip 192.168.101.425 and a1.2b3@d-x.io")
+    assert row.n_ipv4 == 1 and row.n_phone == 0 and row.n_email == 1
+    assert "192" not in row.clean
+
+
+def test_pii_placeholders_are_inert(spark):
+    # pre-existing placeholders (or a prior pass's output) gain
+    # nothing new — scrubbing is idempotent on its own output
+    first = _scrub_one(
+        spark, "mail user12@ex5.org from 10.12.3.84 end"
+    )
+    second = _scrub_one(spark, first.clean)
+    assert second.clean == first.clean
+    assert (second.n_email, second.n_ipv4) == (0, 0)
+
+
+def test_pii_stage_constants_shape():
+    # order is load-bearing (module contract): email, ipv4, ssn,
+    # phone — and every placeholder is digit-free and @-free
+    assert [s[0] for s in PII_STAGES] == [
+        "email", "ipv4", "ssn", "phone",
+    ]
+    for _, _, rep in PII_STAGES:
+        assert not any(ch.isdigit() for ch in rep) and "@" not in rep
+
+
+# ── repetition rule pins ─────────────────────────────────────────────
+def _rep_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    return {
+        r.id: r for r in doc_repetition(df, "id", "text").collect()
+    }
+
+
+def test_doc_repetition_known_values(spark):
+    rows = _rep_rows(spark, ["a a a b"])
+    r = rows[0]
+    assert r.n_tokens == 4 and r.n_distinct_tokens == 2
+    assert r.dup_token_frac_q == 750000  # the three a's
+    assert r.n_bigrams == 3 and r.top_bigram_n == 2  # "a a" twice
+    assert r.top_bigram_frac_q == 666666
+    assert r.passes is False
+
+
+def test_doc_repetition_diverse_doc_passes(spark):
+    # 12 distinct tokens -> 11 unique bigrams -> top frac 1/11 ppm
+    text = " ".join(f"w{i}" for i in range(12))
+    r = _rep_rows(spark, [text])[0]
+    assert r.n_distinct_tokens == 12 and r.top_bigram_n == 1
+    assert r.top_bigram_frac_q == 1_000_000 // 11
+    assert r.top_bigram_frac_q <= TOP_BIGRAM_MAX_PPM
+    assert r.passes is True and r.dup_token_frac_q == 0
+
+
+def test_doc_repetition_degenerate_docs_fail_closed(spark):
+    rows = _rep_rows(spark, ["!!! ???", "single"])
+    empty, single = rows[0], rows[1]
+    assert empty.n_tokens == 0 and empty.n_bigrams == 0
+    assert empty.dup_token_frac_q is None
+    assert empty.top_bigram_frac_q is None
+    assert empty.passes is False
+    assert single.n_tokens == 1 and single.n_bigrams == 0
+    assert single.passes is False
+
+
+# ── plan contracts: both are pure maps — zero Exchange ───────────────
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pii_scrub_plan_has_zero_exchange(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _plan(spark, pii_scrub(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+
+
+def test_doc_repetition_plan_has_zero_exchange(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _plan(spark, doc_repetition(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    # and it prunes to exactly the two columns it needs
+    assert "n_chars" not in plan.split("ReadSchema")[-1]

@@ -480,7 +480,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       decontamination: per-corpus-vector max exact cosine against
       the broadcast benchmark set, keep = below threshold — catches
       paraphrased benchmark leakage the n-gram passes miss (C43,
-      round 6; operators/similarity.py decontaminate_embeddings).
+      round 6; operators/similarity.py decontaminate_embeddings),
+
+    - ``pii_scrub`` — email/IPv4/SSN/phone redaction with
+      sequential per-stage counts, one zero-shuffle select over the
+      deterministically PII-seeded corpus; the oracle is generated
+      from the same stage constants so the redacted text is
+      byte-exact-verified (C44, round 6; operators/pii.py),
+
+    - ``doc_repetition`` — within-document repetition signals
+      (Gopher §A1): top-bigram fraction + duplicate-token fraction
+      computed WITHOUT any shuffle by sorting each doc's own n-gram
+      array in-row and reading group sizes as run lengths (C45,
+      round 6; operators/repetition.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -509,6 +521,8 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.bpe import train_bpe
     from umls2rdf_spark.operators.htmlextract import html_stats
+    from umls2rdf_spark.operators.pii import pii_scrub
+    from umls2rdf_spark.operators.repetition import doc_repetition
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
@@ -798,6 +812,20 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "embedding_decontam",
             float_cols=("max_cos",),
+        ),
+        # SURVEY C44 (round 6): PII redaction — the corpus is
+        # deterministically seeded with emails/IPs/SSNs/phones from
+        # doc_id arithmetic (every rule fires on a known subset;
+        # doc_id ≡ 1 mod 2·3·5·7 rows stay clean, exercising the
+        # zero-count path), then scrubbed in one zero-shuffle select
+        fingerprint_section(
+            pii_scrub(_pii_pages_frame(docs), "doc_id", "text"),
+            "pii_scrub",
+        ),
+        # SURVEY C45 (round 6): within-doc repetition signals — the
+        # shuffle-free in-row run-length form over the raw corpus
+        fingerprint_section(
+            doc_repetition(docs, "doc_id", "text"), "doc_repetition"
         ),
     ]
     return _union(sections)
@@ -1622,6 +1650,19 @@ def _text_scoring_sql() -> str:
             ["vec_id", "max_cos", "keep"],
             ("max_cos",),
         ),
+        fingerprint_sql(
+            "pii_scrub",
+            _pii_scrub_sql(),
+            ["doc_id", "clean", "n_email", "n_ipv4", "n_ssn",
+             "n_phone"],
+        ),
+        fingerprint_sql(
+            "doc_repetition",
+            _doc_repetition_sql(),
+            ["doc_id", "n_tokens", "n_distinct_tokens",
+             "dup_token_frac_q", "n_bigrams", "top_bigram_n",
+             "top_bigram_frac_q", "passes"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -1649,6 +1690,74 @@ def _bpe_merges_sql() -> str:
 
     return train_bpe_merges_sql(
         "SELECT * FROM documents", "text", rounds=_BPE_ROUNDS
+    )
+
+
+# C44 (round 6): deterministic PII seeding applied identically in
+# both engines — emails / IPv4s / SSN-shaped ids / phones built from
+# doc_id arithmetic so every scrub rule fires on a known subset and
+# values differ per row; rows hitting none of the mods stay clean.
+def _pii_pages_frame(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+
+    def when_mod(m: int, *parts) -> F.Column:
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(
+            F.lit("")
+        )
+
+    seeded = F.concat(
+        F.col("text"),
+        when_mod(
+            2,
+            F.lit(" mail user"), did.cast("string"),
+            F.lit("@ex"), (did % 7).cast("string"), F.lit(".org"),
+        ),
+        when_mod(
+            3,
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".3."), ((did * 7) % 256).cast("string"),
+        ),
+        when_mod(
+            5,
+            F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+        when_mod(
+            7,
+            F.lit(" call (555) 210-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return docs.select("doc_id", seeded.alias("text"))
+
+
+_PII_PAGES_SQL = (
+    "SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 2 = 0 THEN ' mail user' "
+    "|| CAST(doc_id AS VARCHAR) || '@ex' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' from 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.3.' "
+    "|| CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' call (555) 210-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "AS text FROM documents"
+)
+
+
+def _pii_scrub_sql() -> str:
+    from umls2rdf_spark.operators.pii import pii_scrub_sql
+
+    return pii_scrub_sql(_PII_PAGES_SQL, "doc_id", "text")
+
+
+def _doc_repetition_sql() -> str:
+    from umls2rdf_spark.operators.repetition import doc_repetition_sql
+
+    return doc_repetition_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
     )
 
 
