@@ -102,7 +102,14 @@ FULL_SCAN_OK = {
     # corpus side and the broadcast bench side each read the table
     # once (the mod-23 split predicates are not parquet-pushable,
     # like incremental_dedupe's shard split).
-    "text_scoring": {"documents.parquet": 28, "embeddings.parquet": 4},
+    # round 6 sections 32-37 add semantically-full-table corpus
+    # reads (PII scrub and doc_repetition map every row; the CMS
+    # matrix/estimates and HLL registers/estimate each stream the
+    # token occurrences — sketching exists precisely to make the
+    # full pass cheap): observed 31 documents scans at the 37-section
+    # surface (plan-level subtree sharing keeps it below the naive
+    # +6).
+    "text_scoring": {"documents.parquet": 31, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -1,0 +1,197 @@
+"""C46 count-min / C47 HyperLogLog (operators/sketch.py): oracle
+parity, the one-sided-error and merge contracts, bounded state, and
+estimate quality at a cardinality where the asymptotic formula is
+meaningful."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+from umls2rdf_spark.functions.hashing import stable_hash40_py
+from umls2rdf_spark.operators.sketch import (
+    cms_cells_py,
+    cms_estimates,
+    cms_estimates_sql,
+    cms_sketch,
+    cms_sketch_sql,
+    hll_estimate,
+    hll_estimate_sql,
+    hll_registers,
+    hll_registers_sql,
+)
+from umls2rdf_spark.plans.completion import (
+    _CMS_D,
+    _CMS_QUERIES,
+    _CMS_W,
+    _HLL_B,
+    _OCC_SQL,
+    _token_occ_frame,
+)
+from umls2rdf_spark.sources.parquet import load_table
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _occ(spark):
+    return _token_occ_frame(load_table(spark, SF_ORACLE, "documents"))
+
+
+# ── oracle parity (full frames, not fingerprints) ────────────────────
+def test_cms_sketch_matches_oracle(spark, duck):
+    got = cms_sketch(_occ(spark), "token", depth=_CMS_D, width=_CMS_W)
+    assert_matches_oracle(
+        got, duck, cms_sketch_sql(_OCC_SQL, "token", _CMS_D, _CMS_W)
+    )
+
+
+def test_cms_estimates_match_oracle(spark, duck):
+    sk = cms_sketch(_occ(spark), "token", depth=_CMS_D, width=_CMS_W)
+    got = cms_estimates(sk, list(_CMS_QUERIES), _CMS_D, _CMS_W)
+    assert_matches_oracle(
+        got,
+        duck,
+        cms_estimates_sql(
+            _OCC_SQL, "token", list(_CMS_QUERIES), _CMS_D, _CMS_W
+        ),
+    )
+
+
+def test_hll_registers_match_oracle(spark, duck):
+    got = hll_registers(_occ(spark), "token", b=_HLL_B)
+    assert_matches_oracle(
+        got, duck, hll_registers_sql(_OCC_SQL, "token", b=_HLL_B)
+    )
+
+
+def test_hll_estimate_matches_oracle(spark, duck):
+    got = hll_estimate(
+        hll_registers(_occ(spark), "token", b=_HLL_B), b=_HLL_B
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        hll_estimate_sql(
+            hll_registers_sql(_OCC_SQL, "token", b=_HLL_B), b=_HLL_B
+        ),
+    )
+
+
+# ── count-min contracts ──────────────────────────────────────────────
+def test_cms_never_underestimates_and_absent_key_floor(spark):
+    occ = _occ(spark)
+    true = {
+        r.token: r.n
+        for r in occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sk = cms_sketch(occ, "token", depth=_CMS_D, width=_CMS_W)
+    keys = list(true) + ["zz_absent"]
+    ests = {
+        r.token: r.est
+        for r in cms_estimates(sk, keys, _CMS_D, _CMS_W).collect()
+    }
+    n_total = sum(true.values())
+    for k, t in true.items():
+        assert ests[k] >= t, f"{k}: est {ests[k]} < true {t}"
+        # classic w.h.p. bound, generous constant: over-count <= eN/w
+        assert ests[k] - t <= math.e * n_total / _CMS_W * 4
+    assert ests["zz_absent"] >= 0  # collision floor only
+
+
+def test_cms_state_is_bounded_and_merge_is_exact(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    full = cms_sketch(
+        _token_occ_frame(docs), "token", depth=_CMS_D, width=_CMS_W
+    )
+    assert full.count() <= _CMS_D * _CMS_W
+    halves = [
+        cms_sketch(
+            _token_occ_frame(docs.where(F.col("doc_id") % 2 == p)),
+            "token", depth=_CMS_D, width=_CMS_W,
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("row_i", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+# ── HLL contracts ────────────────────────────────────────────────────
+def test_hll_merge_is_register_wise_max(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    full = hll_registers(_token_occ_frame(docs), "token", b=_HLL_B)
+    halves = [
+        hll_registers(
+            _token_occ_frame(docs.where(F.col("doc_id") % 2 == p)),
+            "token", b=_HLL_B,
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("bucket")
+        .agg(F.max("reg").cast("bigint").alias("reg"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_registers_match_python_twin(spark):
+    keys = [f"key-{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.bucket: r.reg
+        for r in hll_registers(df, "k", b=_HLL_B).collect()
+    }
+    m, w_bits = 1 << _HLL_B, 40 - _HLL_B
+    exp = {b: 0 for b in range(m)}
+    for k in keys:
+        h = stable_hash40_py(k)
+        w = h // m
+        rho = w_bits - w.bit_length() + 1
+        exp[h % m] = max(exp[h % m], rho)
+    assert got == exp
+
+
+def test_hll_estimate_quality(spark):
+    # corpus vocabulary (31) is deep in the linear-counting regime:
+    # the documented caller-side correction from n_zero must land
+    # close; a 5000-key synthetic exercises the raw-alpha regime
+    # (m=64 -> rse ~13%; everything is deterministic, no flake)
+    occ = _occ(spark)
+    true_v = occ.select("token").distinct().count()
+    row = hll_estimate(
+        hll_registers(occ, "token", b=_HLL_B), b=_HLL_B
+    ).collect()[0]
+    m = 1 << _HLL_B
+    assert row.m == m
+    corrected = m * math.log(m / row.n_zero)
+    assert abs(corrected - true_v) <= 0.25 * true_v
+
+    big = spark.range(5000).select(
+        F.concat(F.lit("syn-"), F.col("id")).alias("k")
+    )
+    est = hll_estimate(
+        hll_registers(big, "k", b=_HLL_B), b=_HLL_B
+    ).collect()[0].est_floor
+    assert abs(est - 5000) <= 0.30 * 5000
+
+
+def test_cms_cells_py_agrees_with_plan(spark):
+    # the driver-side cell derivation used for lookups/oracles must
+    # agree with the in-plan derivation — pin via a 1-key sketch
+    df = spark.createDataFrame([("only-key",)], "k string")
+    sk = cms_sketch(df, "k", depth=_CMS_D, width=_CMS_W).collect()
+    got = sorted((r.row_i, r.col) for r in sk)
+    assert got == sorted(cms_cells_py("only-key", _CMS_D, _CMS_W))
+    assert all(r.cnt == 1 for r in sk)

@@ -1,0 +1,277 @@
+"""Mergeable frequency / cardinality sketches with value-verifiable
+state: count-min (heavy-hitter counts in bounded memory) and
+HyperLogLog (distinct counts in m registers) built from the engine's
+md5-based hash family — so, unlike engine-native approx aggregates
+(opaque internal state), BOTH the sketch state and the estimates are
+deterministic and oracle-checkable cell-for-cell in DuckDB.
+
+Why these exist at 100 TB:
+
+- ``cms_sketch``: counting a vocabulary exactly (frequent_tokens,
+  textstats.py) shuffles one record per distinct key per map task —
+  fine for words, hopeless for URLs/n-grams/user-ids with billions of
+  distinct keys. The count-min sketch caps the aggregation state at
+  depth×width cells NO MATTER the key cardinality: every map task
+  combines into ≤ d·w cells, the shuffle moves ≤ tasks·d·w rows, and
+  the merged sketch answers point queries with one-sided error
+  (estimate ≥ true count, overshoot ≤ εN with ε = e/width w.h.p.).
+  Sketches MERGE by cell-wise addition — shards/days/streams combine
+  without re-reading data (merge == whole-corpus sketch EXACTLY,
+  pinned by tests).
+
+- ``hll_registers``: COUNT(DISTINCT) over a 100 TB key column is a
+  full shuffle of the distinct keys; the HLL register frame is m
+  int rows. Registers are groupBy(bucket).max(rho) — map-side
+  combined, mergeable by register-wise MAX (same exact-equality
+  pin). The profiler's default mode (D7) uses Spark's built-in
+  HLL++ for per-column stats; THIS operator is the explicit,
+  cross-engine-verifiable form whose state you can store, merge
+  across ingests, and re-estimate from.
+
+Engine-exactness: hashes are ``stable_hash40`` (md5 prefix) +
+the ``perm_params`` universal family (functions/hashing.py), both
+already oracle-shared. The HLL estimate is the raw alpha formula
+``alpha·m² / Σ 2^-reg`` — every term is IEEE-exact in both engines
+(the alpha literal is generated once in Python and inlined into both;
+``2^-reg`` are exact powers of two whose sum spans < 53 bits, so the
+double SUM is order-independent), so even ``floor(est)`` cannot
+diverge. The small-range (linear-counting) correction uses ``ln``,
+whose libm rounding may differ per engine — it is deliberately NOT
+part of the gated output; ``n_zero`` is emitted so callers apply it,
+and the closeness test covers it with tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.functions.hashing import (
+    PERM_MODULUS,
+    perm_params,
+    stable_hash40,
+    stable_hash40_py,
+    stable_hash40_sql,
+)
+
+#: HLL hash width in bits (stable_hash40's range).
+_HASH_BITS = 40
+
+
+# ── count-min ────────────────────────────────────────────────────────
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """(row_i, col, cnt): the count-min matrix as a frame of ≤
+    depth·width cells. One pass, map-side-combined; state bounded by
+    construction (see module docstring)."""
+    params = perm_params(depth)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for i, a, b in params
+        ]
+    )
+    cells = df.select(
+        stable_hash40(F.col(key_col)).alias("__h"),
+        F.explode(arr).alias("__p"),
+    ).select(
+        F.col("__p.i").cast("bigint").alias("row_i"),
+        F.pmod(
+            F.pmod(
+                F.col("__p.a") * F.col("__h") + F.col("__p.b"),
+                F.lit(PERM_MODULUS),
+            ),
+            F.lit(width),
+        ).cast("bigint").alias("col"),
+    )
+    return cells.groupBy("row_i", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_cells_py(
+    key: str, depth: int, width: int
+) -> list[tuple[int, int]]:
+    """Driver-side twin of the in-plan cell derivation — the (row_i,
+    col) cells a key maps to. Used to build point-query lookup frames
+    and the oracle VALUES list from the SAME constants."""
+    h = stable_hash40_py(key)
+    return [
+        (i, ((a * h + b) % PERM_MODULUS) % width)
+        for i, a, b in perm_params(depth)
+    ]
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    keys: list[str],
+    depth: int = 4,
+    width: int = 512,
+    key_name: str = "token",
+) -> DataFrame:
+    """(key, est): point queries against the sketch — min over the
+    key's depth cells, absent cells counting 0. The sketch side is
+    ≤ d·w rows and broadcasts; estimates never underestimate."""
+    spark = sketch.sparkSession
+    rows = [
+        (k, i, c)
+        for k in keys
+        for i, c in cms_cells_py(k, depth, width)
+    ]
+    lookup = spark.createDataFrame(
+        rows, f"{key_name} string, row_i bigint, col bigint"
+    )
+    return (
+        lookup.join(F.broadcast(sketch), ["row_i", "col"], "left")
+        .groupBy(key_name)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+    )
+
+
+def _perm_values_sql(depth: int) -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in perm_params(depth))
+
+
+def cms_sketch_sql(
+    occ_sql: str, key_expr: str, depth: int = 4, width: int = 512
+) -> str:
+    """DuckDB twin of :func:`cms_sketch` over ``occ_sql`` (one row
+    per key occurrence)."""
+    h = stable_hash40_sql(key_expr)
+    return f"""
+WITH __occ AS ({occ_sql}),
+__h AS (SELECT {h} AS h FROM __occ),
+__p(i, a, b) AS (VALUES {_perm_values_sql(depth)}),
+__cells AS (
+  SELECT CAST(__p.i AS BIGINT) AS row_i,
+         CAST(((__p.a * __h.h + __p.b) % {PERM_MODULUS})
+              % {width} AS BIGINT) AS col
+  FROM __h CROSS JOIN __p)
+SELECT row_i, col, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM __cells GROUP BY 1, 2
+"""
+
+
+def cms_estimates_sql(
+    occ_sql: str,
+    key_expr: str,
+    keys: list[str],
+    depth: int = 4,
+    width: int = 512,
+    key_name: str = "token",
+) -> str:
+    """DuckDB twin of :func:`cms_estimates` — the lookup cells come
+    from the same :func:`cms_cells_py` constants."""
+    vals = ", ".join(
+        f"('{k}', {i}, {c})"
+        for k in keys
+        for i, c in cms_cells_py(k, depth, width)
+    )
+    return f"""
+WITH __sk AS ({cms_sketch_sql(occ_sql, key_expr, depth, width)}),
+__q({key_name}, row_i, col) AS (VALUES {vals})
+SELECT __q.{key_name},
+       CAST(MIN(COALESCE(__sk.cnt, 0)) AS BIGINT) AS est
+FROM __q LEFT JOIN __sk
+  ON __sk.row_i = __q.row_i AND __sk.col = __q.col
+GROUP BY 1
+"""
+
+
+# ── HyperLogLog ──────────────────────────────────────────────────────
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant — generated ONCE here and
+    inlined as the same literal into both engines."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
+    """(bucket, reg): the m = 2^b HLL registers, spine-completed so
+    every bucket appears (reg 0 = empty). bucket = low b bits of the
+    40-bit hash; rho = 1-based position of the leftmost 1 in the
+    remaining 40-b bits (all-zero remainder → width+1)."""
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = stable_hash40(F.col(key_col))
+    w = (h / F.lit(m)).cast("bigint")  # h DIV m, h >= 0
+    bitlen = F.length(
+        F.regexp_replace(F.conv(w, 10, 2), "^0+", "")
+    )
+    rho = (F.lit(w_bits) - bitlen + F.lit(1)).cast("bigint")
+    agg = (
+        df.select(
+            F.pmod(h, F.lit(m)).cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    spine = df.sparkSession.range(m).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    return spine.join(agg, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("reg"), F.lit(0)).cast("bigint").alias("reg"),
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
+    """(m, n_zero, est_floor): the raw-alpha estimate (IEEE-exact in
+    both engines — see module docstring); n_zero lets callers apply
+    the linear-counting small-range correction themselves."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    return registers.agg(
+        F.lit(m).cast("bigint").alias("m"),
+        F.sum(
+            F.when(F.col("reg") == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_zero"),
+        F.floor(
+            F.lit(alpha)
+            * F.lit(float(m * m))
+            / F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+        ).cast("bigint").alias("est_floor"),
+    )
+
+
+def hll_registers_sql(occ_sql: str, key_expr: str, b: int = 6) -> str:
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = stable_hash40_sql(key_expr)
+    return f"""
+WITH __src AS ({occ_sql}),
+__h AS (SELECT {h} AS h FROM __src),
+__r AS (
+  SELECT h % {m} AS bucket,
+         CAST({w_bits} - length(regexp_replace(bin(h // {m}),
+              '^0+', '')) + 1 AS BIGINT) AS rho
+  FROM __h),
+__agg AS (SELECT bucket, MAX(rho) AS reg FROM __r GROUP BY 1)
+SELECT CAST(__s.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(__agg.reg, 0) AS BIGINT) AS reg
+FROM (SELECT range AS bucket FROM range({m})) __s
+LEFT JOIN __agg ON __s.bucket = __agg.bucket
+"""
+
+
+def hll_estimate_sql(registers_sql: str, b: int = 6) -> str:
+    m = 1 << b
+    alpha = hll_alpha(m)
+    return f"""
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(FLOOR(CAST({alpha!r} AS DOUBLE)
+            * CAST({m * m} AS DOUBLE)
+            / SUM(pow(2.0, -reg))) AS BIGINT) AS est_floor
+FROM ({registers_sql}) AS __regs
+"""

@@ -492,7 +492,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       (Gopher §A1): top-bigram fraction + duplicate-token fraction
       computed WITHOUT any shuffle by sorting each doc's own n-gram
       array in-row and reading group sizes as run lengths (C45,
-      round 6; operators/repetition.py).
+      round 6; operators/repetition.py),
+
+    - ``cms_sketch`` / ``cms_estimates`` — count-min sketch over the
+      token occurrence stream: aggregation state capped at
+      depth×width cells regardless of key cardinality, point
+      queries = min over a key's cells; the sketch matrix AND the
+      estimates are value-verified cell-for-cell (C46, round 6;
+      operators/sketch.py),
+
+    - ``hll_registers`` / ``hll_estimate`` — explicit HyperLogLog:
+      m=2^b max-rho registers (mergeable by register-wise MAX) and
+      the raw-alpha estimate, every term IEEE-exact in both engines
+      (C47, round 6; operators/sketch.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -523,6 +535,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.htmlextract import html_stats
     from umls2rdf_spark.operators.pii import pii_scrub
     from umls2rdf_spark.operators.repetition import doc_repetition
+    from umls2rdf_spark.operators.sketch import (
+        cms_estimates,
+        cms_sketch,
+        hll_estimate,
+        hll_registers,
+    )
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
@@ -827,12 +845,69 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_section(
             doc_repetition(docs, "doc_id", "text"), "doc_repetition"
         ),
+        # SURVEY C46 (round 6): count-min over token occurrences —
+        # the whole d×w matrix is the section (cell-for-cell value
+        # verification), estimates for a fixed query list incl. an
+        # absent key (collision floor) and corpus-frequent tokens
+        fingerprint_section(
+            cms_sketch(
+                _token_occ_frame(docs), "token",
+                depth=_CMS_D, width=_CMS_W,
+            ),
+            "cms_sketch",
+        ),
+        fingerprint_section(
+            cms_estimates(
+                cms_sketch(
+                    _token_occ_frame(docs), "token",
+                    depth=_CMS_D, width=_CMS_W,
+                ),
+                list(_CMS_QUERIES), depth=_CMS_D, width=_CMS_W,
+            ),
+            "cms_estimates",
+        ),
+        # SURVEY C47 (round 6): explicit HLL over the same stream —
+        # all m registers gated (the mergeable state itself), plus
+        # the raw-alpha estimate row
+        fingerprint_section(
+            hll_registers(_token_occ_frame(docs), "token", b=_HLL_B),
+            "hll_registers",
+        ),
+        fingerprint_section(
+            hll_estimate(
+                hll_registers(
+                    _token_occ_frame(docs), "token", b=_HLL_B
+                ),
+                b=_HLL_B,
+            ),
+            "hll_estimate",
+        ),
     ]
     return _union(sections)
 
 
 _BPE_ROUNDS = 4
 _DECON_MIN_COS = 0.35
+
+# C46/C47 sketch parameters: d×w = 2048 cells, m = 64 registers —
+# the query list mixes corpus-frequent tokens with an absent key so
+# the estimate's collision floor is value-pinned too.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_QUERIES = ("the", "data", "join", "window", "zz_absent")
+_HLL_B = 6
+
+#: shared token-occurrence stream for the sketch sections
+_TOK_ARR = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_OCC_SQL = (
+    "SELECT u.t AS token FROM documents, "
+    "UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t) "
+    "WHERE u.t <> ''"
+)
+
+
+def _token_occ_frame(docs: DataFrame) -> DataFrame:
+    return docs.select(F.explode(F.expr(_TOK_ARR)).alias("token"))
 
 
 def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
@@ -1663,6 +1738,26 @@ def _text_scoring_sql() -> str:
              "dup_token_frac_q", "n_bigrams", "top_bigram_n",
              "top_bigram_frac_q", "passes"],
         ),
+        fingerprint_sql(
+            "cms_sketch",
+            _cms_sketch_sql(),
+            ["row_i", "col", "cnt"],
+        ),
+        fingerprint_sql(
+            "cms_estimates",
+            _cms_estimates_sql(),
+            ["token", "est"],
+        ),
+        fingerprint_sql(
+            "hll_registers",
+            _hll_registers_sql(),
+            ["bucket", "reg"],
+        ),
+        fingerprint_sql(
+            "hll_estimate",
+            _hll_estimate_sql(),
+            ["m", "n_zero", "est_floor"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -1751,6 +1846,38 @@ def _pii_scrub_sql() -> str:
     from umls2rdf_spark.operators.pii import pii_scrub_sql
 
     return pii_scrub_sql(_PII_PAGES_SQL, "doc_id", "text")
+
+
+def _cms_sketch_sql() -> str:
+    from umls2rdf_spark.operators.sketch import cms_sketch_sql
+
+    return cms_sketch_sql(_OCC_SQL, "token", depth=_CMS_D, width=_CMS_W)
+
+
+def _cms_estimates_sql() -> str:
+    from umls2rdf_spark.operators.sketch import cms_estimates_sql
+
+    return cms_estimates_sql(
+        _OCC_SQL, "token", list(_CMS_QUERIES),
+        depth=_CMS_D, width=_CMS_W,
+    )
+
+
+def _hll_registers_sql() -> str:
+    from umls2rdf_spark.operators.sketch import hll_registers_sql
+
+    return hll_registers_sql(_OCC_SQL, "token", b=_HLL_B)
+
+
+def _hll_estimate_sql() -> str:
+    from umls2rdf_spark.operators.sketch import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    return hll_estimate_sql(
+        hll_registers_sql(_OCC_SQL, "token", b=_HLL_B), b=_HLL_B
+    )
 
 
 def _doc_repetition_sql() -> str:
