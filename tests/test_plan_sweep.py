@@ -102,14 +102,15 @@ FULL_SCAN_OK = {
     # corpus side and the broadcast bench side each read the table
     # once (the mod-23 split predicates are not parquet-pushable,
     # like incremental_dedupe's shard split).
-    # round 6 sections 32-37 add semantically-full-table corpus
+    # round 6 sections 32-38 add semantically-full-table corpus
     # reads (PII scrub and doc_repetition map every row; the CMS
     # matrix/estimates and HLL registers/estimate each stream the
     # token occurrences — sketching exists precisely to make the
-    # full pass cheap): observed 31 documents scans at the 37-section
-    # surface (plan-level subtree sharing keeps it below the naive
-    # +6).
-    "text_scoring": {"documents.parquet": 31, "embeddings.parquet": 4},
+    # full pass cheap; temp_mixture's domain-count agg and keep-join
+    # sides both read the corpus): observed 34 documents scans at
+    # the 38-section surface (plan-level subtree sharing keeps it
+    # below the naive sum).
+    "text_scoring": {"documents.parquet": 34, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a
@@ -118,15 +119,19 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 6,      # tfidf/bm25 1-row totals, mixture's
+    "text_scoring": 9,      # tfidf/bm25 1-row totals, mixture's
                             # 1-row feasibility-min, the classifier's
                             # 1-row class-totals attach,
                             # hard_negatives' broadcast(query set) x
                             # corpus non-equi scoring pass (round 5),
-                            # and embedding_decontam's broadcast
+                            # embedding_decontam's broadcast
                             # (benchmark set) x one corpus scan —
                             # the bench side is bounded by nature
-                            # (an eval suite, not a corpus)
+                            # (an eval suite, not a corpus) — and
+                            # temp_mixture's three 1-row attaches
+                            # (parts-total x2 + feasibility-min,
+                            # each a global scalar against the
+                            # |domains|-row counts frame, round 6)
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

@@ -758,3 +758,87 @@ def test_gopher_quality_matches_oracle(spark, duck):
         duck,
         gopher_quality_sql("documents", "doc_id", "text"),
     )
+
+
+# ── C48: temperature mixing (general-tau driver helper + in-plan
+#    sqrt form) ────────────────────────────────────────────────────
+def test_sqrt_mixture_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.selection import (
+        resample_sqrt_mixture,
+        resample_sqrt_mixture_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = resample_sqrt_mixture(docs, "source", "doc_id")
+    cols = ", ".join(f"t.{c}" for c in docs.columns)
+    assert_matches_oracle(
+        got,
+        duck,
+        resample_sqrt_mixture_sql(
+            "documents", "source", "doc_id", cols=cols
+        ),
+    )
+
+
+def test_sqrt_mixture_flattens_skew_without_upsampling(spark):
+    from umls2rdf_spark.operators.selection import (
+        resample_sqrt_mixture,
+    )
+
+    # 1600 'big' rows vs 100 'small': sqrt parts 40:10 -> the kept
+    # corpus targets 4:1 where the input was 16:1
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = resample_sqrt_mixture(df, "source", "doc_id").groupBy(
+        "source"
+    ).count()
+    got = {r.source: r["count"] for r in kept.collect()}
+    assert got["small"] <= 100  # never upsampled
+    # binding domain kept (almost) fully, ratio ~4:1 (hash noise)
+    assert got["small"] >= 90
+    assert 3.0 <= got["big"] / got["small"] <= 5.0
+
+
+def test_temperature_parts_limits_and_monotonicity(spark):
+    from umls2rdf_spark.operators.selection import temperature_parts
+
+    rows = [(i, "a") for i in range(1000)] + [
+        (2000 + i, "b") for i in range(250)
+    ] + [(4000, "c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # tau=1: proportional (up to rounding); tau=0: uniform
+    p1 = temperature_parts(df, "source", tau=1.0)
+    assert abs(p1["a"] - 4 * p1["b"]) <= 4  # proportional ± rounding
+    p0 = temperature_parts(df, "source", tau=0.0)
+    assert len(set(p0.values())) == 1
+    # tau=0.5 sits between: spread strictly shrinks vs tau=1
+    ph = temperature_parts(df, "source", tau=0.5)
+    assert p1["a"] / p1["c"] > ph["a"] / ph["c"] > 1
+    # bigger domain never gets smaller parts; tiny domain never 0
+    assert ph["a"] >= ph["b"] >= ph["c"] >= 1
+    with pytest.raises(ValueError):
+        temperature_parts(df, "source", tau=-0.1)
+
+
+def test_temperature_parts_feed_resample_mixture_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.selection import (
+        resample_mixture,
+        resample_mixture_sql,
+        temperature_parts,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    parts = temperature_parts(docs, "source", tau=0.7)
+    got = resample_mixture(docs, "source", "doc_id", parts)
+    cols = ", ".join(f"t.{c}" for c in docs.columns)
+    assert_matches_oracle(
+        got,
+        duck,
+        resample_mixture_sql(
+            "documents", "source", "doc_id", parts, cols=cols
+        ),
+    )

@@ -258,6 +258,168 @@ WHERE ({h}) % {precision} < r.thresh
 """
 
 
+def temperature_parts(
+    df: DataFrame,
+    domain_col: str,
+    tau: float,
+    scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Temperature-scaled mixture weights from observed domain
+    sizes: parts_d ∝ n_d^tau (the mT5 §3.3 / XLM-R multi-source
+    sampling recipe — tau < 1 flattens toward uniform so low-resource
+    domains are not drowned; tau = 1 keeps natural proportions;
+    tau = 0 is uniform).
+
+    Driver-side by design: the collect is bounded by the number of
+    DOMAINS (the same bounded-distinct-value argument as
+    bigram_surprisal's weight dims), and the float ``n^tau`` is
+    evaluated ONCE here — the resulting integer parts are inlined
+    identically into the Spark plan and the SQL oracle, so engine
+    libm differences cannot split the engines. Every nonempty domain
+    gets >= 1 part (quantization can't silently drop a domain).
+
+    Feed the result to :func:`resample_mixture` /
+    :func:`resample_mixture_sql` (see :func:`resample_temperature`).
+    """
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    powed = {d: float(n) ** tau for d, n in counts.items() if n > 0}
+    tot = sum(powed.values())
+    return {
+        d: max(1, int(round(p * scale / tot)))
+        for d, p in sorted(powed.items())
+    }
+
+
+def resample_temperature(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    tau: float,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-resampled source mixing: derive the parts with
+    :func:`temperature_parts`, then the engine-exact hash-threshold
+    resample of :func:`resample_mixture` (no upsampling; scarcest
+    post-temperature domain kept almost fully)."""
+    parts = temperature_parts(df, domain_col, tau)
+    return resample_mixture(
+        df, domain_col, id_col, parts, precision=precision
+    )
+
+
+#: quantization for the in-plan sqrt(n) parts — int64-exact because
+#: IEEE sqrt is CORRECTLY ROUNDED in both engines (unlike ln/exp/
+#: pow, which is why general tau stays driver-side above).
+SQRT_PARTS_SCALE = 1 << 20
+
+
+def resample_sqrt_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """The tau = 0.5 temperature mix ENTIRELY in-plan — no driver
+    collect: parts_d = floor(sqrt(n_d)·2^20) (sqrt is the one
+    transcendental-ish primitive IEEE requires correctly rounded, so
+    quantizing it yields identical int64 parts on any engine), then
+    the same no-upsampling feasibility/threshold machinery as
+    :func:`resample_mixture` with the parts TOTAL joined in as a
+    1-row broadcast instead of a literal. Domain-count skew flattens
+    as sqrt — the multilingual/multi-source sampling default when no
+    hand-tuned weights exist.
+
+    All sizing stays DECIMAL(38,0) integral division (parts < 2^40,
+    cnt·P < 10^38 for any realistic corpus); membership is the
+    shared stable-hash threshold, so re-runs and incremental
+    rebuilds keep identical subsets.
+    """
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt"))
+        .withColumn(
+            "__parts",
+            F.expr(
+                "CAST(floor(sqrt(CAST(__cnt AS DOUBLE)) "
+                f"* {SQRT_PARTS_SCALE}) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    ptot = counts.agg(
+        F.sum("__parts").cast("decimal(38,0)").alias("__P")
+    )
+    feas = (
+        counts.crossJoin(F.broadcast(ptot))
+        .where(F.col("__parts") > 0)
+        .agg(F.min(F.expr("__cnt * __P div __parts")).alias("__T"))
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(feas))
+        .withColumn(
+            "__thresh",
+            F.expr(
+                f"CAST(__parts * __T * {precision} "
+                "div (__P * __cnt) AS BIGINT)"
+            ),
+        )
+        .select(domain_col, "__thresh")
+    )
+    bucket = F.pmod(
+        stable_hash40(F.col(id_col).cast("string")), F.lit(precision)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("__thresh"))
+        .select(*df.columns)
+    )
+
+
+def resample_sqrt_mixture_sql(
+    table: str,
+    domain_col: str,
+    id_col: str,
+    precision: int = 1_000_000,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`resample_sqrt_mixture` — HUGEINT
+    integral division, the same quantized-sqrt parts."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    h = stable_hash40_sql(f"CAST(t.{id_col} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS dom,
+         CAST(COUNT(*) AS HUGEINT) AS cnt,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))
+              * {SQRT_PARTS_SCALE}) AS HUGEINT) AS parts
+  FROM {table}
+  GROUP BY {domain_col}
+),
+ptot AS (SELECT SUM(parts) AS P FROM counts),
+feas AS (
+  SELECT MIN(cnt * P // parts) AS T
+  FROM counts CROSS JOIN ptot WHERE parts > 0
+),
+rates AS (
+  SELECT dom,
+         CAST(parts * T * {precision}
+              // (P * cnt) AS BIGINT) AS thresh
+  FROM counts CROSS JOIN ptot CROSS JOIN feas
+)
+SELECT {cols} FROM {table} t
+JOIN rates r ON r.dom = t.{domain_col}
+WHERE ({h}) % {precision} < r.thresh
+"""
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str,

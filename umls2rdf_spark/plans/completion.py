@@ -504,7 +504,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``hll_registers`` / ``hll_estimate`` — explicit HyperLogLog:
       m=2^b max-rho registers (mergeable by register-wise MAX) and
       the raw-alpha estimate, every term IEEE-exact in both engines
-      (C47, round 6; operators/sketch.py).
+      (C47, round 6; operators/sketch.py),
+
+    - ``temp_mixture`` — temperature-scaled (tau = 0.5) source
+      mixing entirely in-plan: parts = floor(sqrt(n_d)·2^20) (IEEE
+      sqrt is correctly rounded in both engines, so the quantized
+      parts are engine-exact with NO driver collect), then the
+      no-upsampling threshold machinery of resample_mixture (C48,
+      round 6; operators/selection.py resample_sqrt_mixture).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -523,6 +530,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle,
         resample_mixture,
+        resample_sqrt_mixture,
         select_to_token_budget,
     )
     from umls2rdf_spark.operators.similarity import (
@@ -881,6 +889,15 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b=_HLL_B,
             ),
             "hll_estimate",
+        ),
+        # SURVEY C48 (round 6): tau=0.5 temperature mixing with the
+        # parts derived IN-PLAN from quantized sqrt(domain count) —
+        # the hand-weight-free multi-source sampling default
+        fingerprint_section(
+            resample_sqrt_mixture(
+                docs, "source", "doc_id", precision=_MIX_PRECISION
+            ),
+            "temp_mixture",
         ),
     ]
     return _union(sections)
@@ -1538,6 +1555,7 @@ def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
         resample_mixture_sql,
+        resample_sqrt_mixture_sql,
         select_to_token_budget_sql,
     )
     from umls2rdf_spark.plans.llm_demos import (
@@ -1757,6 +1775,15 @@ def _text_scoring_sql() -> str:
             "hll_estimate",
             _hll_estimate_sql(),
             ["m", "n_zero", "est_floor"],
+        ),
+        fingerprint_sql(
+            "temp_mixture",
+            resample_sqrt_mixture_sql(
+                "documents", "source", "doc_id",
+                precision=_MIX_PRECISION,
+                cols=", ".join(f"t.{c}" for c in _DOC_COLS),
+            ),
+            _DOC_COLS,
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
