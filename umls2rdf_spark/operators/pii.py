@@ -2,7 +2,15 @@
 phone numbers from a text corpus and count what was removed — the
 standard pre-release step every published training-data pipeline runs
 (BigScience/ROOTS and StarCoder both ship exactly this email/IP/id
-regex pass) and the one corpus-prep stage the engine lacked.
+regex pass).
+
+Relation to ``textstats.scrub_text`` (C15): that is the lightweight
+in-pipeline noise scrub (email/URL/phone to placeholders, no
+accounting) used inside corpus_prep and the streaming intake; THIS
+operator is the auditable release-gate form — per-document removal
+counts per category, order-analyzed patterns (no cross-category
+double-redaction), idempotence pinned, and an oracle generated from
+the same constants so the redacted bytes are value-verified.
 
 Spark-first shape: the whole scrub is ONE select of chained
 ``regexp_count`` / ``regexp_replace`` Column expressions — JVM-side,

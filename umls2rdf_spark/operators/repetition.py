@@ -5,6 +5,13 @@ keyword-stuffed / template / spun pages that per-CORPUS dedup and the
 composite quality gate (textstats.gopher_quality) don't see, because
 the repetition is inside one row.
 
+Relation to ``textstats.repetition_ratio`` (C16): that emits the
+single duplicate-n-gram RATIO (distinct vs total via
+``array_distinct``); this operator needs per-group SIZES (which
+n-gram dominates, how many tokens sit in repeated groups) that
+``array_distinct`` cannot expose — hence the sorted-run-length
+construction below, same zero-shuffle class, strictly more signal.
+
 Spark-first shape — and the reason this module exists as its own
 operator: within-doc statistics need NO shuffle. Instead of the
 explode → groupBy(doc, ngram) → window chain (which ships every
