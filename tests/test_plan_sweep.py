@@ -102,15 +102,15 @@ FULL_SCAN_OK = {
     # corpus side and the broadcast bench side each read the table
     # once (the mod-23 split predicates are not parquet-pushable,
     # like incremental_dedupe's shard split).
-    # round 6 sections 32-38 add semantically-full-table corpus
+    # round 6 sections 32-39 add semantically-full-table corpus
     # reads (PII scrub and doc_repetition map every row; the CMS
-    # matrix/estimates and HLL registers/estimate each stream the
-    # token occurrences — sketching exists precisely to make the
-    # full pass cheap; temp_mixture's domain-count agg and keep-join
-    # sides both read the corpus): observed 34 documents scans at
-    # the 38-section surface (plan-level subtree sharing keeps it
-    # below the naive sum).
-    "text_scoring": {"documents.parquet": 34, "embeddings.parquet": 4},
+    # matrix/estimates, HLL registers/estimate and hashed_embedding
+    # each stream the token occurrences — sketching exists precisely
+    # to make the full pass cheap; temp_mixture's domain-count agg
+    # and keep-join sides both read the corpus): observed 35
+    # documents scans at the 39-section surface (plan-level subtree
+    # sharing keeps it below the naive sum).
+    "text_scoring": {"documents.parquet": 35, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

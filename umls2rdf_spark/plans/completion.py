@@ -511,7 +511,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       sqrt is correctly rounded in both engines, so the quantized
       parts are engine-exact with NO driver collect), then the
       no-upsampling threshold machinery of resample_mixture (C48,
-      round 6; operators/selection.py resample_sqrt_mixture).
+      round 6; operators/selection.py resample_sqrt_mixture),
+
+    - ``hashed_embedding`` — feature-hashing text embeddings: the
+      signed-md5 projection (token|dim → ±1, summed per doc) that
+      lets every embedding consumer (C2b/C5/C30/C43) run end-to-end
+      from raw text; integer-exact long form gated (C49, round 6;
+      operators/embed.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -541,6 +547,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.bpe import train_bpe
     from umls2rdf_spark.operators.htmlextract import html_stats
+    from umls2rdf_spark.operators.embed import hashed_embedding
     from umls2rdf_spark.operators.pii import pii_scrub
     from umls2rdf_spark.operators.repetition import doc_repetition
     from umls2rdf_spark.operators.sketch import (
@@ -899,6 +906,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "temp_mixture",
         ),
+        # SURVEY C49 (round 6): feature-hashing embeddings — the
+        # integer-exact long form (doc, dim, value); the array form
+        # feeds the similarity family end-to-end in tests
+        fingerprint_section(
+            hashed_embedding(
+                _token_occ_id_frame(docs), "doc_id", "token",
+                dim=_EMB_DIM,
+            ),
+            "hashed_embedding",
+        ),
     ]
     return _union(sections)
 
@@ -925,6 +942,21 @@ _OCC_SQL = (
 
 def _token_occ_frame(docs: DataFrame) -> DataFrame:
     return docs.select(F.explode(F.expr(_TOK_ARR)).alias("token"))
+
+
+# C49: the id-carrying occurrence stream + embedding dim
+_EMB_DIM = 16
+_OCC_ID_SQL = (
+    "SELECT doc_id, u.t AS token FROM documents, "
+    "UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t) "
+    "WHERE u.t <> ''"
+)
+
+
+def _token_occ_id_frame(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.expr(_TOK_ARR)).alias("token")
+    )
 
 
 def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
@@ -1785,6 +1817,11 @@ def _text_scoring_sql() -> str:
             ),
             _DOC_COLS,
         ),
+        fingerprint_sql(
+            "hashed_embedding",
+            _hashed_embedding_sql(),
+            ["doc_id", "j", "v"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -1904,6 +1941,14 @@ def _hll_estimate_sql() -> str:
 
     return hll_estimate_sql(
         hll_registers_sql(_OCC_SQL, "token", b=_HLL_B), b=_HLL_B
+    )
+
+
+def _hashed_embedding_sql() -> str:
+    from umls2rdf_spark.operators.embed import hashed_embedding_sql
+
+    return hashed_embedding_sql(
+        _OCC_ID_SQL, "doc_id", "token", dim=_EMB_DIM
     )
 
 
