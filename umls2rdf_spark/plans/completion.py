@@ -517,7 +517,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       signed-md5 projection (token|dim → ±1, summed per doc) that
       lets every embedding consumer (C2b/C5/C30/C43) run end-to-end
       from raw text; integer-exact long form gated (C49, round 6;
-      operators/embed.py).
+      operators/embed.py),
+
+    - ``pipeline_funnel`` — D9's Observation-API core under the
+      value gate: a 3-stage filter funnel instrumented with
+      df.observe() points, ONE action populates every stage count
+      (zero extra scans), and the observed values — not recomputed
+      aggregates — are what the oracle's cumulative-filter COUNTs
+      must match (round 6; operators/metrics.py funnel).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -916,6 +923,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "hashed_embedding",
         ),
+        # SURVEY D9's computational core under the driver gate
+        # (round 6): the observed per-stage survivor counts of a
+        # deterministic curation funnel — the values READ FROM the
+        # Observation accumulators (one action, zero extra scans),
+        # oracle = the same cumulative filters as SQL COUNTs
+        fingerprint_section(
+            _funnel_frame(spark, docs), "pipeline_funnel"
+        ),
     ]
     return _union(sections)
 
@@ -957,6 +972,51 @@ def _token_occ_id_frame(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.expr(_TOK_ARR)).alias("token")
     )
+
+
+# D9 (round 6): the funnel's stages — deterministic filters both
+# engines express identically; cumulative by construction.
+_FUNNEL_STAGES = (
+    ("chars", "n_chars >= 200"),
+    ("lang", "lang IN ('en', 'de')"),
+    ("mod", "doc_id % 3 != 0"),
+)
+
+
+def _funnel_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Run the instrumented funnel ONCE (a single count action
+    populates every Observation) and return the observed stage
+    counts as a bounded frame — |stages|+1 rows of driver data, the
+    same bounded-collect class as bigram_surprisal's weight dims."""
+    from umls2rdf_spark.operators.metrics import funnel
+
+    staged, obs = funnel(
+        docs,
+        [
+            (name, lambda d, p=pred: d.where(F.expr(p)))
+            for name, pred in _FUNNEL_STAGES
+        ],
+    )
+    staged.count()  # the one action; every observation point fills
+    rows = [
+        (name, int(o.get["n_rows"])) for name, o in obs.items()
+    ]
+    return spark.createDataFrame(rows, "stage string, n_rows bigint")
+
+
+def _funnel_sql() -> str:
+    preds: list[str] = []
+    pieces = [
+        "SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM documents"
+    ]
+    for name, pred in _FUNNEL_STAGES:
+        preds.append(f"({pred.replace('!=', '<>')})")
+        pieces.append(
+            f"SELECT '{name}', CAST(COUNT(*) AS BIGINT) "
+            f"FROM documents WHERE {' AND '.join(preds)}"
+        )
+    return " UNION ALL ".join(pieces)
 
 
 def _ingest_quarantine_frame(docs: DataFrame) -> DataFrame:
@@ -1821,6 +1881,11 @@ def _text_scoring_sql() -> str:
             "hashed_embedding",
             _hashed_embedding_sql(),
             ["doc_id", "j", "v"],
+        ),
+        fingerprint_sql(
+            "pipeline_funnel",
+            _funnel_sql(),
+            ["stage", "n_rows"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
