@@ -168,3 +168,64 @@ def test_doc_repetition_plan_has_zero_exchange(spark):
     assert "Exchange" not in plan
     # and it prunes to exactly the two columns it needs
     assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+# ── C50: fused per-source quality report ─────────────────────────────
+def test_quality_report_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.reporting import (
+        quality_report,
+        quality_report_sql,
+    )
+    from umls2rdf_spark.plans.completion import (
+        _PII_PAGES_SQL,
+        _pii_pages_frame,
+    )
+
+    got = quality_report(
+        _pii_pages_frame(load_table(spark, SF_ORACLE, "documents")),
+        "doc_id", "text", "source",
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        quality_report_sql(_PII_PAGES_SQL, "doc_id", "text", "source"),
+    )
+
+
+def test_quality_report_is_single_scan(spark):
+    from umls2rdf_spark.operators.reporting import quality_report
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _plan(spark, quality_report(docs, "doc_id", "text", "source"))
+    # the fusion claim: ONE parquet scan feeds both signal families
+    # (formatted mode prints each node twice: tree + detail)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_quality_report_agrees_with_per_doc_operators(spark):
+    from umls2rdf_spark.operators.reporting import quality_report
+
+    rows = [
+        (0, "a", "x y z mail bob@ex.org"),
+        (1, "a", "w w w w"),
+        (2, "b", "!!!"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    rep = {
+        r.source: r
+        for r in quality_report(df, "doc_id", "text", "source").collect()
+    }
+    a, b = rep["a"], rep["b"]
+    assert (a.n_docs, a.pii_docs, a.sum_pii) == (2, 1, 1)
+    # doc 1 is "w w w w": top bigram "w w" 3/3 -> 1e6 ppm, fails;
+    # doc 0 tokenizes to 7 tokens (the email splits to bob ex org)
+    # -> 6 unique bigrams -> 166666 ppm -> passes the 0.18 gate
+    assert a.bigram_docs == 2
+    assert a.avg_top_bigram_ppm == (166666 + 1000000) // 2
+    assert a.rep_pass_docs == 1
+    # source b: no tokens at all -> no bigram docs, NULL average
+    assert (b.n_docs, b.bigram_docs, b.avg_top_bigram_ppm) == (
+        1, 0, None,
+    )

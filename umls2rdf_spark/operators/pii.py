@@ -59,6 +59,21 @@ PII_STAGES: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def pii_count_columns(text_col: str) -> tuple[list[Column], Column]:
+    """(count columns, scrubbed-text column) — the expr-level form so
+    other single-scan selects (operators/reporting.py) can fuse the
+    PII pass with their own columns. Counts are SEQUENTIAL (each
+    stage counts on the text after earlier stages replaced)."""
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_STAGES:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return counts, cur
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str,
@@ -67,13 +82,7 @@ def pii_scrub(
 ) -> DataFrame:
     """(id, clean, n_email, n_ipv4, n_ssn, n_phone) — redacted text
     plus per-document removal counts, in one zero-shuffle select."""
-    cur: Column = F.col(text_col)
-    counts = []
-    for name, pat, rep in PII_STAGES:
-        counts.append(
-            F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, pat, rep)
+    counts, cur = pii_count_columns(text_col)
     return df.select(F.col(id_col), cur.alias(out_col), *counts)
 
 

@@ -76,6 +76,14 @@ def _runs_expr(v: str) -> str:
     )
 
 
+def repetition_struct_expr(text_col: str) -> str:
+    """Public expr-level form (returns the SQL expression string for
+    the full signal struct) so single-scan selects elsewhere
+    (operators/reporting.py) can fuse the repetition pass with their
+    own columns."""
+    return _struct_expr(text_col)
+
+
 def _struct_expr(text_col: str) -> str:
     toks = (
         f"filter(split(lower({text_col}), '{TOKEN_SPLIT}'), "

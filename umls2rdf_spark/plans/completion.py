@@ -524,7 +524,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       df.observe() points, ONE action populates every stage count
       (zero extra scans), and the observed values — not recomputed
       aggregates — are what the oracle's cumulative-filter COUNTs
-      must match (round 6; operators/metrics.py funnel).
+      must match (round 6; operators/metrics.py funnel),
+
+    - ``quality_report`` — per-source dataset-card statistics with
+      the PII and repetition families FUSED into one corpus scan
+      via their expr-level builders + one map-side-combined
+      |sources|-group aggregation (C50, round 6;
+      operators/reporting.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -557,6 +563,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.embed import hashed_embedding
     from umls2rdf_spark.operators.pii import pii_scrub
     from umls2rdf_spark.operators.repetition import doc_repetition
+    from umls2rdf_spark.operators.reporting import quality_report
     from umls2rdf_spark.operators.sketch import (
         cms_estimates,
         cms_sketch,
@@ -930,6 +937,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle = the same cumulative filters as SQL COUNTs
         fingerprint_section(
             _funnel_frame(spark, docs), "pipeline_funnel"
+        ),
+        # SURVEY C50 (round 6): per-source dataset-card report —
+        # the PII and repetition signal families FUSED into one
+        # corpus scan (expr-level builders) + one |sources|-group
+        # map-side-combined aggregation
+        fingerprint_section(
+            quality_report(
+                _pii_pages_frame(docs), "doc_id", "text", "source"
+            ),
+            "quality_report",
         ),
     ]
     return _union(sections)
@@ -1887,6 +1904,12 @@ def _text_scoring_sql() -> str:
             _funnel_sql(),
             ["stage", "n_rows"],
         ),
+        fingerprint_sql(
+            "quality_report",
+            _quality_report_sql(),
+            ["source", "n_docs", "pii_docs", "sum_pii",
+             "rep_pass_docs", "bigram_docs", "avg_top_bigram_ppm"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -1952,11 +1975,13 @@ def _pii_pages_frame(docs: DataFrame) -> DataFrame:
             F.lpad((did % 10000).cast("string"), 4, "0"),
         ),
     )
-    return docs.select("doc_id", seeded.alias("text"))
+    # source rides along for the per-source report (C50); the PII
+    # section's own select ignores it
+    return docs.select("doc_id", "source", seeded.alias("text"))
 
 
 _PII_PAGES_SQL = (
-    "SELECT doc_id, text "
+    "SELECT doc_id, source, text "
     "|| CASE WHEN doc_id % 2 = 0 THEN ' mail user' "
     "|| CAST(doc_id AS VARCHAR) || '@ex' "
     "|| CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END "
@@ -2022,6 +2047,14 @@ def _doc_repetition_sql() -> str:
 
     return doc_repetition_sql(
         "SELECT doc_id, text FROM documents", "doc_id", "text"
+    )
+
+
+def _quality_report_sql() -> str:
+    from umls2rdf_spark.operators.reporting import quality_report_sql
+
+    return quality_report_sql(
+        _PII_PAGES_SQL, "doc_id", "text", "source"
     )
 
 
