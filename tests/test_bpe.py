@@ -192,3 +192,47 @@ def test_one_run_feeds_both_artifacts(spark):
     )
     assert total_sub == ref_sub
     assert total_sub < total_bytes  # merges actually compressed
+
+
+def test_bpe_doc_tokens_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.bpe import (
+        bpe_doc_tokens,
+        bpe_doc_tokens_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        bpe_doc_tokens(docs, "doc_id", "text", rounds=4),
+        duck,
+        bpe_doc_tokens_sql(
+            "SELECT * FROM documents", "doc_id", "text", rounds=4
+        ),
+    )
+
+
+def test_bpe_doc_tokens_conserves_vocab_totals(spark):
+    # sum over docs of n_bpe_tokens == sum over vocab of
+    # freq * n_subwords (every word occurrence accounted once)
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.bpe import bpe_doc_tokens, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], ["doc_id", "text"]
+    )
+    _, vocab = train_bpe(df, "text", rounds=3)
+    per_doc = bpe_doc_tokens(df, "doc_id", "text", vocab=vocab)
+    doc_total = per_doc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    vocab_total = vocab.select(
+        F.sum(
+            F.col("freq") * F.size(F.split("seg", " "))
+        ).alias("t")
+    ).collect()[0][0]
+    assert doc_total == vocab_total
+    # and n_words matches the plain whitespace count per doc
+    words = {
+        r.doc_id: r.n_words for r in per_doc.collect()
+    }
+    for i, t in enumerate(_CORPUS):
+        assert words[i] == len(t.split())

@@ -108,10 +108,11 @@ FULL_SCAN_OK = {
     # each stream the token occurrences — sketching exists precisely
     # to make the full pass cheap; temp_mixture's domain-count agg
     # and keep-join sides both read the corpus; quality_report is
-    # ONE fused scan for two signal families): observed 36
-    # documents scans at the 41-section surface (plan-level subtree
-    # sharing keeps it below the naive sum).
-    "text_scoring": {"documents.parquet": 36, "embeddings.parquet": 4},
+    # ONE fused scan for two signal families; bpe_doc_tokens adds
+    # the word-occurrence explode joined to the broadcast vocab):
+    # observed 37 documents scans at the 42-section surface
+    # (plan-level subtree sharing keeps it below the naive sum).
+    "text_scoring": {"documents.parquet": 37, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

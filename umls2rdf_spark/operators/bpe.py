@@ -202,6 +202,78 @@ def train_bpe(
     )
 
 
+def bpe_doc_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    rounds: int = 4,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-DOCUMENT token counts under the trained tokenizer:
+    (id, n_words, n_bpe_tokens) — the number every packing /
+    token-budget / epoch-sizing decision actually consumes (C9's
+    token_count is the whitespace proxy; this is the real
+    tokenizer's count). One word-occurrence explode joined against
+    the vocab-bounded segmentation (broadcast — the vocab frame is
+    the MODEL side, megabytes at web scale by Heaps' law), then a
+    map-side-combined per-doc sum.
+
+    Pass ``vocab`` to reuse an existing :func:`train_bpe` run (the
+    composed demo does — training executes once). Words absent from
+    the vocab are dropped by the inner join; when scoring a corpus
+    the tokenizer was NOT trained on, segment the new corpus's
+    words with :func:`segment_words` (merge rules apply to any
+    word) and pass that as ``vocab``.
+    """
+    if vocab is None:
+        _, vocab = train_bpe(df, text_col, rounds)
+    nsub = vocab.select(
+        "word", F.size(F.split("seg", " ")).cast("bigint").alias("__ns")
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    occ = df.select(F.col(id_col), F.explode(toks).alias("word"))
+    return (
+        occ.join(F.broadcast(nsub), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__ns").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_doc_tokens_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bpe_doc_tokens` — the shared training
+    CTE chain's final vocab joined to the same word-occurrence
+    unnest."""
+    ctes = _round_ctes(docs_sql, text_col, rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+__occ AS (
+  SELECT {id_col}, u.w AS word
+  FROM ({docs_sql}) AS __docs,
+       UNNEST(list_filter(regexp_split_to_array({text_col}, '\\s+'),
+              t -> t <> '')) AS u(w)),
+__ns AS (
+  SELECT word,
+         CAST(len(string_split(seg, ' ')) AS BIGINT) AS ns
+  FROM __v{rounds})
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(ns) AS BIGINT) AS n_bpe_tokens
+FROM __occ JOIN __ns USING (word)
+GROUP BY {id_col}"""
+    )
+
+
 def segment_words(
     df: DataFrame,
     merges: DataFrame,

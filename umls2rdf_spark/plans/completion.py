@@ -530,7 +530,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       the PII and repetition families FUSED into one corpus scan
       via their expr-level builders + one map-side-combined
       |sources|-group aggregation (C50, round 6;
-      operators/reporting.py).
+      operators/reporting.py),
+
+    - ``bpe_doc_tokens`` — per-document token counts under the
+      SAME trained BPE tokenizer (one word explode joined to the
+      broadcast vocab segmentation): the number packing/budgeting
+      actually consumes, closing C42's train→apply loop at document
+      granularity (C51, round 6; operators/bpe.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -558,7 +564,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_topk_lsh,
         semantic_dedup,
     )
-    from umls2rdf_spark.operators.bpe import train_bpe
+    from umls2rdf_spark.operators.bpe import bpe_doc_tokens, train_bpe
     from umls2rdf_spark.operators.htmlextract import html_stats
     from umls2rdf_spark.operators.embed import hashed_embedding
     from umls2rdf_spark.operators.pii import pii_scrub
@@ -947,6 +953,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _pii_pages_frame(docs), "doc_id", "text", "source"
             ),
             "quality_report",
+        ),
+        # SURVEY C51 (round 6): per-doc token counts under the SAME
+        # trained tokenizer (vocab reused — training ran once above)
+        fingerprint_section(
+            bpe_doc_tokens(docs, "doc_id", "text", vocab=bpe_vocab),
+            "bpe_doc_tokens",
         ),
     ]
     return _union(sections)
@@ -1910,6 +1922,11 @@ def _text_scoring_sql() -> str:
             ["source", "n_docs", "pii_docs", "sum_pii",
              "rep_pass_docs", "bigram_docs", "avg_top_bigram_ppm"],
         ),
+        fingerprint_sql(
+            "bpe_doc_tokens",
+            _bpe_doc_tokens_sql(),
+            ["doc_id", "n_words", "n_bpe_tokens"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -1929,6 +1946,15 @@ def _embedding_decontam_sql() -> str:
 
     return decontaminate_embeddings_sql(
         "vec_id % 23 <> 0", "vec_id % 23 = 0", _DECON_MIN_COS
+    )
+
+
+def _bpe_doc_tokens_sql() -> str:
+    from umls2rdf_spark.operators.bpe import bpe_doc_tokens_sql
+
+    return bpe_doc_tokens_sql(
+        "SELECT * FROM documents", "doc_id", "text",
+        rounds=_BPE_ROUNDS,
     )
 
 
