@@ -111,8 +111,10 @@ FULL_SCAN_OK = {
     # ONE fused scan for two signal families; bpe_doc_tokens adds
     # the word-occurrence explode joined to the broadcast vocab):
     # observed 37 documents scans at the 42-section surface
-    # (plan-level subtree sharing keeps it below the naive sum).
-    "text_scoring": {"documents.parquet": 37, "embeddings.parquet": 4},
+    # (plan-level subtree sharing keeps it below the naive sum);
+    # kn_surprisal (section 43) adds its one occurrence-stream scan
+    # behind the persist → 38.
+    "text_scoring": {"documents.parquet": 38, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a
@@ -121,7 +123,7 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 9,      # tfidf/bm25 1-row totals, mixture's
+    "text_scoring": 10,     # tfidf/bm25 1-row totals, mixture's
                             # 1-row feasibility-min, the classifier's
                             # 1-row class-totals attach,
                             # hard_negatives' broadcast(query set) x
@@ -133,7 +135,10 @@ ALLOWED_BNLJ = {
                             # temp_mixture's three 1-row attaches
                             # (parts-total x2 + feasibility-min,
                             # each a global scalar against the
-                            # |domains|-row counts frame, round 6)
+                            # |domains|-row counts frame, round 6),
+                            # and kn_surprisal's 1-row B (total
+                            # bigram types) attach to the
+                            # vocabulary-scale type frame (round 6)
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

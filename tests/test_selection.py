@@ -842,3 +842,131 @@ def test_temperature_parts_feed_resample_mixture_oracle(spark, duck):
             "documents", "source", "doc_id", parts, cols=cols
         ),
     )
+
+
+# ── Kneser-Ney smoothed bigram scoring (C52) ────────────────────────
+def _kn_replica(rows, d4=3, qbits=20):
+    """Plain-Python replica of the kn_surprisal quantization chain."""
+    import math
+    import re
+    from collections import Counter
+
+    occ = []
+    for did, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        occ += [(did, a, b) for a, b in zip(toks, toks[1:])]
+    big = Counter((a, b) for _, a, b in occ)
+    cc: Counter = Counter()
+    n1: Counter = Counter()
+    n2: Counter = Counter()
+    for (a, b), c in big.items():
+        cc[a] += c
+        n1[a] += 1
+        n2[b] += 1
+    B = len(big)
+    scale = 1 << qbits
+    wq = {}
+    for (a, b), c in big.items():
+        num = float(B) * float(4 * c - d4) + float(d4 * n1[a]) * float(n2[b])
+        den = float(cc[a]) * float(4 * B)
+        wq[(a, b)] = int(round((math.log2(den) - math.log2(num)) * scale))
+    out: dict = {}
+    for did, a, b in occ:
+        n, s = out.get(did, (0, 0))
+        out[did] = (n + 1, s + wq[(a, b)])
+    return out
+
+
+def test_kn_surprisal_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.textstats import (
+        kn_surprisal,
+        kn_surprisal_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.kn_q)
+        for r in kn_surprisal(docs, "doc_id", "text").collect()
+    )
+    exp = sorted(
+        (r[0], r[1], r[2])
+        for r in duck.execute(kn_surprisal_sql()).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_kn_surprisal_matches_python_replica(spark):
+    from umls2rdf_spark.operators.textstats import kn_surprisal
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sleeps under the warm sun"),
+        (3, "a rare unique phrase appears exactly once here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "numbers 123 and words mix 456 freely 789 yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_q)
+        for r in kn_surprisal(df, "doc_id", "text").collect()
+    }
+    assert got == _kn_replica(rows)
+
+
+def test_kn_smooths_deterministic_contexts(spark):
+    """MLE bigram surprisal gives ZERO bits to a context with a
+    single continuation (p=1); KN discounts it — the mass leak that
+    stops boilerplate's fixed rare phrases from scoring as free."""
+    from umls2rdf_spark.operators.textstats import (
+        bigram_surprisal,
+        kn_surprisal,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(5)] + [
+        (100, "alpha beta epsilon zeta")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mle = {r.doc_id: r.surprisal_q
+           for r in bigram_surprisal(df, "doc_id", "text").collect()}
+    kn = {r.doc_id: r.kn_q
+          for r in kn_surprisal(df, "doc_id", "text").collect()}
+    # "gamma delta" / "beta gamma" are deterministic continuations:
+    # MLE charges nothing for them; KN charges a positive discount
+    assert kn[0] > mle[0] >= 0
+    # and the smoothed score still ranks the divergent doc higher
+    assert kn[100] > kn[0]
+
+
+def test_kn_probability_mass_bounded():
+    """Per context, the smoothed probabilities of OBSERVED
+    continuations sum to <= 1 (the discount leaks mass to unseen
+    ones) — the property that makes it a valid LM score."""
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sleeps under the warm sun"),
+        (3, "the dog and the cat share the brown rug"),
+    ]
+    occ = []
+    for _, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        occ += list(zip(toks, toks[1:]))
+    big = Counter(occ)
+    cc: Counter = Counter()
+    n1: Counter = Counter()
+    n2: Counter = Counter()
+    for (a, b), c in big.items():
+        cc[a] += c
+        n1[a] += 1
+        n2[b] += 1
+    B = len(big)
+    for ctx in cc:
+        total = sum(
+            (B * (4 * c - 3) + 3 * n1[a] * n2[b]) / (4 * B * cc[a])
+            for (a, b), c in big.items()
+            if a == ctx
+        )
+        assert total <= 1.0 + 1e-12

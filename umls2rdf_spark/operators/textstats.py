@@ -740,6 +740,168 @@ def bigram_surprisal(
     )
 
 
+def kn_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount4: int = 3,
+    quant_bits: int = 20,
+    cache=None,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM trained on the corpus itself — the smoothed form of
+    :func:`bigram_surprisal` and the shape of the CCNet-style
+    perplexity filter (Wenzek et al. 2020 filter web text by LM
+    perplexity; KN is the standard n-gram smoothing, Kneser & Ney
+    1995). Raw-MLE bigram surprisal over-rewards any bigram the
+    corpus has seen even once; KN shrinks rare continuations toward
+    their CONTEXT-INDEPENDENT continuation probability (how many
+    distinct contexts a word follows), so boilerplate that repeats a
+    rare-but-fixed phrase no longer scores as "predictable" for free.
+
+    For an observed bigram (c = c(v,w) >= 1) with discount
+    d = discount4/4 (default 3/4, the textbook value):
+
+        p_kn(w|v) = (c - d)/c(v) + d * N1+(v.)/c(v) * N1+(.w)/B
+
+    where N1+(v.) = distinct continuations of context v, N1+(.w) =
+    distinct contexts w follows, B = total distinct bigram types.
+    Multiplying through by 4B makes every term an exact integer:
+
+        p_kn = (B*(4c - d4) + d4*N1+(v.)*N1+(.w)) / (4B * c(v))
+
+    Engine-exactness: numerator and denominator are built from int64
+    factors cast to double BEFORE each multiply (one correctly-
+    rounded IEEE op per node, same expression tree in the DuckDB
+    twin — the :func:`token_log_odds` stance), the per-type weight is
+    round((log2(den) - log2(num)) * 2^quant_bits) as int64, and the
+    per-document sum is pure int64 — order-independent on any
+    engine. Unlike the raw-count ops the weight dim here is keyed by
+    the (c, N1+, N1+) TRIPLE, so it is computed distributed on the
+    bigram-type frame (vocabulary-scale, never collected) rather
+    than via the driver-side distinct-count broadcast.
+
+    Scale shape: ONE corpus scan+tokenize into the persisted
+    occurrence stream (shared-cache discipline of
+    :func:`bigram_surprisal`); bigram types via one map-side-combined
+    groupBy; context/continuation stats are groupBys OVER THE TYPE
+    FRAME (vocabulary-scale, not occurrence-scale); B is a 1-row
+    broadcast. The final occurrence join keys on the full (w1, w2)
+    pair — hot stopword pairs are AQE skew-join territory, the
+    corpus-wide stance.
+
+    Output: (id, n_bigrams, kn_q, kn_bits_per_bigram); documents
+    with fewer than two tokens produce no row.
+    """
+    from umls2rdf_spark.operators.caching import op_scope
+
+    if not (0 < discount4 < 4):
+        raise ValueError("discount4 must be in (0, 4) (d = discount4/4)")
+    scope = cache if cache is not None else op_scope(
+        df.sparkSession, "kn_surprisal"
+    )
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+    pairs_expr = (
+        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, size(t)-2), "
+        "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
+        "ELSE array() END)[0]"
+    )
+    occ = scope.persist(
+        df.select(
+            F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
+        ).select(
+            id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+        )
+    )
+    big = scope.persist(
+        occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("cb").alias("cc"), F.count(F.lit(1)).alias("n1")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    tot = big.agg(F.count(F.lit(1)).alias("B"))
+    scale = 1 << quant_bits
+    num = (
+        F.col("B").cast("double")
+        * (F.lit(4) * F.col("cb") - F.lit(discount4)).cast("double")
+        + (F.lit(discount4) * F.col("n1")).cast("double")
+        * F.col("n2").cast("double")
+    )
+    den = F.col("cc").cast("double") * (F.lit(4) * F.col("B")).cast("double")
+    typ = (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round((F.log2(den) - F.log2(num)) * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    return (
+        occ.join(typ, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("wq").alias("kn_q"),
+        )
+        .withColumn(
+            "kn_bits_per_bigram",
+            F.col("kn_q").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def kn_surprisal_sql(
+    docs_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount4: int = 3,
+    quant_bits: int = 20,
+) -> str:
+    """DuckDB twin of :func:`kn_surprisal` — the same expression tree
+    (cast-before-multiply factors, log2 difference, one round) so the
+    quantized weights and int64 doc sums are value-identical."""
+    scale = 1 << quant_bits
+    return f"""
+WITH f AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS f
+  FROM {docs_sql}),
+idx AS (
+  SELECT {id_col}, f,
+         unnest(generate_series(1, greatest(len(f) - 1, 0))) AS i
+  FROM f),
+occ AS (SELECT {id_col}, f[i] AS w1, f[i+1] AS w2 FROM idx),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cb) AS cc, COUNT(*) AS n1 FROM big GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n2 FROM big GROUP BY 1),
+tot AS (SELECT COUNT(*) AS B FROM big),
+typ AS (
+  SELECT w1, w2,
+         CAST(round((log2(CAST(cc AS DOUBLE) * CAST(4*B AS DOUBLE))
+                     - log2(CAST(B AS DOUBLE)
+                              * CAST(4*cb - {discount4} AS DOUBLE)
+                            + CAST({discount4}*n1 AS DOUBLE)
+                              * CAST(n2 AS DOUBLE)))
+                    * {scale}) AS BIGINT) AS wq
+  FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+per AS (SELECT o.{id_col}, typ.wq FROM occ o JOIN typ USING (w1, w2))
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(wq) AS BIGINT) AS kn_q,
+       CAST(SUM(wq) AS DOUBLE) / {float(scale)}
+         / CAST(COUNT(*) AS DOUBLE) AS kn_bits_per_bigram
+FROM per GROUP BY 1
+"""
+
+
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 

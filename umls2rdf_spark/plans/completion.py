@@ -457,6 +457,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bigram_surprisal`` — per-doc bigram cross-entropy vs the
       corpus's own bigram LM; two bounded distinct-count weight
       dims, pure-int64 doc sums (C36),
+    - ``kn_surprisal`` — the smoothed form: interpolated Kneser-Ney
+      bigram cross-entropy (the CCNet-style perplexity filter);
+      discount 3/4 multiplied out to exact-integer numerator/
+      denominator, per-type weights computed distributed on the
+      bigram-type frame, int64 doc sums (C52, round 6),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -581,6 +586,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
         gopher_quality,
+        kn_surprisal,
         bm25_topk,
         frequent_tokens,
         score_log_odds,
@@ -720,6 +726,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigram_surprisal(docs, "doc_id", "text"),
             "bigram_surprisal",
             ("bits_per_bigram",),
+        ),
+        # SURVEY C52 (round 6): Kneser-Ney smoothed bigram LM scoring
+        # — the CCNet-style perplexity filter's smoothing; per-type
+        # weights computed DISTRIBUTED on the bigram-type frame
+        # (cast-before-multiply exact-int log2 args, same expression
+        # tree in the twin), per-doc sums pure int64
+        fingerprint_section(
+            kn_surprisal(docs, "doc_id", "text"),
+            "kn_surprisal",
+            ("kn_bits_per_bigram",),
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1672,7 +1688,10 @@ def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
-    from umls2rdf_spark.operators.textstats import gopher_quality_sql
+    from umls2rdf_spark.operators.textstats import (
+        gopher_quality_sql,
+        kn_surprisal_sql,
+    )
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
         resample_mixture_sql,
@@ -1779,6 +1798,12 @@ def _text_scoring_sql() -> str:
             _BIGRAM_SQL,
             ["doc_id", "n_bigrams", "surprisal_q", "bits_per_bigram"],
             ("bits_per_bigram",),
+        ),
+        fingerprint_sql(
+            "kn_surprisal",
+            kn_surprisal_sql("documents", "doc_id", "text"),
+            ["doc_id", "n_bigrams", "kn_q", "kn_bits_per_bigram"],
+            ("kn_bits_per_bigram",),
         ),
         fingerprint_sql(
             "gopher_quality",
