@@ -113,8 +113,9 @@ FULL_SCAN_OK = {
     # observed 37 documents scans at the 42-section surface
     # (plan-level subtree sharing keeps it below the naive sum);
     # kn_surprisal (section 43) adds its one occurrence-stream scan
-    # behind the persist → 38.
-    "text_scoring": {"documents.parquet": 38, "embeddings.parquet": 4},
+    # behind the persist, char_profile (section 44) its one
+    # zero-shuffle Project scan → 39.
+    "text_scoring": {"documents.parquet": 39, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

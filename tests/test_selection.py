@@ -970,3 +970,60 @@ def test_kn_probability_mass_bounded():
             if a == ctx
         )
         assert total <= 1.0 + 1e-12
+
+
+# ── character-class / script profile (C53) ──────────────────────────
+def test_char_profile_matches_oracle_on_seeded_corpus(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import (
+        char_profile,
+        char_profile_sql,
+    )
+    from umls2rdf_spark.plans.completion import (
+        _SCRIPT_PAGES_SQL,
+        _script_pages_frame,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = char_profile(_script_pages_frame(docs), "doc_id", "text")
+    assert_matches_oracle(
+        got, duck, char_profile_sql(_SCRIPT_PAGES_SQL, "doc_id", "text")
+    )
+
+
+def test_char_profile_semantics(spark):
+    from umls2rdf_spark.operators.textstats import char_profile
+
+    rows = [
+        (1, "Hello World 123"),
+        (2, "привет мир данных и ещё текст"),
+        (3, "数据处理是关键任务"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_profile(df, "doc_id", "text").collect()}
+    assert out[1].dom_script == "latin" and out[1].mostly_ascii
+    assert out[2].dom_script == "cyrillic" and not out[2].mostly_ascii
+    assert out[3].dom_script == "cjk" and out[3].non_ascii_ppm > 900000
+    # empty doc: NULL ppm, tie default, passes the ascii gate
+    assert out[4].non_ascii_ppm is None and out[4].dom_script == "latin"
+    assert out[4].mostly_ascii
+    # ppm identity: letter+digit partition of an alnum-only doc
+    df2 = spark.createDataFrame([(9, "abc123XYZ")], "doc_id long, text string")
+    r = char_profile(df2, "doc_id", "text").collect()[0]
+    assert r.letter_ppm + r.digit_ppm == 999999 or (
+        r.letter_ppm + r.digit_ppm == 1000000
+    )
+    assert r.upper_ppm == 333333 and r.non_ascii_ppm == 0
+
+
+def test_char_profile_is_single_scan_no_shuffle(spark):
+    from umls2rdf_spark.operators.textstats import char_profile
+    from umls2rdf_spark.sources.parquet import load_table as lt
+
+    docs = lt(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        char_profile(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

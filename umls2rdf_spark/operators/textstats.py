@@ -740,6 +740,146 @@ def bigram_surprisal(
     )
 
 
+#: Character classes for the script/charset profile (C53). Each
+#: pattern is written in the common Java-regex ∩ RE2 subset (explicit
+#: ranges, \\x hex escapes, no \\p{} properties — the htmlextract
+#: dialect stance), so ONE table generates both engines' expressions.
+#: BMP-only ranges: Spark length() counts UTF-16 code units and
+#: DuckDB counts code points — identical for BMP text.
+SCRIPT_CLASSES = (
+    ("ascii", "[\\x00-\\x7f]"),
+    ("letter", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("upper", "[A-Z]"),
+    ("white", "[ \\t\\n\\r]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+)
+
+#: mostly-ASCII gate threshold: ≤ 10% non-ASCII code points
+MOSTLY_ASCII_MAX_NON_ASCII_PPM = 100_000
+
+
+def char_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document character-class / Unicode-script profile — the
+    multilingual-curation signal the token-level ops can't see
+    (language-ID by stopwords is blind to SCRIPT: a Cyrillic or CJK
+    document has zero English stopwords *and* zero Spanish ones).
+    Pipelines targeting an English corpus threshold on
+    ``non_ascii_ppm``; multilingual ones route on ``dom_script``.
+
+    Each class count is length(text) − length(text with the class
+    removed) — one regexp_replace per class, all fused into a single
+    codegen Project over the scan (zero shuffles, zero joins: the
+    100 TB cost is the scan itself). Fractions are int64 ppm
+    floor-divisions; ``dom_script`` picks latin/cyrillic/cjk by
+    integer comparison with a fixed preference order on ties — all
+    engine-exact.
+
+    Output: (id, n_chars, one ``<class>_ppm`` per SCRIPT_CLASSES
+    entry except ascii which becomes ``non_ascii_ppm``, dom_script,
+    mostly_ascii). Empty documents emit NULL ppm columns and keep
+    dom_script='latin' (the tie default).
+    """
+    text = F.col(text_col)
+    n = F.length(text).cast("bigint")
+
+    def cnt(pat: str):
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, pat, ""))
+        ).cast("bigint")
+
+    counts = {name: cnt(pat) for name, pat in SCRIPT_CLASSES}
+    ppm = {
+        name: F.when(
+            F.col("__n") > 0, F.expr(f"__cnt_{name} * 1000000 div __n")
+        )
+        for name, _ in SCRIPT_CLASSES
+    }
+    staged = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        *[counts[name].alias(f"__cnt_{name}") for name, _ in SCRIPT_CLASSES],
+    )
+    letter, cyr, cjk = (
+        F.col("__cnt_letter"),
+        F.col("__cnt_cyrillic"),
+        F.col("__cnt_cjk"),
+    )
+    dom = (
+        F.when((letter >= cyr) & (letter >= cjk), F.lit("latin"))
+        .when(cyr >= cjk, F.lit("cyrillic"))
+        .otherwise(F.lit("cjk"))
+    )
+    non_ascii = F.when(
+        F.col("__n") > 0,
+        F.expr("(__n - __cnt_ascii) * 1000000 div __n"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__n").alias("n_chars"),
+        non_ascii.alias("non_ascii_ppm"),
+        *[
+            ppm[name].alias(f"{name}_ppm")
+            for name, _ in SCRIPT_CLASSES
+            if name != "ascii"
+        ],
+        dom.alias("dom_script"),
+        (
+            F.coalesce(non_ascii, F.lit(0))
+            <= MOSTLY_ASCII_MAX_NON_ASCII_PPM
+        ).alias("mostly_ascii"),
+    )
+
+
+def char_profile_sql(
+    table_sql: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB twin of :func:`char_profile`, generated from the SAME
+    SCRIPT_CLASSES table (patterns are dialect-portable by
+    construction; 'g' flag = Spark's replace-all default)."""
+
+    def cnt(pat: str) -> str:
+        p = pat.replace("'", "''")
+        return (
+            f"length({text_col}) - length(regexp_replace("
+            f"{text_col}, '{p}', '', 'g'))"
+        )
+
+    cnt_cols = ", ".join(
+        f"CAST({cnt(pat)} AS BIGINT) AS __cnt_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    ppm_cols = ", ".join(
+        f"CASE WHEN __n > 0 THEN __cnt_{name} * 1000000 // __n END"
+        f" AS {name}_ppm"
+        for name, _ in SCRIPT_CLASSES
+        if name != "ascii"
+    )
+    return f"""
+WITH __cp AS (
+  SELECT {id_col}, CAST(length({text_col}) AS BIGINT) AS __n,
+         {cnt_cols}
+  FROM ({table_sql}) AS __cp_src)
+SELECT {id_col}, __n AS n_chars,
+       CASE WHEN __n > 0
+            THEN (__n - __cnt_ascii) * 1000000 // __n END
+         AS non_ascii_ppm,
+       {ppm_cols},
+       CASE WHEN __cnt_letter >= __cnt_cyrillic
+             AND __cnt_letter >= __cnt_cjk THEN 'latin'
+            WHEN __cnt_cyrillic >= __cnt_cjk THEN 'cyrillic'
+            ELSE 'cjk' END AS dom_script,
+       COALESCE(CASE WHEN __n > 0
+                     THEN (__n - __cnt_ascii) * 1000000 // __n END,
+                0) <= {MOSTLY_ASCII_MAX_NON_ASCII_PPM}
+         AS mostly_ascii
+FROM __cp
+"""
+
+
 def kn_surprisal(
     df: DataFrame,
     id_col: str,

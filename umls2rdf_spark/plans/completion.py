@@ -462,6 +462,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       discount 3/4 multiplied out to exact-integer numerator/
       denominator, per-type weights computed distributed on the
       bigram-type frame, int64 doc sums (C52, round 6),
+    - ``char_profile`` — character-class / Unicode-script profile
+      (the multilingual-curation signal) over the deterministically
+      multilingual-seeded corpus; one zero-shuffle codegen Project,
+      int64 ppm fractions, dialect-portable patterns shared with the
+      DuckDB twin (C53, round 6; operators/textstats.py),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -585,6 +590,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
         bigram_surprisal,
+        char_profile,
         gopher_quality,
         kn_surprisal,
         bm25_topk,
@@ -736,6 +742,15 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             kn_surprisal(docs, "doc_id", "text"),
             "kn_surprisal",
             ("kn_bits_per_bigram",),
+        ),
+        # SURVEY C53 (round 6): character-class / Unicode-script
+        # profile over the deterministically multilingual-seeded
+        # corpus (doc_id mod 3 → Cyrillic, mod 5 → CJK, mod 11 →
+        # control chars; every class + the empty-guard fires) — one
+        # zero-shuffle codegen Project, int64 ppm floor-divisions
+        fingerprint_section(
+            char_profile(_script_pages_frame(docs), "doc_id", "text"),
+            "char_profile",
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1689,6 +1704,7 @@ def _text_scoring_sql() -> str:
         hamming_near_dup_pairs_sql,
     )
     from umls2rdf_spark.operators.textstats import (
+        char_profile_sql,
         gopher_quality_sql,
         kn_surprisal_sql,
     )
@@ -1804,6 +1820,16 @@ def _text_scoring_sql() -> str:
             kn_surprisal_sql("documents", "doc_id", "text"),
             ["doc_id", "n_bigrams", "kn_q", "kn_bits_per_bigram"],
             ("kn_bits_per_bigram",),
+        ),
+        fingerprint_sql(
+            "char_profile",
+            char_profile_sql(_SCRIPT_PAGES_SQL, "doc_id", "text"),
+            [
+                "doc_id", "n_chars", "non_ascii_ppm", "letter_ppm",
+                "digit_ppm", "upper_ppm", "white_ppm",
+                "cyrillic_ppm", "cjk_ppm", "dom_script",
+                "mostly_ascii",
+            ],
         ),
         fingerprint_sql(
             "gopher_quality",
@@ -1995,6 +2021,34 @@ def _bpe_merges_sql() -> str:
 # both engines — emails / IPv4s / SSN-shaped ids / phones built from
 # doc_id arithmetic so every scrub rule fires on a known subset and
 # values differ per row; rows hitting none of the mods stay clean.
+def _script_pages_frame(docs: DataFrame) -> DataFrame:
+    """Deterministically multilingual-seeded corpus for the C53
+    char_profile section: mod-3 rows gain Cyrillic, mod-5 rows CJK,
+    mod-11 rows tab/newline control chars — every SCRIPT_CLASSES
+    entry and the dom_script branches fire in both engines."""
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" мир данных и ещё текст"))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" 数据处理是关键"))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("\tTAB\nLINE")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", seeded.alias("text"))
+
+
+_SCRIPT_PAGES_SQL = (
+    "SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' мир данных и ещё текст' "
+    "ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' 数据处理是关键' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN chr(9) || 'TAB' || chr(10) "
+    "|| 'LINE' ELSE '' END AS text "
+    "FROM documents"
+)
+
+
 def _pii_pages_frame(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id")
 
