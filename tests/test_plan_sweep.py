@@ -114,8 +114,11 @@ FULL_SCAN_OK = {
     # (plan-level subtree sharing keeps it below the naive sum);
     # kn_surprisal (section 43) adds its one occurrence-stream scan
     # behind the persist, char_profile (section 44) its one
-    # zero-shuffle Project scan → 39.
-    "text_scoring": {"documents.parquet": 39, "embeddings.parquet": 4},
+    # zero-shuffle Project scan, containment (section 45) its
+    # frame+pairs reads (the mod-6/mod-9 arithmetic predicates are
+    # not parquet-pushable; subtree sharing collapses them):
+    # observed 38 at the 45-section surface.
+    "text_scoring": {"documents.parquet": 38, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

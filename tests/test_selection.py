@@ -1027,3 +1027,67 @@ def test_char_profile_is_single_scan_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ── asymmetric n-gram containment (C54) ─────────────────────────────
+def test_containment_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.dedup import containment_verify_pairs
+    from umls2rdf_spark.plans.completion import (
+        _CONTAINMENT_SQL,
+        _containment_frames,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = containment_verify_pairs(
+        *_containment_frames(docs), "doc_id", "text", shingle_n=3
+    )
+    assert_matches_oracle(got, duck, _CONTAINMENT_SQL)
+
+
+def test_containment_detects_subset_duplicate(spark):
+    """A short doc wholly quoted inside a long one: containment of
+    the short side == 1.0 while Jaccard stays small — the pair a
+    Jaccard threshold would keep."""
+    from umls2rdf_spark.operators.dedup import containment_verify_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 18))  # inside
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in containment_verify_pairs(
+            df, pairs, "doc_id", "text", shingle_n=3
+        ).collect()
+    }
+    sub = out[(1, 2)]
+    assert sub.containment_b == 1.0          # short fully contained
+    assert sub.jaccard < 0.2                  # Jaccard blind to it
+    assert sub.containment_a < sub.containment_b
+    # disjoint pair: zero everywhere, no NULLs (both sides non-empty)
+    assert out[(1, 3)].inter == 0 and out[(1, 3)].jaccard == 0.0
+    # min_containment filter keeps only the subset pair
+    kept = containment_verify_pairs(
+        df, pairs, "doc_id", "text", shingle_n=3, min_containment=0.9
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in kept] == [(1, 2)]
+
+
+def test_containment_missing_side_is_null(spark):
+    from umls2rdf_spark.operators.dedup import containment_verify_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 99)], "id_a long, id_b long")
+    r = containment_verify_pairs(
+        df, pairs, "doc_id", "text", shingle_n=3
+    ).collect()[0]
+    assert r.sz_b == 0 and r.containment_b is None
+    assert r.containment_a == 0.0

@@ -373,6 +373,98 @@ def jaccard_verify_pairs(
     return out.where(F.col("jaccard") >= min_jaccard)
 
 
+def containment_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_containment: float = 0.0,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle CONTAINMENT (and Jaccard) for candidate
+    pairs — the asymmetric dedup signal symmetric Jaccard
+    under-scores (Broder 1997 defines both): a short document wholly
+    quoted inside a long one has containment(short) ≈ 1 while
+    Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard threshold keeps the
+    subset-duplicate. Corpus pipelines drop (or link) a pair when
+    max(containment_a, containment_b) clears the bar.
+
+        containment_a = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+
+    Same cost shape as :func:`jaccard_verify_pairs`: O(|pairs| ×
+    doc shingles) via the shared distinct-shingle frame, never
+    all-pairs — candidates come from LSH banding upstream. Pure
+    integer counts; the three ratios are divisions of exact int64s
+    (deterministic doubles on any engine). Pairs with an empty side
+    emit NULL for that side's containment.
+
+    Output: (id_a, id_b, inter, sz_a, sz_b, jaccard, containment_a,
+    containment_b), filtered to max(containment) >= min_containment.
+    """
+    if shingles is None:
+        shingles = shingle_rows(
+            spread_small_input(df, id_col), id_col, text_col, shingle_n
+        ).distinct()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(za, "id_a", "left")
+        .join(zb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.coalesce(F.col("sz_a"), F.lit(0)).alias("sz_a"),
+            F.coalesce(F.col("sz_b"), F.lit(0)).alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("sz_a") + F.col("sz_b") - F.col("inter") > 0,
+                F.col("inter").cast("double")
+                / (
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter")
+                ).cast("double"),
+            ),
+        )
+        .withColumn(
+            "containment_a",
+            F.when(
+                F.col("sz_a") > 0,
+                F.col("inter").cast("double") / F.col("sz_a").cast("double"),
+            ),
+        )
+        .withColumn(
+            "containment_b",
+            F.when(
+                F.col("sz_b") > 0,
+                F.col("inter").cast("double") / F.col("sz_b").cast("double"),
+            ),
+        )
+    )
+    if min_containment > 0.0:
+        out = out.where(
+            F.greatest(
+                F.coalesce(F.col("containment_a"), F.lit(0.0)),
+                F.coalesce(F.col("containment_b"), F.lit(0.0)),
+            )
+            >= min_containment
+        )
+    return out
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every strictly-larger neighbor of u is
     re-pointed at min(Γ(u) ∪ {u})."""

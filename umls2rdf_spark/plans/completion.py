@@ -467,6 +467,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       multilingual-seeded corpus; one zero-shuffle codegen Project,
       int64 ppm fractions, dialect-portable patterns shared with the
       DuckDB twin (C53, round 6; operators/textstats.py),
+    - ``containment`` — asymmetric n-gram containment for candidate
+      pairs (Broder 1997): the subset-duplicate signal symmetric
+      Jaccard under-scores; exact int64 shingle counts, prefix-twin
+      + id-neighbor fixture pairs (C54, round 6;
+      operators/dedup.py containment_verify_pairs),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -553,6 +558,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.profile import profile_table
     from umls2rdf_spark.operators.dedup import (
         band_signatures,
+        containment_verify_pairs,
         incremental_dedupe,
         incremental_minhash_dedupe,
         minhash_signatures_mapside,
@@ -751,6 +757,18 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_section(
             char_profile(_script_pages_frame(docs), "doc_id", "text"),
             "char_profile",
+        ),
+        # SURVEY C54 (round 6): asymmetric n-gram containment over
+        # candidate pairs — the subset-duplicate signal (prefix twins
+        # score containment ≈ 1 at small Jaccard; the id-neighbor
+        # pairs exercise low overlap and the missing-side NULL path)
+        fingerprint_section(
+            containment_verify_pairs(
+                *_containment_frames(docs), "doc_id", "text",
+                shingle_n=3,
+            ),
+            "containment",
+            ("jaccard", "containment_a", "containment_b"),
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1832,6 +1850,15 @@ def _text_scoring_sql() -> str:
             ],
         ),
         fingerprint_sql(
+            "containment",
+            _CONTAINMENT_SQL,
+            [
+                "id_a", "id_b", "inter", "sz_a", "sz_b",
+                "jaccard", "containment_a", "containment_b",
+            ],
+            ("jaccard", "containment_a", "containment_b"),
+        ),
+        fingerprint_sql(
             "gopher_quality",
             gopher_quality_sql("documents", "doc_id", "text"),
             [
@@ -2047,6 +2074,92 @@ _SCRIPT_PAGES_SQL = (
     "|| 'LINE' ELSE '' END AS text "
     "FROM documents"
 )
+
+
+def _containment_frames(docs: DataFrame):
+    """Fixture for the C54 containment section: mod-6 docs gain a
+    PREFIX twin (first 8 words, id + 10M) — a genuine
+    subset-duplicate whose containment ≈ 1 while Jaccard is small —
+    and mod-9 docs pair with their id-neighbor (low overlap, and the
+    corpus-max id exercises the missing-side NULL path). Both
+    engines derive frame and pairs from the same arithmetic."""
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    prefix = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 8), " ").alias("text"),
+    )
+    frame = docs.select("doc_id", "text").unionByName(prefix)
+    pairs = (
+        docs.where(F.col("doc_id") % 6 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 10_000_000).alias("id_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 9 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"),
+            )
+        )
+    )
+    return frame, pairs
+
+
+_CONTAINMENT_SQL = """
+WITH prefix AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(list_filter(string_split(text, ' '),
+                                     t -> t <> '')[1:8], ' ') AS text
+  FROM documents WHERE doc_id % 6 = 0),
+frame AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM prefix),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b
+  FROM documents WHERE doc_id % 9 = 0),
+filtered AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM frame),
+indexed AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 2, 0))) AS i
+  FROM filtered),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         f[i] || ' ' || f[i+1] || ' ' || f[i+2] AS shingle
+  FROM indexed),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+         CAST(COALESCE(za.sz, 0) AS BIGINT) AS sz_a,
+         CAST(COALESCE(zb.sz, 0) AS BIGINT) AS sz_b
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  LEFT JOIN sizes za ON za.doc_id = p.id_a
+  LEFT JOIN sizes zb ON zb.doc_id = p.id_b)
+SELECT id_a, id_b, inter, sz_a, sz_b,
+       CASE WHEN sz_a + sz_b - inter > 0
+            THEN CAST(inter AS DOUBLE)
+                   / CAST(sz_a + sz_b - inter AS DOUBLE) END AS jaccard,
+       CASE WHEN sz_a > 0
+            THEN CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) END
+         AS containment_a,
+       CASE WHEN sz_b > 0
+            THEN CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE) END
+         AS containment_b
+FROM scored
+"""
 
 
 def _pii_pages_frame(docs: DataFrame) -> DataFrame:
