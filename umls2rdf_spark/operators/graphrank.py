@@ -155,6 +155,110 @@ def pagerank(
     return ranks.select("node", "rank_q")
 
 
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Fixed-iteration weighted label propagation (Raghavan et al.
+    2007) over the symmetrized graph — community detection for the
+    click/link graph: pages that share traffic converge to one
+    label, giving the per-community caps / sampling strata that
+    host-level grouping (webcurate C37) can't see when one logical
+    site spans many hosts. Third iterative-fixpoint operator of the
+    engine (transitive_closure, pagerank, this), same per-round
+    ``localCheckpoint(eager=True)`` lineage discipline.
+
+    Deterministic semantics (synchronous variant, value-verifiable):
+    label₀(v) = v; each round every node adopts the label with the
+    MAXIMUM incident edge-weight sum among its neighbors, ties
+    broken by MIN label — both engines evaluate the identical
+    (Σw DESC, label ASC) top-1, so the full trajectory is
+    oracle-checkable. Synchronous LPA can oscillate on bipartite
+    structures; with fixed ``iters`` and deterministic ties that is
+    a defined, reproducible output (the async variant is not even
+    deterministic run-to-run).
+
+    100 TB shape: one round = one join (sym-edges ⋈ labels on dst) +
+    one (node, label) map-side-combined groupBy + one per-node top-1
+    that Catalyst compiles to WindowGroupLimit (rank ≤ 1 prunes
+    map-side — the domain_cap machinery), all keyed on node ids.
+    Label state is (node, label) — 16 bytes/node.
+    """
+    from pyspark.sql.window import Window
+
+    edges = edges.select("src", "dst", F.col("w").cast("bigint"))
+    sym = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("src").orderBy(
+        F.col("lw").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        cand = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        labels = (
+            cand.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation`: the same fixed
+    rounds unrolled as CTEs with the identical (Σw DESC, label ASC)
+    ROW_NUMBER top-1 — the trajectory is value-verified round for
+    round (the pagerank/Lloyd discipline)."""
+    ctes = [
+        f"__edges AS ({edges_sql})",
+        """__sym AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT src, dst, CAST(w AS BIGINT) AS w FROM __edges
+        UNION ALL
+        SELECT dst AS src, src AS dst, CAST(w AS BIGINT) AS w
+        FROM __edges) AS __u
+  GROUP BY 1, 2)""",
+        "__l0 AS (SELECT DISTINCT src AS node, src AS label FROM __sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""__c{i} AS (
+  SELECT s.src, l.label, CAST(SUM(s.w) AS BIGINT) AS lw
+  FROM __sym s JOIN __l{i - 1} l ON l.node = s.dst
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""__l{i} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY src ORDER BY lw DESC, label ASC) AS rn
+    FROM __c{i}) AS __t
+  WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM __l{iters}"
+    )
+
+
 def clickstream_edges_sql(
     events_sql: str,
     node_expr: str,

@@ -2567,7 +2567,10 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's value gate. Round 6 adds ``pagerank`` (B41):
     clickstream page-graph centrality — per-user LEAD transitions
     into fixed-iteration int64 PageRank (operators/graphrank.py),
-    oracle-unrolled so every iteration is value-verified."""
+    oracle-unrolled so every iteration is value-verified — and
+    ``label_prop`` (B42): label-propagation communities over the
+    same graph, deterministic synchronous adoption with the oracle
+    unrolling the identical rounds."""
     from umls2rdf_spark.plans.analytics_extra import (
         events_hopping,
         events_windowed,
@@ -2620,6 +2623,14 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _pagerank_frame(spark, sf_dir), "pagerank"
             ),
+            # B42 (round 6): label-propagation communities over the
+            # SAME clickstream graph — synchronous weighted LPA with
+            # deterministic (Σw DESC, label ASC) adoption, per-node
+            # top-1 compiled to WindowGroupLimit; the oracle unrolls
+            # the same rounds, value-verifying the trajectory
+            fingerprint_section(
+                _label_prop_frame(spark, sf_dir), "label_prop"
+            ),
         ]
     )
 
@@ -2655,6 +2666,40 @@ def _pagerank_sql() -> str:
             "CAST(json_extract_string(props, '$.k') AS BIGINT)",
         ),
         iters=_PR_ITERS,
+    )
+
+
+_LP_ITERS = 4
+
+
+def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: community labels over the same clickstream page graph as
+    B41 — fixed rounds so the oracle unrolls them; the operator
+    itself is iteration-count-agnostic with per-round checkpoints."""
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges,
+        label_propagation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return label_propagation(
+        clickstream_edges(ev, node), iters=_LP_ITERS
+    )
+
+
+def _label_prop_sql() -> str:
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges_sql,
+        label_propagation_sql,
+    )
+
+    return label_propagation_sql(
+        clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        ),
+        iters=_LP_ITERS,
     )
 
 
@@ -2729,6 +2774,11 @@ def _event_windows_sql() -> str:
             "pagerank",
             _pagerank_sql(),
             ["node", "rank_q"],
+        ),
+        fingerprint_sql(
+            "label_prop",
+            _label_prop_sql(),
+            ["node", "label"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
