@@ -229,3 +229,58 @@ def test_quality_report_agrees_with_per_doc_operators(spark):
     assert (b.n_docs, b.bigram_docs, b.avg_top_bigram_ppm) == (
         1, 0, None,
     )
+
+
+# ── C55 per-source diversity report ─────────────────────────────────
+def test_diversity_report_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE
+    from umls2rdf_spark.operators.reporting import (
+        diversity_report,
+        diversity_report_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = diversity_report(docs, "doc_id", "text", "source")
+    assert_matches_oracle(
+        got,
+        duck,
+        diversity_report_sql(
+            "SELECT * FROM documents", "doc_id", "text", "source"
+        ),
+    )
+
+
+def test_diversity_report_flags_template_farm(spark):
+    """A source whose docs are mutually identical scores a LOWER
+    cross-doc TTR than one with distinct docs — the signal within-doc
+    repetition (C45) cannot see (each doc alone is clean)."""
+    from umls2rdf_spark.operators.reporting import diversity_report
+
+    farm = [(i, "exactly the same template text here", "farm")
+            for i in range(10)]
+    varied = [(100 + i, f"unique words number{i} alpha{i} beta{i} gamma{i}", "varied")
+              for i in range(10)]
+    df = spark.createDataFrame(
+        farm + varied, "doc_id long, text string, source string"
+    )
+    out = {r.source: r for r in
+           diversity_report(df, "doc_id", "text", "source").collect()}
+    assert out["farm"].tok_ttr_ppm < out["varied"].tok_ttr_ppm
+    assert out["farm"].big_ttr_ppm < out["varied"].big_ttr_ppm
+    assert out["farm"].n_docs == 10 and out["varied"].n_docs == 10
+
+
+def test_diversity_report_empty_source_null_ttr(spark):
+    from umls2rdf_spark.operators.reporting import diversity_report
+
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, "one", "single")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in
+           diversity_report(df, "doc_id", "text", "source").collect()}
+    assert out["empty"].tok_occ == 0 and out["empty"].tok_ttr_ppm is None
+    # a one-token doc has tokens but no bigrams
+    assert out["single"].tok_occ == 1 and out["single"].big_ttr_ppm is None
+    assert out["empty"].n_docs == 1

@@ -116,9 +116,10 @@ FULL_SCAN_OK = {
     # behind the persist, char_profile (section 44) its one
     # zero-shuffle Project scan, containment (section 45) its
     # frame+pairs reads (the mod-6/mod-9 arithmetic predicates are
-    # not parquet-pushable; subtree sharing collapses them):
-    # observed 38 at the 45-section surface.
-    "text_scoring": {"documents.parquet": 38, "embeddings.parquet": 4},
+    # not parquet-pushable; subtree sharing collapses them), and
+    # diversity_report (section 46) its one fused struct-stream
+    # explode scan: observed 39 at the 46-section surface.
+    "text_scoring": {"documents.parquet": 39, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -129,3 +129,137 @@ SELECT {domain_col},
             END AS BIGINT) AS avg_top_bigram_ppm
 FROM __j GROUP BY {domain_col}
 """
+
+
+def diversity_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source CROSS-document n-gram diversity — the dataset-card
+    column :func:`quality_report` lacks and the within-doc signals
+    (repetition.py, C45) cannot see: a source whose documents are
+    individually clean but mutually near-identical (template farms,
+    mirrored docs) shows a LOW distinct/total n-gram ratio only when
+    counted across the source. Self-BLEU-style corpus diversity,
+    reduced to exact type-token ratios.
+
+    One corpus scan, one explode: unigrams, bigrams and a per-doc
+    marker ride a single concatenated struct stream (kind, gram), so
+    the 100 TB cost is one tokenize pass + one (source, kind, gram)
+    map-side-combined groupBy + one |sources|-scale rollup. The
+    (source, gram) key spreads hot sources across reducers; ratios
+    are int64 ppm floor-divisions.
+
+    Output per source: n_docs, tok_occ, tok_distinct, tok_ttr_ppm,
+    big_occ, big_distinct, big_ttr_ppm (NULL ttr when a source has
+    no occurrences of that kind).
+    """
+    toks = (
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    stream = (
+        f"transform(array({toks}), t -> concat("
+        "transform(t, x -> struct('tok' AS kind, x AS gram)), "
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t)-2), "
+        "i -> struct('big' AS kind, concat(t[i], ' ', t[i+1]) AS gram)) "
+        "ELSE array() END, "
+        f"array(struct('doc' AS kind, CAST({id_col} AS STRING) AS gram))"
+        "))[0]"
+    )
+    occ = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.expr(stream)).alias("g"),
+    ).select("source", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    per_gram = occ.groupBy("source", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rolled = per_gram.groupBy("source").agg(
+        F.sum(F.when(F.col("kind") == "doc", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("kind") == "tok", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_occ"),
+        F.sum(F.when(F.col("kind") == "tok", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tok_distinct"),
+        F.sum(F.when(F.col("kind") == "big", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("big_occ"),
+        F.sum(F.when(F.col("kind") == "big", 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_distinct"),
+    )
+    return rolled.select(
+        "source",
+        "n_docs",
+        "tok_occ",
+        "tok_distinct",
+        F.when(
+            F.col("tok_occ") > 0,
+            F.expr("tok_distinct * 1000000 div tok_occ"),
+        ).alias("tok_ttr_ppm"),
+        "big_occ",
+        "big_distinct",
+        F.when(
+            F.col("big_occ") > 0,
+            F.expr("big_distinct * 1000000 div big_occ"),
+        ).alias("big_ttr_ppm"),
+    )
+
+
+def diversity_report_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> str:
+    """DuckDB twin of :func:`diversity_report` — three UNION ALL
+    occurrence streams instead of the fused struct stream (the
+    oracle need not be single-scan, only value-equal)."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), "
+        f"'[^a-z0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH __src AS (SELECT * FROM ({table_sql}) AS __d),
+__tokarr AS (
+  SELECT {source_col} AS source, {id_col} AS id, {toks} AS t
+  FROM __src),
+__occ AS (
+  SELECT source, 'tok' AS kind, u.g AS gram
+  FROM __tokarr, UNNEST(t) AS u(g)
+  UNION ALL
+  SELECT source, 'big' AS kind, t[i] || ' ' || t[i+1] AS gram
+  FROM (SELECT source, t,
+               unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM __tokarr) AS __b
+  UNION ALL
+  SELECT source, 'doc' AS kind, CAST(id AS VARCHAR) AS gram
+  FROM __tokarr),
+__per AS (
+  SELECT source, kind, gram, COUNT(*) AS n
+  FROM __occ GROUP BY 1, 2, 3),
+__roll AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN kind = 'doc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+         CAST(SUM(CASE WHEN kind = 'tok' THEN n ELSE 0 END) AS BIGINT)
+           AS tok_occ,
+         CAST(SUM(CASE WHEN kind = 'tok' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tok_distinct,
+         CAST(SUM(CASE WHEN kind = 'big' THEN n ELSE 0 END) AS BIGINT)
+           AS big_occ,
+         CAST(SUM(CASE WHEN kind = 'big' THEN 1 ELSE 0 END) AS BIGINT)
+           AS big_distinct
+  FROM __per GROUP BY 1)
+SELECT source, n_docs, tok_occ, tok_distinct,
+       CASE WHEN tok_occ > 0
+            THEN tok_distinct * 1000000 // tok_occ END AS tok_ttr_ppm,
+       big_occ, big_distinct,
+       CASE WHEN big_occ > 0
+            THEN big_distinct * 1000000 // big_occ END AS big_ttr_ppm
+FROM __roll
+"""

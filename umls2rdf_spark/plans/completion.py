@@ -472,6 +472,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       Jaccard under-scores; exact int64 shingle counts, prefix-twin
       + id-neighbor fixture pairs (C54, round 6;
       operators/dedup.py containment_verify_pairs),
+    - ``diversity_report`` — per-source cross-document n-gram
+      type-token ratios (Self-BLEU-style corpus diversity) from one
+      fused struct-stream explode; the template-farm signal
+      within-doc repetition can't see (C55, round 6;
+      operators/reporting.py diversity_report),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -585,7 +590,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umls2rdf_spark.operators.embed import hashed_embedding
     from umls2rdf_spark.operators.pii import pii_scrub
     from umls2rdf_spark.operators.repetition import doc_repetition
-    from umls2rdf_spark.operators.reporting import quality_report
+    from umls2rdf_spark.operators.reporting import (
+        diversity_report,
+        quality_report,
+    )
     from umls2rdf_spark.operators.sketch import (
         cms_estimates,
         cms_sketch,
@@ -769,6 +777,15 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "containment",
             ("jaccard", "containment_a", "containment_b"),
+        ),
+        # SURVEY C55 (round 6): per-source cross-document n-gram
+        # diversity (type-token ratios) — unigrams, bigrams and the
+        # doc marker ride ONE concatenated struct stream (one scan,
+        # one explode), then a (source, kind, gram) map-side-combined
+        # groupBy + |sources|-scale rollup
+        fingerprint_section(
+            diversity_report(docs, "doc_id", "text", "source"),
+            "diversity_report",
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1721,6 +1738,7 @@ def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
+    from umls2rdf_spark.operators.reporting import diversity_report_sql
     from umls2rdf_spark.operators.textstats import (
         char_profile_sql,
         gopher_quality_sql,
@@ -1857,6 +1875,17 @@ def _text_scoring_sql() -> str:
                 "jaccard", "containment_a", "containment_b",
             ],
             ("jaccard", "containment_a", "containment_b"),
+        ),
+        fingerprint_sql(
+            "diversity_report",
+            diversity_report_sql(
+                "SELECT * FROM documents", "doc_id", "text", "source"
+            ),
+            [
+                "source", "n_docs", "tok_occ", "tok_distinct",
+                "tok_ttr_ppm", "big_occ", "big_distinct",
+                "big_ttr_ppm",
+            ],
         ),
         fingerprint_sql(
             "gopher_quality",
