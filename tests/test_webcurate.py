@@ -241,3 +241,88 @@ def test_dedup_by_url_window_group_limit_plan(spark):
     plan = dedup_by_url(df, "id", "url")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# ── eTLD+1 registered domain (C37 grouping upgrade) ─────────────────
+def test_registered_domain_rules(spark):
+    from umls2rdf_spark.operators.webcurate import registered_domain_expr
+
+    rows = [
+        (1, "WWW.Example.COM"),
+        (2, "a.b.example.com"),
+        (3, "shop.a.co.uk"),
+        (4, "b.co.uk"),
+        (5, "co.uk"),          # bare suffix: falls to last-2 rule
+        (6, "localhost"),
+        (7, "m.news.com.au"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id", registered_domain_expr(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+    assert got[3] == "a.co.uk"
+    assert got[4] == "b.co.uk"
+    assert got[5] == "co.uk"
+    assert got[6] == "localhost"
+    assert got[7] == "news.com.au"
+
+
+def test_registered_domain_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.webcurate import (
+        registered_domain_expr,
+        registered_domain_sql,
+    )
+
+    hosts = [
+        (1, "www.example.com"), (2, "shop.a.co.uk"), (3, "b.co.uk"),
+        (4, "x.y.z.gov.uk"), (5, "single"), (6, "M.NEWS.com.AU"),
+        (7, "192.168.0.1"),
+    ]
+    df = spark.createDataFrame(hosts, "id long, host string")
+    got = sorted(
+        (r.id, r.d)
+        for r in df.select(
+            "id", registered_domain_expr(F.col("host")).alias("d")
+        ).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE __hosts (id BIGINT, host VARCHAR)")
+    duck.executemany("INSERT INTO __hosts VALUES (?, ?)", hosts)
+    exp = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT id, {registered_domain_sql('host')} AS d FROM __hosts"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_cap_per_domain_composes_with_registered_domain(spark):
+    """The real FineWeb grouping: cap on eTLD+1 so www./m. subdomain
+    variants of one site share a cap while distinct co.uk
+    registrants keep their own."""
+    from umls2rdf_spark.operators.webcurate import (
+        cap_per_domain,
+        registered_domain_expr,
+    )
+
+    rows = (
+        [(i, "www.big.com") for i in range(10)]
+        + [(100 + i, "m.big.com") for i in range(10)]
+        + [(200 + i, f"site{i}.co.uk") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "id long, host string").withColumn(
+        "domain", registered_domain_expr(F.col("host"))
+    )
+    kept = cap_per_domain(df, "id", "domain", cap=3).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.id)
+    # one shared cap for both big.com subdomains
+    assert len(by_dom["big.com"]) == 3
+    # each co.uk registrant is its own domain
+    assert sum(1 for d in by_dom if d.endswith(".co.uk")) == 5

@@ -116,6 +116,95 @@ QUALIFY r <= {cap}
 """
 
 
+#: Multi-label public suffixes for the eTLD+1 default list — the
+#: high-traffic subset of the Public Suffix List (publicsuffix.org,
+#: MPL-licensed data; these ccTLD second-level registries are where
+#: host-level grouping goes wrong: "a.co.uk" and "b.co.uk" are
+#: DIFFERENT registrants, while "x.example.com" and "y.example.com"
+#: are the same). Pass the full PSL for production crawls.
+PUBLIC_SUFFIXES_2LABEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.za", "org.za", "web.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "gob.mx", "org.mx",
+    "co.kr", "or.kr", "go.kr",
+    "com.tr", "org.tr", "gov.tr",
+    "com.ar", "org.ar", "gob.ar",
+    "com.sg", "com.hk", "com.tw", "com.my", "co.id", "co.th",
+    "co.nz", "org.nz", "net.nz",
+)
+
+
+def registered_domain_expr(
+    host: F.Column,
+    suffixes_2label: tuple[str, ...] = PUBLIC_SUFFIXES_2LABEL,
+) -> F.Column:
+    """eTLD+1 (registered domain) from a hostname — the grouping key
+    FineWeb-class curation actually caps on: host-level grouping
+    splits one site across www./m./cdn. subdomains (diluting the
+    cap) and, worse, treats every ``*.co.uk`` registrant as one
+    domain if it naively takes the last two labels.
+
+    Pure codegen (split + negative element_at + IN): no UDF, no
+    join — the suffix check is a literal IN over the provided
+    2-label public-suffix set. Rule: if the last two labels form a
+    listed public suffix and a third label exists, the registered
+    domain is the last THREE labels; otherwise the last two; a
+    bare single-label host (localhost, intranet names) passes
+    through. IPs are not special-cased (each IP is its own
+    "domain", which is the right cap behavior anyway).
+
+    At full-PSL scale (~9k multi-label rules) the IN list compiles
+    to a sorted-array switch — still branch-free codegen; if the
+    rule set ever outgrows literals, the same decision is a
+    broadcast left-join on the 2/3-label candidate keys.
+    """
+    h = F.lower(host)
+    parts = F.split(h, "\\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when((n >= 3) & last2.isin(*suffixes_2label), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def registered_domain_sql(
+    host_expr: str,
+    suffixes_2label: tuple[str, ...] = PUBLIC_SUFFIXES_2LABEL,
+) -> str:
+    """DuckDB twin of :func:`registered_domain_expr` (same rule,
+    same suffix set, negative list indexing)."""
+    quoted = ", ".join("'" + s + "'" for s in suffixes_2label)
+    return f"""
+CASE
+  WHEN len(string_split(lower({host_expr}), '.')) >= 3
+       AND string_split(lower({host_expr}), '.')[-2] || '.'
+           || string_split(lower({host_expr}), '.')[-1]
+           IN ({quoted})
+  THEN string_split(lower({host_expr}), '.')[-3] || '.'
+       || string_split(lower({host_expr}), '.')[-2] || '.'
+       || string_split(lower({host_expr}), '.')[-1]
+  WHEN len(string_split(lower({host_expr}), '.')) >= 2
+  THEN string_split(lower({host_expr}), '.')[-2] || '.'
+       || string_split(lower({host_expr}), '.')[-1]
+  ELSE lower({host_expr})
+END"""
+
+
 # ── DSIR hashed-n-gram importance weights ───────────────────────────
 def dsir_bucket_weights(
     df: DataFrame,
