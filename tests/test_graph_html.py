@@ -242,18 +242,13 @@ def test_label_prop_python_replica(spark):
     assert got == labels
 
 
-def test_label_prop_top1_compiles_to_window_group_limit(spark):
-    from umls2rdf_spark.operators.graphrank import label_propagation
-
+def test_label_prop_round_is_sort_free_aggregation(spark):
+    """The per-round adoption is a max_by argmax AGGREGATION (two
+    hash aggs, map-side combined), not a sort-based window — pin no
+    Window/WindowGroupLimit node in an un-checkpointed round plan."""
     edges = spark.createDataFrame(
         [(1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
     )
-    # capture the candidate top-1 plan of ONE round by running with
-    # iters=1 and checking the final labels frame's provenance is a
-    # checkpoint (constant-depth plan), then pin the WindowGroupLimit
-    # on an un-checkpointed equivalent
-    from pyspark.sql.window import Window
-
     sym = (
         edges.union(
             edges.select(
@@ -273,12 +268,12 @@ def test_label_prop_top1_compiles_to_window_group_limit(spark):
         .groupBy("src", "label")
         .agg(F.sum("w").alias("lw"))
     )
-    win = Window.partitionBy("src").orderBy(
-        F.col("lw").desc(), F.col("label").asc()
+    ord_key = F.struct(
+        F.col("lw").alias("o1"), (-F.col("label")).alias("o2")
     )
-    top1 = (
-        cand.withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") == 1)
+    top1 = cand.groupBy("src").agg(
+        F.max_by("label", ord_key).alias("label")
     )
     plan = top1._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

@@ -2606,6 +2606,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_agg,
     )
 
+    pr_frame, lp_frame = _graph_frames(spark, sf_dir)
     return _union(
         [
             fingerprint_section(
@@ -2649,17 +2650,14 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int64 mass units; the oracle unrolls the SAME
             # iterations as CTEs, so the training dynamics are
             # value-verified, not just the shape
-            fingerprint_section(
-                _pagerank_frame(spark, sf_dir), "pagerank"
-            ),
+            fingerprint_section(pr_frame, "pagerank"),
             # B42 (round 6): label-propagation communities over the
-            # SAME clickstream graph — synchronous weighted LPA with
-            # deterministic (Σw DESC, label ASC) adoption, per-node
-            # top-1 compiled to WindowGroupLimit; the oracle unrolls
-            # the same rounds, value-verifying the trajectory
-            fingerprint_section(
-                _label_prop_frame(spark, sf_dir), "label_prop"
-            ),
+            # SAME clickstream graph (shared checkpointed edge
+            # frame) — synchronous weighted LPA with deterministic
+            # (Σw DESC, label ASC) adoption as a sort-free max_by
+            # argmax aggregation; the oracle unrolls the same
+            # rounds, value-verifying the trajectory
+            fingerprint_section(lp_frame, "label_prop"),
         ]
     )
 
@@ -2714,6 +2712,28 @@ def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return label_propagation(
         clickstream_edges(ev, node), iters=_LP_ITERS
+    )
+
+
+def _graph_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Both graph sections (B41 pagerank, B42 label_prop) over ONE
+    checkpointed clickstream edge frame — the per-user LEAD window
+    job (the expensive derivation) runs once instead of once per
+    section; each op's own per-round checkpoints stay internal."""
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges,
+        label_propagation,
+        pagerank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    edges = clickstream_edges(ev, node).localCheckpoint(eager=True)
+    return (
+        pagerank(edges, iters=_PR_ITERS),
+        label_propagation(edges, iters=_LP_ITERS),
     )
 
 
