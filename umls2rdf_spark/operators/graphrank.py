@@ -181,10 +181,12 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     the adoption rule (max lw, tie min label) is encoded as the
     orderable struct ``(lw, -label)`` so the per-node top-1 is a
     partial-aggregating groupBy rather than a window (a sort-based
-    WindowGroupLimit would re-sort every round; max_by combines
-    map-side like any agg — measured 1.64 s → 1.06 s for 4 rounds
-    at sf0.1). All shuffles keyed on node ids; label state is
-    (node, label) — 16 bytes/node.
+    WindowGroupLimit would re-sort the candidate frame every round;
+    max_by combines map-side like any agg — at sf0.1 the two forms
+    tie on wall clock because per-round checkpoint latency
+    dominates, but at scale the sort is the term that grows). All
+    shuffles keyed on node ids; label state is (node, label) —
+    16 bytes/node.
     """
     edges = edges.select("src", "dst", F.col("w").cast("bigint"))
     sym = (
