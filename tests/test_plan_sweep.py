@@ -118,8 +118,11 @@ FULL_SCAN_OK = {
     # frame+pairs reads (the mod-6/mod-9 arithmetic predicates are
     # not parquet-pushable; subtree sharing collapses them), and
     # diversity_report (section 46) its one fused struct-stream
-    # explode scan: observed 39 at the 46-section surface.
-    "text_scoring": {"documents.parquet": 39, "embeddings.parquet": 4},
+    # explode scan, weighted_sample (section 47) its tokenize +
+    # cumsum scan (selection is over every row by definition — the
+    # systematic counter needs the full cumulative weight):
+    # observed 40 at the 47-section surface.
+    "text_scoring": {"documents.parquet": 40, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

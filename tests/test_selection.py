@@ -1091,3 +1091,98 @@ def test_containment_missing_side_is_null(spark):
     ).collect()[0]
     assert r.sz_b == 0 and r.containment_b is None
     assert r.containment_a == 0.0
+
+
+# ── deterministic weighted systematic sampling (C56) ────────────────
+def test_weighted_sample_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.selection import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").withColumn(
+        "w", F.col("n_chars").cast("bigint")
+    )
+    got = weighted_sample(docs, "doc_id", "w", k=50, seed=7)
+    assert_matches_oracle(
+        got,
+        duck,
+        weighted_sample_sql(
+            "(SELECT *, CAST(n_chars AS BIGINT) AS w FROM documents)",
+            "doc_id", "w", k=50, seed=7,
+        ),
+    )
+
+
+def test_weighted_sample_exact_k_when_weights_small(spark):
+    """Every weight <= W/k → exactly k rows selected."""
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(1000)], "id long, w long"
+    )
+    for k in (1, 7, 100, 999):
+        assert weighted_sample(df, "id", "w", k=k).count() == k
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Across seeds, rows with 10x the weight are selected ~10x as
+    often — the proportionality contract (deterministic per seed)."""
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    rows = [(i, 10 if i < 50 else 1) for i in range(550)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    heavy = light = 0
+    for seed in range(12):
+        picked = {r.id for r in
+                  weighted_sample(df, "id", "w", k=50, seed=seed).collect()}
+        heavy += sum(1 for i in picked if i < 50)
+        light += sum(1 for i in picked if i >= 50)
+    # weight mass: heavy 500, light 500 → expect ~equal draws even
+    # though heavy rows are 10x fewer
+    assert 0.6 < heavy / max(light, 1) < 1.67
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 0), (4, 5)], "id long, w long"
+    )
+    for seed in range(5):
+        picked = {r.id for r in
+                  weighted_sample(df, "id", "w", k=2, seed=seed).collect()}
+        assert picked <= {2, 4}
+
+
+def test_weighted_sample_without_replacement_on_skew(spark):
+    """A row heavier than W/k absorbs several selection points but
+    is emitted ONCE (output < k — the documented systematic
+    behavior)."""
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1000)] + [(i, 1) for i in range(2, 12)], "id long, w long"
+    )
+    out = weighted_sample(df, "id", "w", k=5, seed=3).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids))
+    assert 1 in ids and len(ids) < 5
+
+
+def test_weighted_sample_guards(spark):
+    import pytest as _pt
+
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    with _pt.raises(ValueError):
+        weighted_sample(df, "id", "w", k=0)
+    # k*W overflow is CHECKED driver-side
+    big = spark.createDataFrame([(1, 1 << 40)], "id long, w long")
+    with _pt.raises(ValueError):
+        weighted_sample(big, "id", "w", k=1 << 40)
+    # empty / all-zero weight input → empty output
+    zero = spark.createDataFrame([(1, 0)], "id long, w long")
+    assert weighted_sample(zero, "id", "w", k=3).count() == 0

@@ -495,3 +495,132 @@ SELECT {cols},
          AS epoch_pos
 FROM {table}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement:
+    systematic (Madow) selection of ~``k`` rows with inclusion
+    probability proportional to ``weight_col`` — the
+    quality-weighted subsampling step ("sample 10M docs, better
+    docs more likely") between scoring and packing. Priority-based
+    weighted reservoirs need u^(1/w) floats that no two engines
+    round alike; systematic sampling needs only the cumulative
+    weight, so it is EXACT int64 end to end and replayable anywhere
+    (same seed → same sample, regardless of partitioning).
+
+    Construction: rows take the pseudorandom order
+    (stable_hash40(seed|id), id) — epoch_shuffle's order — and a row
+    is selected iff the counter ``floor(k·cum/W)`` advances across
+    its weight span:
+
+        keep ⟺ (k·cum) div W  >  (k·(cum − w)) div W
+
+    with cum the inclusive running weight and W the total. Exactly
+    k selections land when every weight ≤ W/k; a heavier row
+    absorbs multiple selection points but is emitted once (sampling
+    WITHOUT replacement — the standard systematic-sampling
+    behavior, so the output can be < k on extreme skew).
+
+    Scale shape: the running weight uses epoch_shuffle's two-level
+    decomposition — hash-TOP-bit range buckets, per-bucket window
+    cumsum, a ≤ ``buckets``-row offsets frame collected eagerly
+    (which also yields W driver-side, where k·W < 2^63 is CHECKED,
+    not assumed) — no global sort, no corpus-sized cache. Weights
+    must be non-negative integers; zero-weight rows are never
+    selected.
+
+    Returns the selected rows with the input columns.
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    if buckets <= 0 or (1 << 40) % buckets != 0:
+        raise ValueError("buckets must be a power of two <= 2^40")
+    width = (1 << 40) // buckets
+    hkey = stable_hash40(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    base = df.withColumn("__hk", hkey).withColumn(
+        "__b", F.expr(f"__hk div {width}").cast("int")
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "__cum", F.sum(F.col(weight_col).cast("bigint")).over(w_local)
+    )
+    totals = local.groupBy("__b").agg(F.max("__cum").alias("__tot"))
+    w_off = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__b", "__off", "__tot")
+    spark = df.sparkSession
+    rows = offs.collect()  # <= buckets rows (zero-residency trade)
+    total_w = sum(r["__tot"] for r in rows)
+    if total_w <= 0:
+        return df.limit(0).select(*df.columns)
+    if k * total_w >= (1 << 63):
+        raise ValueError(
+            f"k*W = {k}*{total_w} overflows int64; reduce k or "
+            "pre-scale weights"
+        )
+    offs_lit = spark.createDataFrame(
+        [(r["__b"], r["__off"]) for r in rows], "__b int, __off bigint"
+    )
+    keep = F.expr(
+        f"(({k} * (__off + __cum)) div {total_w})"
+    ) > F.expr(
+        f"(({k} * (__off + __cum - CAST({weight_col} AS BIGINT)))"
+        f" div {total_w})"
+    )
+    return (
+        local.join(F.broadcast(offs_lit), "__b")
+        .where(keep)
+        .select(*df.columns)
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`: one global window
+    cumsum over the identical (hash, id) order, the identical
+    integer selection predicate (``//`` ≡ Spark ``div``)."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    if cols == "*":
+        # column parity with the Spark operator (input columns only)
+        # — strip the internal cumsum/total helpers, the
+        # select_to_token_budget_sql discipline
+        cols = "* EXCLUDE (__cum, __w)"
+
+    h = stable_hash40_sql(f"'{seed}|' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH __wcum AS (
+  SELECT *,
+         SUM(CAST({weight_col} AS BIGINT)) OVER (
+           ORDER BY {h}, {id_col}) AS __cum
+  FROM {table}),
+__wtot AS (
+  SELECT CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT) AS __w
+  FROM {table})
+SELECT {cols} FROM __wcum CROSS JOIN __wtot
+WHERE __w > 0
+  AND ({k} * __cum) // __w
+      > ({k} * (__cum - CAST({weight_col} AS BIGINT))) // __w
+"""

@@ -385,6 +385,11 @@ _SD_MIN_COS = 0.3
 # admission boundary is exercised at every SF
 _TB_BUDGET = 12_000
 _TB_SHARDS = 64
+# weighted systematic sample: ~30% of the sf0.01 corpus, weights =
+# token counts, so heavy/light docs and multi-increment spans all
+# occur at every SF
+_WS_K = 150
+_WS_SEED = 11
 # mixture resampling: weighted subset of the 20 source domains;
 # unlisted domains drop (weight 0)
 _MIX_PARTS = {"src0": 4, "src1": 2, "src2": 2, "src3": 1, "src4": 1}
@@ -477,6 +482,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       fused struct-stream explode; the template-farm signal
       within-doc repetition can't see (C55, round 6;
       operators/reporting.py diversity_report),
+    - ``weighted_sample`` — deterministic weighted systematic
+      (Madow) sampling: inclusion ∝ weight via the exact-int64
+      counter predicate over the two-level sharded cumsum — no
+      float priorities, no global sort (C56, round 6;
+      operators/selection.py weighted_sample),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -578,6 +588,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_mixture,
         resample_sqrt_mixture,
         select_to_token_budget,
+        weighted_sample,
     )
     from umls2rdf_spark.operators.similarity import (
         decontaminate_embeddings,
@@ -786,6 +797,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_section(
             diversity_report(docs, "doc_id", "text", "source"),
             "diversity_report",
+        ),
+        # SURVEY C56 (round 6): deterministic weighted systematic
+        # sampling — inclusion ∝ token count, exact int64 selection
+        # predicate over the two-level sharded cumsum (no global
+        # sort, no float priorities)
+        fingerprint_section(
+            weighted_sample(
+                toked, "doc_id", "ntok", k=_WS_K, seed=_WS_SEED
+            ),
+            "weighted_sample",
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1749,6 +1770,7 @@ def _text_scoring_sql() -> str:
         resample_mixture_sql,
         resample_sqrt_mixture_sql,
         select_to_token_budget_sql,
+        weighted_sample_sql,
     )
     from umls2rdf_spark.plans.llm_demos import (
         DEDUP_MINHASH_SQL,
@@ -1886,6 +1908,14 @@ def _text_scoring_sql() -> str:
                 "tok_ttr_ppm", "big_occ", "big_distinct",
                 "big_ttr_ppm",
             ],
+        ),
+        fingerprint_sql(
+            "weighted_sample",
+            weighted_sample_sql(
+                _TOKED_SQL, "doc_id", "ntok", k=_WS_K, seed=_WS_SEED,
+                cols=", ".join(_DOC_COLS + ["ntok"]),
+            ),
+            _DOC_COLS + ["ntok"],
         ),
         fingerprint_sql(
             "gopher_quality",
