@@ -1186,3 +1186,59 @@ def test_weighted_sample_guards(spark):
     # empty / all-zero weight input → empty output
     zero = spark.createDataFrame([(1, 0)], "id long, w long")
     assert weighted_sample(zero, "id", "w", k=3).count() == 0
+
+
+# ── per-source score calibration (C57) ──────────────────────────────
+def test_score_percentile_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.selection import (
+        score_percentile,
+        score_percentile_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = score_percentile(docs, "doc_id", "n_chars", "source")
+    assert_matches_oracle(
+        got,
+        duck,
+        score_percentile_sql(
+            "documents", "doc_id", "n_chars", "source", cols="t.*"
+        ),
+    )
+
+
+def test_score_percentile_semantics(spark):
+    from umls2rdf_spark.operators.selection import score_percentile
+
+    rows = [
+        (1, 10, "a"), (2, 20, "a"), (3, 20, "a"), (4, 30, "a"),
+        (5, 999, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, g string")
+    out = {r.id: r.pct_ppm
+           for r in score_percentile(df, "id", "s", "g").collect()}
+    assert out[1] == 0                 # group minimum → 0
+    assert out[2] == out[3] == 250000  # ties share (1 of 4 below)
+    assert out[4] == 750000            # 3 of 4 below
+    assert out[5] == 0                 # singleton group
+    # "top 25% of each group" via one global cut keeps exactly the
+    # per-group top scores — the cross-source calibration point
+    top = {r.id for r in
+           score_percentile(df, "id", "s", "g")
+           .where(F.col("pct_ppm") >= 750000).collect()}
+    assert top == {4}
+
+
+def test_score_percentile_corpus_is_not_windowed(spark):
+    """The corpus-scale side sees only a groupBy + broadcast join —
+    no Sort/Window over the full table (the CDF window runs on the
+    bounded counts frame; pin no SortMergeJoin and a broadcast)."""
+    from umls2rdf_spark.operators.selection import score_percentile
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        score_percentile(docs, "doc_id", "n_chars", "source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

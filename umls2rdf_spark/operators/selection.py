@@ -624,3 +624,80 @@ WHERE __w > 0
   AND ({k} * __cum) // __w
       > ({k} * (__cum - CAST({weight_col} AS BIGINT))) // __w
 """
+
+
+def score_percentile(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group score → percentile calibration: each row's exact
+    within-group percentile (ppm of the group's rows scoring
+    STRICTLY below it) — the normalization step before a single
+    global threshold can act across heterogeneous sources
+    (FineWeb-edu-style per-shard calibration: "keep the top 10% of
+    EACH source" needs every source's own CDF, not the global one;
+    raw classifier scores aren't comparable across domains).
+
+    Engine-exact and scale-safe by the distinct-count-value
+    argument: the CDF is computed on the (group, score) COUNTS frame
+    — bounded by |groups| × |score classes|, and the engine's scores
+    are quantized integers by discipline — with one window over that
+    bounded frame, then broadcast-joined back to the corpus. The
+    corpus itself is never sorted or windowed; the only
+    corpus-scale op is one map-side-combined groupBy + one broadcast
+    join. Percentile is the int64 floor-division
+    ``below * 1_000_000 div n`` (strictly-below convention: the
+    minimum scores 0, the maximum scores < 1_000_000; ties share a
+    percentile — the property that makes "top p%" cuts stable).
+
+    Output: the input columns + ``pct_ppm``.
+    """
+    counts = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_cdf = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = counts.withColumn(
+        "__below", F.coalesce(F.sum("__cnt").over(w_cdf), F.lit(0))
+    )
+    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    dim = cdf.join(tot, group_col).select(
+        group_col,
+        score_col,
+        F.expr("__below * 1000000 div __n").alias("pct_ppm"),
+    )
+    return df.join(F.broadcast(dim), [group_col, score_col]).select(
+        *df.columns, "pct_ppm"
+    )
+
+
+def score_percentile_sql(
+    table: str,
+    id_col: str,
+    score_col: str,
+    group_col: str,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`score_percentile`: the same bounded
+    (group, score) CDF frame, the same strictly-below int64 ppm."""
+    return f"""
+WITH __counts AS (
+  SELECT {group_col}, {score_col}, COUNT(*) AS __cnt
+  FROM {table} GROUP BY 1, 2),
+__cdf AS (
+  SELECT {group_col}, {score_col},
+         COALESCE(SUM(__cnt) OVER (
+           PARTITION BY {group_col} ORDER BY {score_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS __below,
+         SUM(__cnt) OVER (PARTITION BY {group_col}) AS __n
+  FROM __counts)
+SELECT {cols},
+       CAST(__below * 1000000 // __n AS BIGINT) AS pct_ppm
+FROM {table} t JOIN __cdf USING ({group_col}, {score_col})
+"""

@@ -487,6 +487,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       counter predicate over the two-level sharded cumsum — no
       float priorities, no global sort (C56, round 6;
       operators/selection.py weighted_sample),
+    - ``score_calibration`` — per-source score→percentile
+      normalization on the bounded (source, score) CDF frame,
+      broadcast back (the corpus is never sorted or windowed); the
+      cross-source calibration before a global threshold (C57,
+      round 6; operators/selection.py score_percentile),
     - ``html_extract`` — HTML → visible-text extraction + page
       audit stats in one codegen select over the deterministically
       wrapped corpus, byte-exact vs the oracle built from the same
@@ -587,6 +592,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_shuffle,
         resample_mixture,
         resample_sqrt_mixture,
+        score_percentile,
         select_to_token_budget,
         weighted_sample,
     )
@@ -807,6 +813,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 toked, "doc_id", "ntok", k=_WS_K, seed=_WS_SEED
             ),
             "weighted_sample",
+        ),
+        # SURVEY C57 (round 6): per-source score→percentile
+        # calibration — the CDF lives on the bounded (source, score)
+        # counts frame (distinct-count-value argument), broadcast
+        # back; the corpus is never sorted or windowed
+        fingerprint_section(
+            score_percentile(docs, "doc_id", "n_chars", "source"),
+            "score_calibration",
         ),
         # SURVEY D7: the one-pass profiler's exact mode (the
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
@@ -1769,6 +1783,7 @@ def _text_scoring_sql() -> str:
         epoch_shuffle_sql,
         resample_mixture_sql,
         resample_sqrt_mixture_sql,
+        score_percentile_sql,
         select_to_token_budget_sql,
         weighted_sample_sql,
     )
@@ -1916,6 +1931,14 @@ def _text_scoring_sql() -> str:
                 cols=", ".join(_DOC_COLS + ["ntok"]),
             ),
             _DOC_COLS + ["ntok"],
+        ),
+        fingerprint_sql(
+            "score_calibration",
+            score_percentile_sql(
+                "documents", "doc_id", "n_chars", "source",
+                cols=", ".join(f"t.{c}" for c in _DOC_COLS),
+            ),
+            _DOC_COLS + ["pct_ppm"],
         ),
         fingerprint_sql(
             "gopher_quality",
