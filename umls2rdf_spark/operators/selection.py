@@ -652,6 +652,11 @@ def score_percentile(
     minimum scores 0, the maximum scores < 1_000_000; ties share a
     percentile — the property that makes "top p%" cuts stable).
 
+    ``score_col`` must be non-null (the NULL class would not match
+    its own CDF row in the equi-join and the row would silently
+    drop) — the select_to_token_budget contract; score unscored
+    rows 0 upstream.
+
     Output: the input columns + ``pct_ppm``.
     """
     counts = df.groupBy(group_col, score_col).agg(
