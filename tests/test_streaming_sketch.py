@@ -119,3 +119,109 @@ def test_restart_and_epoch_rewrite_are_noops(spark, tmp_path):
 def test_read_before_first_batch_is_none(spark, tmp_path):
     assert read_cms(spark, str(tmp_path / "nope")) is None
     assert read_hll(spark, str(tmp_path / "nope")) is None
+
+
+# ── continuous quality-report maintenance (streaming/reporting.py) ──
+def _split_sourced_corpus(spark, tmp_path, parts=3):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = tmp_path / "qsrc"
+    os.makedirs(src, exist_ok=True)
+    for p in range(parts):
+        pdf = docs.where(F.col("doc_id") % parts == p).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"part{p}.parquet"),
+        )
+    return docs, str(src)
+
+
+def test_streamed_quality_report_equals_batch(spark, tmp_path):
+    from umls2rdf_spark.operators.reporting import quality_report
+    from umls2rdf_spark.streaming.reporting import (
+        read_quality_report,
+        run_quality_report_maintenance,
+    )
+
+    docs, src = _split_sourced_corpus(spark, tmp_path)
+    state = str(tmp_path / "qstate")
+    run_quality_report_maintenance(
+        _stream(spark, src), state, str(tmp_path / "qckpt")
+    )
+    epochs = spark.read.parquet(f"{state}/qr").select(
+        "batch_id"
+    ).distinct().count()
+    assert epochs >= 2
+    got = sorted(
+        map(tuple, read_quality_report(spark, state).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            quality_report(docs, "doc_id", "text", "source").collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_quality_report_epoch_rewrite_is_noop(spark, tmp_path):
+    """At-least-once replay: rewriting an epoch's partial with the
+    same data leaves the standing report unchanged."""
+    from umls2rdf_spark.operators.reporting import (
+        quality_report_partial,
+    )
+    from umls2rdf_spark.streaming.reporting import (
+        read_quality_report,
+        run_quality_report_maintenance,
+    )
+
+    docs, src = _split_sourced_corpus(spark, tmp_path)
+    state = str(tmp_path / "qstate2")
+    run_quality_report_maintenance(
+        _stream(spark, src), state, str(tmp_path / "qckpt2")
+    )
+    before = sorted(
+        map(tuple, read_quality_report(spark, state).collect())
+    )
+    # replay epoch 0: same rows (doc_id % parts == 0), same partition
+    quality_report_partial(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text", "source"
+    ).write.mode("overwrite").parquet(f"{state}/qr/batch_id=0")
+    after = sorted(
+        map(tuple, read_quality_report(spark, state).collect())
+    )
+    assert after == before
+
+
+def test_quality_report_partial_merges_exactly(spark):
+    """finalize(UNION of shard partials) == whole-corpus report —
+    the additivity contract that makes the maintenance loop exact."""
+    from umls2rdf_spark.operators.reporting import (
+        finalize_quality_report,
+        quality_report,
+        quality_report_partial,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    shards = [
+        quality_report_partial(
+            docs.where(F.col("doc_id") % 2 == r), "doc_id", "text", "source"
+        )
+        for r in (0, 1)
+    ]
+    merged = finalize_quality_report(
+        shards[0].unionByName(shards[1]), "source"
+    )
+    want = quality_report(docs, "doc_id", "text", "source")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -32,12 +32,21 @@ from umls2rdf_spark.operators.repetition import (
 )
 
 
-def quality_report(
+def quality_report_partial(
     df: DataFrame,
     id_col: str,
     text_col: str,
     domain_col: str,
 ) -> DataFrame:
+    """The report's MERGEABLE state: every column is an int64 SUM
+    (the DIV average is deliberately absent — it finalizes on read),
+    so partials from shards / micro-batches / other clusters merge
+    by groupBy(domain).sum(*) exactly. This is what the streaming
+    maintenance loop (streaming/reporting.py) writes per epoch.
+
+    Output per domain: n_docs, pii_docs, sum_pii, rep_pass_docs,
+    bigram_docs, sum_topbg_q.
+    """
     counts, _scrubbed = pii_count_columns(text_col)
     per_row = df.select(
         F.col(domain_col),
@@ -52,7 +61,7 @@ def quality_report(
         F.col("__r.top_bigram_frac_q").alias("__topbg"),
         F.col("__r.passes").alias("__passes"),
     )
-    agg = per_row.groupBy(domain_col).agg(
+    return per_row.groupBy(domain_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("__pii") > 0, 1).otherwise(0))
         .cast("bigint")
@@ -68,9 +77,28 @@ def quality_report(
         .alias("bigram_docs"),
         F.sum(F.coalesce(F.col("__topbg"), F.lit(0)))
         .cast("bigint")
-        .alias("__sum_topbg"),
+        .alias("sum_topbg_q"),
     )
-    return agg.select(
+
+
+def finalize_quality_report(
+    partials: DataFrame, domain_col: str
+) -> DataFrame:
+    """Merge partial report rows (groupBy(domain).sum — exact, by
+    int64 additivity) and compute the one non-additive column, the
+    DIV average. finalize(partial(corpus)) == quality_report(corpus)
+    row for row; finalize over UNION of shard partials equals the
+    whole-corpus report (pinned by the streaming test)."""
+    merged = partials.groupBy(domain_col).agg(
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for c in (
+                "n_docs", "pii_docs", "sum_pii",
+                "rep_pass_docs", "bigram_docs", "sum_topbg_q",
+            )
+        ]
+    )
+    return merged.select(
         domain_col,
         "n_docs",
         "pii_docs",
@@ -79,10 +107,22 @@ def quality_report(
         "bigram_docs",
         F.when(
             F.col("bigram_docs") > 0,
-            F.expr("__sum_topbg DIV bigram_docs"),
+            F.expr("sum_topbg_q DIV bigram_docs"),
         )
         .cast("bigint")
         .alias("avg_top_bigram_ppm"),
+    )
+
+
+def quality_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+) -> DataFrame:
+    return finalize_quality_report(
+        quality_report_partial(df, id_col, text_col, domain_col),
+        domain_col,
     )
 
 
