@@ -56,9 +56,14 @@ def test_observe_custom_metrics_and_single_job(spark):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs(action):
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # count by MAX job id, not list length: the status tracker
+        # EVICTS old entries in a long-lived session (full-suite
+        # runs), so length deltas can go negative; ids are monotone
+        ids = tracker.getJobIdsForGroup(None) or []
+        before = max(ids) if ids else -1
         out = action()
-        return out, len(tracker.getJobIdsForGroup(None) or []) - before
+        ids = tracker.getJobIdsForGroup(None) or []
+        return out, (max(ids) if ids else -1) - before
 
     _, plain_jobs = jobs(docs.count)
     n, observed_jobs = jobs(observed.count)
