@@ -634,3 +634,77 @@ def test_dsir_matches_python_replica(spark, rows):
             sum(w.get(stable_hash40_py(t) % B, 0) for t in tk),
         )
     assert got == expected
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # id
+            st.integers(min_value=0, max_value=50),      # weight
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_replica(spark, items, k, seed):
+    """weighted_sample equals the pure-Python systematic rule over
+    the (hash(seed|id), id) order — including empty frames,
+    all-zero weights and weights heavier than W/k (the
+    without-replacement absorption case)."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_py
+    from umls2rdf_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame(items, "id long, w long")
+    got = sorted(
+        r["id"] for r in weighted_sample(df, "id", "w", k, seed).collect()
+    )
+
+    W = sum(w for _, w in items)
+    if W == 0:
+        assert got == []
+        return
+    order = sorted(
+        items, key=lambda t: (stable_hash40_py(f"{seed}|{t[0]}"), t[0])
+    )
+    exp, cum = [], 0
+    for i, w in order:
+        cum += w
+        if (k * cum) // W > (k * (cum - w)) // W:
+            exp.append(i)
+    assert got == sorted(exp)
+    assert len(exp) <= k
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),   # id
+            st.integers(min_value=0, max_value=5),        # score
+            st.sampled_from(["a", "b", "c"]),             # group
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_score_percentile_matches_replica(spark, items):
+    """score_percentile equals the strictly-below/n ppm rule per
+    group for arbitrary inputs (ties, singleton groups, one-score
+    groups)."""
+    from umls2rdf_spark.operators.selection import score_percentile
+
+    df = spark.createDataFrame(items, "id long, s long, g string")
+    got = {
+        r["id"]: r["pct_ppm"]
+        for r in score_percentile(df, "id", "s", "g").collect()
+    }
+    exp = {}
+    for i, s, g in items:
+        grp = [s2 for _, s2, g2 in items if g2 == g]
+        exp[i] = sum(1 for v in grp if v < s) * 1_000_000 // len(grp)
+    assert got == exp
