@@ -2652,7 +2652,8 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-unrolled so every iteration is value-verified — and
     ``label_prop`` (B42): label-propagation communities over the
     same graph, deterministic synchronous adoption with the oracle
-    unrolling the identical rounds."""
+    unrolling the identical rounds — and ``cohort_retention``
+    (B43): the day-grain product-analytics retention matrix."""
     from umls2rdf_spark.plans.analytics_extra import (
         events_hopping,
         events_windowed,
@@ -2711,6 +2712,14 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # argmax aggregation; the oracle unrolls the same
             # rounds, value-verifying the trajectory
             fingerprint_section(lp_frame, "label_prop"),
+            # B43 (round 6): day-grain cohort retention — the
+            # product-analytics matrix; (user, day) distinct frame,
+            # min-day cohorts, one user join + one map-side-combined
+            # count (no COUNT DISTINCT needed by construction)
+            fingerprint_section(
+                _cohort_retention_frame(spark, sf_dir),
+                "cohort_retention",
+            ),
         ]
     )
 
@@ -2750,6 +2759,51 @@ def _pagerank_sql() -> str:
 
 
 _LP_ITERS = 4
+
+
+def _cohort_retention_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B43: cohort retention over the event stream — the classic
+    product-analytics matrix (users who first appeared on day D,
+    still active D+k days later). Day-grain activity is the
+    (user, day) DISTINCT frame; each user's cohort is their min day;
+    the matrix is one join back on user_id + one count — the final
+    count needs no DISTINCT because (user, day) is already distinct,
+    so every aggregation map-side combines. All date/int arithmetic,
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            # ISO string, not DATE: pandas renders DATE columns as
+            # midnight datetimes on the DuckDB side, breaking the
+            # driver's stringified compare
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+coh AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', cohort_day, day) AS INT) AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
 
 
 def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,6 +2935,11 @@ def _event_windows_sql() -> str:
             "label_prop",
             _label_prop_sql(),
             ["node", "label"],
+        ),
+        fingerprint_sql(
+            "cohort_retention",
+            _COHORT_SQL,
+            ["cohort_day", "offset_days", "n_users"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
