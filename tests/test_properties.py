@@ -708,3 +708,145 @@ def test_score_percentile_matches_replica(spark, items):
         grp = [s2 for _, s2, g2 in items if g2 == g]
         exp[i] = sum(1 for v in grp if v < s) * 1_000_000 // len(grp)
     assert got == exp
+
+
+_UNICODE_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0x400, max_codepoint=0x4FF),   # Cyrillic
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF), # CJK
+        st.sampled_from("\t\n\r"),
+    ),
+    max_size=40,
+)
+
+
+@given(
+    texts=st.lists(_UNICODE_TEXT, min_size=1, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_char_profile_unicode_dialect_fuzz(spark, texts):
+    """C53's regex patterns must mean the same thing to Java regex
+    and RE2 for ARBITRARY mixed-script text — the dialect-parity
+    risk a fixed fixture can't cover. Compares full frames engine
+    vs engine."""
+    import duckdb
+
+    from umls2rdf_spark.operators.textstats import (
+        char_profile,
+        char_profile_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in char_profile(df, "id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = [
+        "id", "n_chars", "non_ascii_ppm", "letter_ppm", "digit_ppm",
+        "upper_ppm", "white_ppm", "cyrillic_ppm", "cjk_ppm",
+        "dom_script", "mostly_ascii",
+    ]
+    sel = ", ".join(cols)
+    exp = sorted(
+        tuple("None" if v is None else str(v) for v in r)
+        for r in con.execute(
+            f"SELECT {sel} FROM ("
+            + char_profile_sql("SELECT * FROM t", "id", "text")
+            + ") q"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab1 .-"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_kn_surprisal_replica_fuzz(spark, texts):
+    """KN quantization chain vs the plain-Python replica over
+    arbitrary tiny corpora (single-token docs, empty docs, repeated
+    bigrams, punctuation-only)."""
+    import math
+    import re
+    from collections import Counter
+
+    from umls2rdf_spark.operators.textstats import kn_surprisal
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_q)
+        for r in kn_surprisal(df, "doc_id", "text").collect()
+    }
+
+    occ = []
+    for did, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        occ += [(did, a, b) for a, b in zip(toks, toks[1:])]
+    big = Counter((a, b) for _, a, b in occ)
+    if not big:
+        assert got == {}
+        return
+    cc: Counter = Counter()
+    n1: Counter = Counter()
+    n2: Counter = Counter()
+    for (a, b), c in big.items():
+        cc[a] += c
+        n1[a] += 1
+        n2[b] += 1
+    B = len(big)
+    scale = 1 << 20
+    wq = {}
+    for (a, b), c in big.items():
+        num = float(B) * float(4 * c - 3) + float(3 * n1[a]) * float(n2[b])
+        den = float(cc[a]) * float(4 * B)
+        wq[(a, b)] = int(round((math.log2(den) - math.log2(num)) * scale))
+    exp: dict = {}
+    for did, a, b in occ:
+        n, s = exp.get(did, (0, 0))
+        exp[did] = (n + 1, s + wq[(a, b)])
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_containment_invariants_fuzz(spark, docs):
+    """For every pair: containment_a >= jaccard, containment_b >=
+    jaccard, all in [0, 1], and inter <= min(sz_a, sz_b) — Broder's
+    basic inequalities over arbitrary word soup."""
+    from umls2rdf_spark.operators.dedup import containment_verify_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(docs)) for b in range(len(docs)) if a < b],
+        "id_a long, id_b long",
+    )
+    for r in containment_verify_pairs(
+        df, pairs, "doc_id", "text", shingle_n=2
+    ).collect():
+        assert r.inter <= min(r.sz_a, r.sz_b)
+        for c in (r.jaccard, r.containment_a, r.containment_b):
+            assert c is None or 0.0 <= c <= 1.0
+        if r.jaccard is not None:
+            if r.containment_a is not None:
+                assert r.containment_a >= r.jaccard - 1e-12
+            if r.containment_b is not None:
+                assert r.containment_b >= r.jaccard - 1e-12
