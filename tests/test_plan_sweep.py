@@ -120,8 +120,10 @@ FULL_SCAN_OK = {
     # diversity_report (section 46) its one fused struct-stream
     # explode scan, weighted_sample (section 47) its tokenize +
     # cumsum scan (selection is over every row by definition — the
-    # systematic counter needs the full cumulative weight):
-    # observed 40 at the 47-section surface.
+    # systematic counter needs the full cumulative weight);
+    # score_calibration (48) shares subtrees. The shared
+    # bigram-occurrence persist (one stream feeds BOTH LM scorers)
+    # keeps the ceiling at 40 despite the 48-section surface.
     "text_scoring": {"documents.parquet": 40, "embeddings.parquet": 4},
 }
 

@@ -628,12 +628,36 @@ def score_log_odds(
     )
 
 
+def bigram_occurrences(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The (id, w1, w2) bigram-occurrence stream both LM scorers
+    consume — UNPERSISTED: callers that feed several consumers (the
+    composed text_scoring demo runs bigram_surprisal AND
+    kn_surprisal) persist it ONCE through their own CacheScope and
+    pass it to each op's ``occ`` parameter, halving both the scan
+    count and the cache residency vs per-op persists."""
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+    pairs_expr = (
+        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, size(t)-2), "
+        "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
+        "ELSE array() END)[0]"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
+    ).select(
+        id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     id_col: str,
     text_col: str,
     quant_bits: int = 20,
     cache=None,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram cross-entropy against the corpus's own
     bigram LM — the context-sensitive upgrade of
@@ -669,14 +693,6 @@ def bigram_surprisal(
     scope = cache if cache is not None else op_scope(
         df.sparkSession, "bigram_surprisal"
     )
-    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
-    # bigram occurrences, map-side, tokens bound once as a lambda var
-    pairs_expr = (
-        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
-        "transform(sequence(0, size(t)-2), "
-        "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
-        "ELSE array() END)[0]"
-    )
     # ONE corpus scan+tokenize: the occurrence stream is persisted
     # and every downstream consumer — the corpus bigram counts, both
     # weight-collect jobs, the final per-doc join — reads the cache.
@@ -696,13 +712,8 @@ def bigram_surprisal(
     # explicit CacheScope param, else latest-call-only residency
     # (operators/caching.py) — the operator cannot unpersist what
     # its lazy output still reads, so the next call releases it.
-    occ = scope.persist(
-        df.select(
-            F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
-        ).select(
-            id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
-        )
-    )
+    if occ is None:
+        occ = scope.persist(bigram_occurrences(df, id_col, text_col))
     big = scope.persist(
         occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     )
@@ -887,6 +898,7 @@ def kn_surprisal(
     discount4: int = 3,
     quant_bits: int = 20,
     cache=None,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under an interpolated Kneser-Ney
     bigram LM trained on the corpus itself — the smoothed form of
@@ -940,20 +952,8 @@ def kn_surprisal(
     scope = cache if cache is not None else op_scope(
         df.sparkSession, "kn_surprisal"
     )
-    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
-    pairs_expr = (
-        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
-        "transform(sequence(0, size(t)-2), "
-        "i -> struct(t[i] AS w1, t[i+1] AS w2)) "
-        "ELSE array() END)[0]"
-    )
-    occ = scope.persist(
-        df.select(
-            F.col(id_col), F.explode(F.expr(pairs_expr)).alias("__p")
-        ).select(
-            id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
-        )
-    )
+    if occ is None:
+        occ = scope.persist(bigram_occurrences(df, id_col, text_col))
     big = scope.persist(
         occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     )

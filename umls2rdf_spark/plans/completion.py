@@ -646,6 +646,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_merges_df, bpe_vocab = train_bpe(
         docs, "text", rounds=_BPE_ROUNDS
     )
+    # ONE bigram-occurrence stream feeds both LM scorers (bigram
+    # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
+    # per-op persists would double both
+    from umls2rdf_spark.operators.caching import op_scope
+    from umls2rdf_spark.operators.textstats import bigram_occurrences
+
+    occ_scope = op_scope(spark, "ts_bigram_occ")
+    shared_occ = occ_scope.persist(
+        bigram_occurrences(docs, "doc_id", "text")
+    )
     sections = [
         fingerprint_section(
             dedup_minhash(spark, sf_dir), "minhash_pairs"
@@ -760,7 +770,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("avg_logodds",),
         ),
         fingerprint_section(
-            bigram_surprisal(docs, "doc_id", "text"),
+            bigram_surprisal(docs, "doc_id", "text", occ=shared_occ),
             "bigram_surprisal",
             ("bits_per_bigram",),
         ),
@@ -770,7 +780,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (cast-before-multiply exact-int log2 args, same expression
         # tree in the twin), per-doc sums pure int64
         fingerprint_section(
-            kn_surprisal(docs, "doc_id", "text"),
+            kn_surprisal(docs, "doc_id", "text", occ=shared_occ),
             "kn_surprisal",
             ("kn_bits_per_bigram",),
         ),
