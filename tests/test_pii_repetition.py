@@ -284,3 +284,38 @@ def test_diversity_report_empty_source_null_ttr(spark):
     # a one-token doc has tokens but no bigrams
     assert out["single"].tok_occ == 1 and out["single"].big_ttr_ppm is None
     assert out["empty"].n_docs == 1
+
+
+def test_diversity_report_null_text_engine_parity(spark, duck):
+    """NULL text (common in crawl tables) must keep its 'doc' marker in
+    BOTH engines: n_docs counts the doc, token/bigram counts see zero
+    occurrences. Regression pin for the r6 ADVICE divergence (the Spark
+    doc marker used to ride a concat() that went NULL with the token
+    array, so explode() dropped the row while the SQL twin kept it)."""
+    from umls2rdf_spark.operators.reporting import (
+        diversity_report,
+        diversity_report_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "crawl"),
+            (2, "alpha beta alpha", "crawl"),
+            (3, None, "nulls_only"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = diversity_report(df, "doc_id", "text", "source")
+    out = {r.source: r for r in got.collect()}
+    assert out["crawl"].n_docs == 2 and out["crawl"].tok_occ == 3
+    assert out["nulls_only"].n_docs == 1 and out["nulls_only"].tok_occ == 0
+    assert out["nulls_only"].tok_ttr_ppm is None
+    inline = (
+        "SELECT * FROM (VALUES (1, CAST(NULL AS VARCHAR), 'crawl'), "
+        "(2, 'alpha beta alpha', 'crawl'), "
+        "(3, CAST(NULL AS VARCHAR), 'nulls_only')) "
+        "AS v(doc_id, text, source)"
+    )
+    assert_matches_oracle(
+        got, duck, diversity_report_sql(inline, "doc_id", "text", "source")
+    )

@@ -1008,6 +1008,14 @@ def test_char_profile_semantics(spark):
     # empty doc: NULL ppm, tie default, passes the ascii gate
     assert out[4].non_ascii_ppm is None and out[4].dom_script == "latin"
     assert out[4].mostly_ascii
+    # NULL doc: identical treatment (r6 ADVICE pin — NULL class counts
+    # used to fall through the WHEN chain to 'cjk')
+    df_null = spark.createDataFrame(
+        [(5, None)], "doc_id long, text string"
+    )
+    rn = char_profile(df_null, "doc_id", "text").collect()[0]
+    assert rn.dom_script == "latin" and rn.non_ascii_ppm is None
+    assert rn.mostly_ascii and rn.n_chars is None
     # ppm identity: letter+digit partition of an alnum-only doc
     df2 = spark.createDataFrame([(9, "abc123XYZ")], "doc_id long, text string")
     r = char_profile(df2, "doc_id", "text").collect()[0]
@@ -1015,6 +1023,30 @@ def test_char_profile_semantics(spark):
         r.letter_ppm + r.digit_ppm == 1000000
     )
     assert r.upper_ppm == 333333 and r.non_ascii_ppm == 0
+
+
+def test_char_profile_null_text_engine_parity(spark, duck):
+    """NULL text rows agree byte-for-byte across engines (dom_script
+    'latin', NULL ppm) — the coalesced-class-count contract."""
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import (
+        char_profile,
+        char_profile_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ok text"), (3, "")],
+        "doc_id long, text string",
+    )
+    inline = (
+        "SELECT * FROM (VALUES (1, CAST(NULL AS VARCHAR)), "
+        "(2, 'ok text'), (3, '')) AS v(doc_id, text)"
+    )
+    assert_matches_oracle(
+        char_profile(df, "doc_id", "text"),
+        duck,
+        char_profile_sql(inline, "doc_id", "text"),
+    )
 
 
 def test_char_profile_is_single_scan_no_shuffle(spark):
@@ -1186,6 +1218,13 @@ def test_weighted_sample_guards(spark):
     # empty / all-zero weight input → empty output
     zero = spark.createDataFrame([(1, 0)], "id long, w long")
     assert weighted_sample(zero, "id", "w", k=3).count() == 0
+    # negative weights raise (r6 ADVICE: previously documented but
+    # unenforced — a negative weight silently corrupts offsets/W)
+    neg = spark.createDataFrame(
+        [(1, 5), (2, -1)], "id long, w long"
+    )
+    with _pt.raises(ValueError, match="non-negative"):
+        weighted_sample(neg, "id", "w", k=1)
 
 
 # ── per-source score calibration (C57) ──────────────────────────────
@@ -1198,12 +1237,12 @@ def test_score_percentile_matches_oracle(spark, duck):
 
     docs = load_table(spark, SF_DIR_ORACLE, "documents")
     got = score_percentile(docs, "doc_id", "n_chars", "source")
+    # default cols="*" — pins the r6 ADVICE fix (bare "*" used to leak
+    # the twin's __below/__n helpers through the JOIN)
     assert_matches_oracle(
         got,
         duck,
-        score_percentile_sql(
-            "documents", "doc_id", "n_chars", "source", cols="t.*"
-        ),
+        score_percentile_sql("documents", "doc_id", "n_chars", "source"),
     )
 
 

@@ -196,8 +196,13 @@ def diversity_report(
     big_occ, big_distinct, big_ttr_ppm (NULL ttr when a source has
     no occurrences of that kind).
     """
+    # COALESCE to array(): a NULL text column must not lose the 'doc'
+    # marker — without it the concat() below returns NULL, explode()
+    # drops the row, and n_docs undercounts vs the SQL twin (which
+    # emits the doc row unconditionally).  Crawl tables have NULL text.
     toks = (
-        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+        f"coalesce(filter(split(lower({text_col}), '[^a-z0-9]+'),"
+        " t -> t <> ''), array())"
     )
     stream = (
         f"transform(array({toks}), t -> concat("
@@ -259,9 +264,11 @@ def diversity_report_sql(
     """DuckDB twin of :func:`diversity_report` — three UNION ALL
     occurrence streams instead of the fused struct stream (the
     oracle need not be single-scan, only value-equal)."""
+    # COALESCE mirrors the Spark side: NULL text keeps its doc row and
+    # contributes zero token/bigram occurrences in both engines.
     toks = (
-        f"list_filter(string_split_regex(lower({text_col}), "
-        f"'[^a-z0-9]+'), t -> t <> '')"
+        f"coalesce(list_filter(string_split_regex(lower({text_col}), "
+        f"'[^a-z0-9]+'), t -> t <> ''), [])"
     )
     return f"""
 WITH __src AS (SELECT * FROM ({table_sql}) AS __d),

@@ -533,8 +533,8 @@ def weighted_sample(
     cumsum, a ≤ ``buckets``-row offsets frame collected eagerly
     (which also yields W driver-side, where k·W < 2^63 is CHECKED,
     not assumed) — no global sort, no corpus-sized cache. Weights
-    must be non-negative integers; zero-weight rows are never
-    selected.
+    must be non-negative integers (CHECKED in the same eager pass —
+    a negative weight raises); zero-weight rows are never selected.
 
     Returns the selected rows with the input columns.
     """
@@ -557,15 +557,26 @@ def weighted_sample(
     local = base.withColumn(
         "__cum", F.sum(F.col(weight_col).cast("bigint")).over(w_local)
     )
-    totals = local.groupBy("__b").agg(F.max("__cum").alias("__tot"))
+    totals = local.groupBy("__b").agg(
+        F.max("__cum").alias("__tot"),
+        F.min(F.col(weight_col).cast("bigint")).alias("__minw"),
+    )
     w_off = (
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__b", "__off", "__tot")
+    ).select("__b", "__off", "__tot", "__minw")
     spark = df.sparkSession
     rows = offs.collect()  # <= buckets rows (zero-residency trade)
+    min_w = min((r["__minw"] for r in rows), default=0)
+    if min_w < 0:
+        # enforced, not just documented: a negative weight breaks the
+        # monotone-cumsum invariant (max(__cum) != bucket total) and
+        # silently corrupts offsets, W, and the selection predicate
+        raise ValueError(
+            f"weights must be non-negative (min = {min_w})"
+        )
     total_w = sum(r["__tot"] for r in rows)
     if total_w <= 0:
         return df.limit(0).select(*df.columns)
@@ -690,6 +701,11 @@ def score_percentile_sql(
 ) -> str:
     """DuckDB twin of :func:`score_percentile`: the same bounded
     (group, score) CDF frame, the same strictly-below int64 ppm."""
+    if cols.strip() == "*":
+        # "t.*" keeps the twin's output schema = df columns + pct_ppm;
+        # a bare "*" would leak __cdf's __below/__n helpers through the
+        # JOIN (the file's convention — see select_to_token_budget_sql).
+        cols = "t.*"
     return f"""
 WITH __counts AS (
   SELECT {group_col}, {score_col}, COUNT(*) AS __cnt

@@ -755,8 +755,10 @@ def bigram_surprisal(
 #: pattern is written in the common Java-regex ∩ RE2 subset (explicit
 #: ranges, \\x hex escapes, no \\p{} properties — the htmlextract
 #: dialect stance), so ONE table generates both engines' expressions.
-#: BMP-only ranges: Spark length() counts UTF-16 code units and
-#: DuckDB counts code points — identical for BMP text.
+#: Both engines' length() counts CODE POINTS (Spark's length() is
+#: code-point based despite the JVM's UTF-16 strings), so the class
+#: ranges being BMP-only is a dialect-portability choice, not a
+#: length-parity requirement.
 SCRIPT_CLASSES = (
     ("ascii", "[\\x00-\\x7f]"),
     ("letter", "[A-Za-z]"),
@@ -791,16 +793,26 @@ def char_profile(
 
     Output: (id, n_chars, one ``<class>_ppm`` per SCRIPT_CLASSES
     entry except ascii which becomes ``non_ascii_ppm``, dom_script,
-    mostly_ascii). Empty documents emit NULL ppm columns and keep
-    dom_script='latin' (the tie default).
+    mostly_ascii). Empty AND NULL documents emit NULL ppm columns and
+    keep dom_script='latin' (the tie default — class counts are
+    coalesced to 0 so the tie logic, not the otherwise-branch,
+    decides).
     """
     text = F.col(text_col)
     n = F.length(text).cast("bigint")
 
     def cnt(pat: str):
-        return (
-            F.length(text) - F.length(F.regexp_replace(text, pat, ""))
-        ).cast("bigint")
+        # coalesce: NULL text must yield count 0, not NULL — otherwise
+        # the dom_script WHEN comparisons all go NULL and evaluation
+        # falls through to the 'cjk' otherwise-branch instead of the
+        # documented 'latin' tie default
+        return F.coalesce(
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, pat, ""))
+            ).cast("bigint"),
+            F.lit(0),
+        )
 
     counts = {name: cnt(pat) for name, pat in SCRIPT_CLASSES}
     ppm = {
@@ -853,10 +865,12 @@ def char_profile_sql(
     construction; 'g' flag = Spark's replace-all default)."""
 
     def cnt(pat: str) -> str:
+        # COALESCE mirrors the Spark side: NULL text → 0 counts →
+        # dom_script='latin' (the documented tie default)
         p = pat.replace("'", "''")
         return (
-            f"length({text_col}) - length(regexp_replace("
-            f"{text_col}, '{p}', '', 'g'))"
+            f"coalesce(length({text_col}) - length(regexp_replace("
+            f"{text_col}, '{p}', '', 'g')), 0)"
         )
 
     cnt_cols = ", ".join(
