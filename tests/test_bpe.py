@@ -236,3 +236,98 @@ def test_bpe_doc_tokens_conserves_vocab_totals(spark):
     }
     for i, t in enumerate(_CORPUS):
         assert words[i] == len(t.split())
+
+
+# ── local-finish path (production merge counts) ─────────────────────
+def _as_tuples(merges_df):
+    return sorted(
+        tuple(r)
+        for r in merges_df.select(
+            "round", "pair_a", "pair_b", "merged", "cnt"
+        ).collect()
+    )
+
+
+def test_local_finish_equals_distributed_rounds_4(spark):
+    """Both artifacts byte-equal across the two execution paths."""
+    from umls2rdf_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    m_d, v_d = train_bpe(df, "text", rounds=4, local_finish=False)
+    m_l, v_l = train_bpe(df, "text", rounds=4, local_finish=True)
+    assert _as_tuples(m_d) == _as_tuples(m_l)
+    assert sorted(tuple(r) for r in v_d.collect()) == sorted(
+        tuple(r) for r in v_l.collect()
+    )
+
+
+def test_local_finish_equals_distributed_through_exhaustion(spark):
+    """rounds=64 exhausts the tiny corpus's pairs well before the
+    round budget: BOTH paths must stop emitting merges at the same
+    round AND both must empty the vocab (the distributed form's
+    crossJoin-with-empty-top behavior, replicated exactly)."""
+    from umls2rdf_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    m_d, v_d = train_bpe(df, "text", rounds=64, local_finish=False)
+    m_l, v_l = train_bpe(df, "text", rounds=64, local_finish=True)
+    got_d, got_l = _as_tuples(m_d), _as_tuples(m_l)
+    assert got_d == got_l
+    assert 0 < len(got_l) < 64  # exhaustion actually happened
+    assert v_d.count() == 0 and v_l.count() == 0
+
+
+def test_local_finish_matches_reference_rounds_512(spark):
+    """Deep-round equality vs the independent recount-from-scratch
+    replica — validates the heap's incremental count maintenance and
+    lazy invalidation at depth (the naive replica recounts every
+    pair every round; the operator must land on the same winners)."""
+    from umls2rdf_spark.operators.bpe import train_bpe
+
+    corpus = [
+        " ".join(
+            "w%d%s" % (i, "abcdefghij"[: (i * 7) % 9 + 2])
+            for i in range(j, j + 40)
+        )
+        for j in range(0, 400, 40)
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    m_l, v_l = train_bpe(df, "text", rounds=512)  # auto → local
+    exp, ref_seg, ref_wf = _ref_train(corpus, rounds=512)
+    assert _as_tuples(m_l) == sorted(exp)
+    if len(exp) == 512:
+        got = {
+            r["word"]: (r["freq"], r["seg"].split(" "))
+            for r in v_l.collect()
+        }
+        assert got == {
+            w: (ref_wf[w], ref_seg[w]) for w in ref_wf
+        }
+    else:
+        assert v_l.count() == 0
+
+
+def test_local_finish_wall_rounds_1000(spark):
+    """The point of the path: 1000 merges complete in seconds (the
+    per-round distributed form would be ~2000 serial Spark jobs).
+    Generous bound — an idle box does this in single-digit seconds,
+    dominated by the one word_freqs job."""
+    import time
+
+    from umls2rdf_spark.operators.bpe import train_bpe
+
+    corpus = [
+        " ".join(
+            "tok%04d%s" % (i, "qrstuvwxyz"[: (i * 3) % 8 + 3])
+            for i in range(j, j + 100)
+        )
+        for j in range(0, 4000, 100)
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    t0 = time.monotonic()
+    m, v = train_bpe(df, "text", rounds=1000)  # auto → local
+    n_merges = m.count()
+    wall = time.monotonic() - t0
+    assert n_merges == 1000, n_merges
+    assert v.count() > 0
+    assert wall < 120, f"local-finish took {wall:.1f}s"
