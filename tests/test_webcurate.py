@@ -326,3 +326,141 @@ def test_cap_per_domain_composes_with_registered_domain(spark):
     assert len(by_dom["big.com"]) == 3
     # each co.uk registrant is its own domain
     assert sum(1 for d in by_dom if d.endswith(".co.uk")) == 5
+
+
+# ── full-PSL registered domains (wildcard + exception rules) ─────────
+# the publicsuffix.org spec's own jp/kobe test block: exact rules at
+# 1-3 labels, a wildcard rule, and an exception rule
+_PSL_RULES = (
+    "jp", "ac.jp", "kyoto.jp", "ide.kyoto.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "com", "co.uk",
+)
+
+#: (host, expected registered domain) — publicsuffix.org
+#: checkPublicSuffix vectors; spec-NULL cases (host IS a public
+#: suffix / bare label) follow the repo's pass-through convention
+_PSL_VECTORS = [
+    ("example.com", "example.com"),
+    ("WWW.example.COM", "example.com"),
+    ("jp", "jp"),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", "ac.jp"),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", "kyoto.jp"),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("ide.kyoto.jp", "ide.kyoto.jp"),
+    ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("c.kobe.jp", "c.kobe.jp"),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    ("a.www.city.kobe.jp", "city.kobe.jp"),
+    ("a.co.uk", "a.co.uk"),
+    ("b.a.co.uk", "a.co.uk"),
+    # unlisted TLD → implicit * rule (last 2 labels)
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("localhost", "localhost"),
+]
+
+
+def test_registered_domain_psl_spec_vectors(spark):
+    from umls2rdf_spark.operators.webcurate import registered_domain_psl
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(_PSL_VECTORS)],
+        "id long, host string",
+    )
+    got = {
+        r["id"]: r["reg_domain"]
+        for r in registered_domain_psl(df, "host", _PSL_RULES).collect()
+    }
+    for i, (h, want) in enumerate(_PSL_VECTORS):
+        assert got[i] == want, f"{h}: got {got[i]}, want {want}"
+
+
+def test_registered_domain_psl_engine_parity(spark, duck):
+    from umls2rdf_spark.operators.webcurate import (
+        registered_domain_psl,
+        registered_domain_psl_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(_PSL_VECTORS)],
+        "id long, host string",
+    )
+    inline = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{h}')" for i, (h, _) in enumerate(_PSL_VECTORS)
+    ) + ") AS v(id, host)"
+    assert_matches_oracle(
+        registered_domain_psl(df, "host", _PSL_RULES),
+        duck,
+        registered_domain_psl_sql(inline, "host", _PSL_RULES),
+    )
+
+
+def test_registered_domain_psl_zero_exchange(spark):
+    """The production claim: K broadcast joins, corpus never
+    shuffles — no Exchange anywhere in the executed plan."""
+    from umls2rdf_spark.operators.webcurate import registered_domain_psl
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.concat(F.col("source"), F.lit(".co.uk")).alias("host")
+    )
+    plan = (
+        registered_domain_psl(docs, "host", _PSL_RULES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+
+
+def test_parse_psl_format():
+    from umls2rdf_spark.operators.webcurate import parse_psl
+
+    text = """// ===BEGIN ICANN DOMAINS===
+// jp : https://en.wikipedia.org/wiki/.jp
+jp
+ac.jp
+
+*.kobe.jp
+!city.kobe.jp
+// ===END ICANN DOMAINS===
+COM
+"""
+    assert parse_psl(text) == (
+        "jp", "ac.jp", "*.kobe.jp", "!city.kobe.jp", "com"
+    )
+
+
+def test_cap_composes_with_psl_registered_domain(spark):
+    """The production composition: group by full-PSL eTLD+1, then
+    cap — wildcard-suffix hosts do NOT collapse into one group."""
+    from umls2rdf_spark.operators.webcurate import (
+        cap_per_domain,
+        registered_domain_psl,
+    )
+
+    rows = [
+        (i, f"sub{i}.site{i % 3}.kobe.jp") for i in range(12)
+    ] + [(100 + i, f"w{i}.example.com") for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, host string")
+    with_dom = registered_domain_psl(df, "host", _PSL_RULES)
+    capped = cap_per_domain(with_dom, "id", "reg_domain", cap=2)
+    per = {
+        r["reg_domain"]: r["n"]
+        for r in capped.groupBy("reg_domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # *.kobe.jp: siteN.kobe.jp is itself a public suffix, so each
+    # subI.siteN.kobe.jp is its OWN registered domain (cap no-op)
+    assert sum(1 for d in per if d.endswith("kobe.jp")) == 12
+    assert all(n == 1 for d, n in per.items() if d.endswith("kobe.jp"))
+    # example.com collapses: 9 docs -> cap 2
+    assert per["example.com"] == 2
