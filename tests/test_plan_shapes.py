@@ -72,18 +72,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """§6 made executable: co-bucketed tables join without a shuffle."""
     from pyspark.sql import functions as F
 
-    from umls2rdf_spark.operators.bucketing import drop_table, write_bucketed
+    from umls2rdf_spark.sources.bucketed import drop_table, write_bucketed
     from umls2rdf_spark.sources.parquet import load_table
 
     li = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
     write_bucketed(
         li.select("l_orderkey", "l_quantity"), "li_bucketed",
-        str(tmp_path / "li"), ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        ["l_orderkey"], 8, path=str(tmp_path / "li"),
+        sort_cols=["l_orderkey"],
     )
     write_bucketed(
         orders.select("o_orderkey", "o_totalprice"), "orders_bucketed",
-        str(tmp_path / "ord"), ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        ["o_orderkey"], 8, path=str(tmp_path / "ord"),
+        sort_cols=["o_orderkey"],
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

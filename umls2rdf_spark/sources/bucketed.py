@@ -73,6 +73,13 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def drop_table(spark, table: str) -> None:
+    """Drop a bucketed table from the session catalog (external data
+    files are left in place — the catalog entry, not the data, is
+    what ``write_bucketed`` owns for external tables)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def read_bucketed(spark, table: str) -> DataFrame:
     """Read a bucketed table back through the catalog (the bucket
     spec only reaches the planner via the catalog — a plain
