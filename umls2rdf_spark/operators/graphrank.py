@@ -26,10 +26,13 @@ can never overflow int64 even on mega-hub nodes, at the cost of
 dropping at most ``out_w-1`` mass units per node per iteration —
 deterministically, identically in both engines.
 
-Simplified-PageRank semantics, stated: dangling-node mass (nodes
-with no out-edges) is NOT redistributed — it decays. This is the
-documented variant, replicated exactly by the oracle; production
-rank *ordering* is insensitive to it for connected click graphs.
+Dangling-node semantics are a FLAG (``dangling=``): the default
+``"decay"`` lets dangling mass (nodes with no out-edges) leave the
+system — the simplified variant, replicated exactly by the oracle;
+``"redistribute"`` adds each round's dangling-rank sum back evenly
+(standard PageRank) at the cost of one 1-row agg per round. Rank
+*ordering* agreement between the two on click graphs is TESTED
+(tests/test_graphrank.py), not asserted.
 
 100 TB design: nodes and ranks are (node, rank_q) pairs — bytes per
 node. One iteration = one join (edges ⋈ ranks on src) + one groupBy
@@ -85,6 +88,7 @@ def pagerank(
     iters: int = 5,
     damping_pct: int = 85,
     total_q: int = 10**12,
+    dangling: str = "decay",
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank, exact int64 arithmetic.
 
@@ -99,12 +103,24 @@ def pagerank(
         contrib_v = Σ_{(u,v,w)} (rank_q(u) div out_w(u)) * w
         rank_q'_v = base + (d * contrib_v) div 100
 
+    ``dangling`` picks the dangling-node (no out-edges) treatment:
+
+    - ``"decay"`` (default): dangling mass is NOT redistributed — it
+      leaves the system, the documented simplified variant;
+    - ``"redistribute"``: standard PageRank — each round the summed
+      rank of dangling nodes is split evenly (``dang_q div N``) and
+      added to every node's contribution before damping. Costs one
+      extra shuffle-free-broadcastable 1-row agg per round (the
+      dangling-rank sum), inside the round's existing checkpoint.
+
     The degree-annotated edge frame and every iteration's rank frame
     are eagerly localCheckpoint'd — same lineage discipline as
     ``transitive_closure`` (hierarchy.py:114): without it the rank
     plan references the previous iteration's plan once per term and
     grows without bound.
     """
+    if dangling not in ("decay", "redistribute"):
+        raise ValueError(f"dangling must be decay|redistribute, got {dangling!r}")
     edges = edges.select("src", "dst", F.col("w").cast("bigint"))
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = edges.join(out_w, "src").localCheckpoint(eager=True)
@@ -129,6 +145,17 @@ def pagerank(
     base = F.expr(
         f"CAST(({100 - d}) AS BIGINT) * (CAST({total_q} AS BIGINT) div __n) div 100"
     )
+    dang_nodes = None
+    if dangling == "redistribute":
+        dang_nodes = (
+            nodes.select("node")
+            .join(
+                edges.select(F.col("src").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
     for _ in range(iters):
         contrib = (
             ew.join(ranks, ew["src"] == ranks["node"])
@@ -139,19 +166,31 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.expr(
-                        f"CAST({d} AS BIGINT) * coalesce(contrib, CAST(0 AS BIGINT)) div 100"
-                    )
-                ).alias("rank_q"),
-            )
-            .localCheckpoint(eager=True)
+        joined = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
         )
+        if dang_nodes is not None:
+            dang_q = (
+                ranks.join(dang_nodes, "node", "semi")
+                .agg(
+                    F.coalesce(F.sum("rank_q"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__dq")
+                )
+            )
+            new_rank = base + F.expr(
+                f"CAST({d} AS BIGINT) * (coalesce(contrib, "
+                "CAST(0 AS BIGINT)) + (__dq div __n)) div 100"
+            )
+            joined = joined.crossJoin(F.broadcast(dang_q))
+        else:
+            new_rank = base + F.expr(
+                f"CAST({d} AS BIGINT) * coalesce(contrib, "
+                "CAST(0 AS BIGINT)) div 100"
+            )
+        ranks = joined.select(
+            "node", new_rank.alias("rank_q")
+        ).localCheckpoint(eager=True)
     return ranks.select("node", "rank_q")
 
 
@@ -296,13 +335,18 @@ def pagerank_sql(
     iters: int = 5,
     damping_pct: int = 85,
     total_q: int = 10**12,
+    dangling: str = "decay",
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the same fixed iterations
     unrolled as chained CTEs, every arithmetic step the identical
     integer op (``//`` ≡ Spark ``div`` on positive BIGINTs), so the
     oracle value-verifies training dynamics, not just the final
     shape — same discipline as the Lloyd-iteration CTEs in
-    plans/completion.py semantic_dedup."""
+    plans/completion.py semantic_dedup. ``dangling`` mirrors the
+    operator's flag (the redistribute variant adds the per-round
+    dangling-rank sum CTE)."""
+    if dangling not in ("decay", "redistribute"):
+        raise ValueError(f"dangling must be decay|redistribute, got {dangling!r}")
     d = damping_pct
     ctes = [
         f"__edges AS ({edges_sql})",
@@ -331,15 +375,33 @@ def pagerank_sql(
   FROM __ew e JOIN __r{i - 1} r ON r.node = e.src
   GROUP BY e.dst)"""
         )
-        ctes.append(
-            f"""__r{i} AS (
+        if dangling == "redistribute":
+            ctes.append(
+                f"""__d{i} AS (
+  SELECT CAST(COALESCE(SUM(r.rank_q), 0) AS BIGINT) AS dq
+  FROM __r{i - 1} r
+  WHERE NOT EXISTS (SELECT 1 FROM __edges e WHERE e.src = r.node))"""
+            )
+            ctes.append(
+                f"""__r{i} AS (
+  SELECT n.node,
+         CAST({base} + (CAST({d} AS BIGINT)
+                   * (COALESCE(c.contrib, CAST(0 AS BIGINT))
+                      + (__d{i}.dq // __nn.n))) // 100
+           AS BIGINT) AS rank_q
+  FROM __nodes n CROSS JOIN __nn CROSS JOIN __d{i}
+  LEFT JOIN __c{i} c ON c.node = n.node)"""
+            )
+        else:
+            ctes.append(
+                f"""__r{i} AS (
   SELECT n.node,
          CAST({base} + (CAST({d} AS BIGINT)
                    * COALESCE(c.contrib, CAST(0 AS BIGINT))) // 100
            AS BIGINT) AS rank_q
   FROM __nodes n CROSS JOIN __nn
   LEFT JOIN __c{i} c ON c.node = n.node)"""
-        )
+            )
     return (
         "WITH "
         + ",\n".join(ctes)
