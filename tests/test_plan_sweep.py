@@ -123,8 +123,13 @@ FULL_SCAN_OK = {
     # systematic counter needs the full cumulative weight);
     # score_calibration (48) shares subtrees. The shared
     # bigram-occurrence persist (one stream feeds BOTH LM scorers)
-    # keeps the ceiling at 40 despite the 48-section surface.
-    "text_scoring": {"documents.parquet": 40, "embeddings.parquet": 4},
+    # kept the ceiling at 40 for the 48-section surface; the round-7
+    # unigram-LM pair (49-50) adds 2: the training run's word_freqs
+    # scan is behind its eager checkpoint (invisible here), but
+    # unigram_tokens re-derives word_freqs for the application walk
+    # and the section pair's candidate explode shares one more
+    # direct read.
+    "text_scoring": {"documents.parquet": 42, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -1,0 +1,229 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training (SURVEY §2
+C58) — plain-Python replica, engine parity, coverage/guarantee
+semantics, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+
+
+# ── plain-Python reference trainer (independent implementation) ────
+def _ref_train(
+    texts,
+    vocab_size=64,
+    rounds=2,
+    max_len=4,
+    seed_size=256,
+    quant_bits=20,
+):
+    import collections
+
+    wf = collections.Counter(
+        w for t in texts for w in t.split() if w != ""
+    )
+    scale = 1 << quant_bits
+
+    def substr_counts(counts_source):
+        c = collections.Counter()
+        for w, f in counts_source.items():
+            n = len(w)
+            for s in range(n):
+                for l in range(1, min(max_len, n - s) + 1):
+                    c[w[s : s + l]] += f
+        return c
+
+    seed = substr_counts(wf)
+    chars = {p for p in seed if len(p) == 1}
+
+    def prune(counts, keep):
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = dict(ranked[:keep])
+        for ch in chars:
+            out.setdefault(ch, counts.get(ch, 0))
+        return out
+
+    def costs(counts):
+        t, v = sum(counts.values()), len(counts)
+        return {
+            p: int(
+                _py_round_half_up(
+                    (math.log2(t + v) - math.log2(c + 1)) * scale
+                )
+            )
+            for p, c in counts.items()
+        }
+
+    mult = 1
+    for i in range(2, max_len + 1):
+        mult = mult * i // math.gcd(mult, i)
+
+    def segment(word, cost):
+        parts, pos, n = [], 0, len(word)
+        while pos < n:
+            cands = []
+            for l in range(1, min(max_len, n - pos) + 1):
+                p = word[pos : pos + l]
+                if p in cost:
+                    cands.append(((cost[p] * mult) // l, -l, p))
+            key, negl, p = min(cands)
+            parts.append(p)
+            pos += -negl
+        return parts
+
+    voc = prune(seed, seed_size)
+    for _ in range(rounds):
+        cost = costs(voc)
+        use = __import__("collections").Counter()
+        for w, f in wf.items():
+            for p in segment(w, cost):
+                use[p] += f
+        voc = prune(use, vocab_size)
+    cost = costs(voc)
+    model = {p: (voc[p], cost[p]) for p in voc}
+    seg = {w: segment(w, cost) for w in wf}
+    return model, seg, wf
+
+
+def _py_round_half_up(x: float) -> float:
+    # Spark round() / DuckDB round() are HALF-AWAY-FROM-ZERO;
+    # values here are positive
+    return math.floor(x + 0.5)
+
+
+_CORPUS = [
+    "the cat sat on the mat the bat",
+    "internationalization nationalization nation station",
+    "aaa aa aaaa ab ba",
+    "héllo héllo naïve über",   # multi-byte code points
+    "xy xy yx yx zz",
+    "low\tlower\n lowest  low",
+]
+
+
+def test_matches_python_reference(spark):
+    from umls2rdf_spark.operators.unigram import unigram_lm_train
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    got = {
+        r["piece"]: (r["cnt"], r["cost_q"])
+        for r in unigram_lm_train(
+            df, "text", vocab_size=24, rounds=2, seed_size=64
+        ).collect()
+    }
+    model, _seg, _wf = _ref_train(
+        _CORPUS, vocab_size=24, rounds=2, seed_size=64
+    )
+    assert got == model
+
+
+def test_vocab_after_matches_python_reference(spark):
+    from umls2rdf_spark.operators.unigram import unigram_vocab_after
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    got = {
+        r["word"]: (r["freq"], r["n_pieces"])
+        for r in unigram_vocab_after(
+            df, "text", vocab_size=24, rounds=2, seed_size=64
+        ).collect()
+    }
+    _model, seg, wf = _ref_train(
+        _CORPUS, vocab_size=24, rounds=2, seed_size=64
+    )
+    assert got == {w: (wf[w], len(seg[w])) for w in wf}
+
+
+def test_oracle_parity_at_oracle_sf(spark, duck):
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_lm_train_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        unigram_lm_train(docs, "text", vocab_size=32, rounds=2),
+        duck,
+        unigram_lm_train_sql(
+            "SELECT * FROM documents", "text", vocab_size=32, rounds=2
+        ),
+    )
+
+
+def test_vocab_after_oracle_parity(spark, duck):
+    from umls2rdf_spark.operators.unigram import (
+        unigram_vocab_after,
+        unigram_vocab_after_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        unigram_vocab_after(docs, "text", vocab_size=32, rounds=2),
+        duck,
+        unigram_vocab_after_sql(
+            "SELECT * FROM documents", "text", vocab_size=32, rounds=2
+        ),
+    )
+
+
+def test_coverage_and_compression_semantics(spark):
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_vocab_after,
+    )
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    model = unigram_lm_train(
+        df, "text", vocab_size=24, rounds=2, seed_size=64
+    )
+    rows = model.collect()
+    pieces = {r["piece"] for r in rows}
+    # every single character of the corpus is retained (coverage)
+    chars = {
+        c for t in _CORPUS for w in t.split() for c in w if w != ""
+    }
+    assert chars <= pieces
+    # rarer pieces cost more; counts non-negative
+    by_cnt = sorted(rows, key=lambda r: r["cnt"])
+    assert all(r["cnt"] >= 0 for r in rows)
+    assert by_cnt[0]["cost_q"] >= by_cnt[-1]["cost_q"]
+    # segmentation compresses vs chars and concatenates back
+    va = unigram_vocab_after(
+        df, "text", vocab_size=24, rounds=2, seed_size=64, model=model
+    ).collect()
+    assert all(1 <= r["n_pieces"] <= len(r["word"]) for r in va)
+    assert any(r["n_pieces"] < len(r["word"]) for r in va)
+
+
+def test_segment_reconstructs_words(spark):
+    from umls2rdf_spark.operators.bpe import word_freqs
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    model = unigram_lm_train(
+        df, "text", vocab_size=24, rounds=2, seed_size=64
+    )
+    segged = unigram_segment(
+        word_freqs(df, "text"), model, max_piece_len=4
+    ).collect()
+    for r in segged:
+        assert "".join(r["parts"]) == r["word"]
+
+
+def test_no_python_row_udfs(spark):
+    from umls2rdf_spark.operators.unigram import unigram_lm_train
+
+    df = spark.createDataFrame([(t,) for t in _CORPUS], ["text"])
+    plan = (
+        unigram_lm_train(df, "text", vocab_size=16, rounds=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -571,7 +571,16 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       SAME trained BPE tokenizer (one word explode joined to the
       broadcast vocab segmentation): the number packing/budgeting
       actually consumes, closing C42's train→apply loop at document
-      granularity (C51, round 6; operators/bpe.py).
+      granularity (C51, round 6; operators/bpe.py),
+
+    - ``unigram_model`` / ``unigram_tokens`` — unigram-LM
+      (SentencePiece-style) tokenizer training, the second tokenizer
+      family: frequent-substring seed, greedy score-aware
+      segmentation (winner-per-offset precomputed, walk via one
+      ``aggregate`` lambda), usage recount + prune per round; model
+      = (piece, cnt, quantized cost), tokens = per-word piece counts
+      under the final model; oracle unrolls the same rounds with
+      recursive-CTE walks (C58, round 7; operators/unigram.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -645,6 +654,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints execute once)
     bpe_merges_df, bpe_vocab = train_bpe(
         docs, "text", rounds=_BPE_ROUNDS
+    )
+    # likewise ONE unigram-LM training run feeds model + tokens
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_vocab_after,
+    )
+
+    uni_model = unigram_lm_train(
+        docs,
+        "text",
+        vocab_size=_UNI_VOCAB,
+        rounds=_UNI_ROUNDS,
+        seed_size=_UNI_SEED,
     )
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
     # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
@@ -1071,11 +1093,35 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe_doc_tokens(docs, "doc_id", "text", vocab=bpe_vocab),
             "bpe_doc_tokens",
         ),
+        # SURVEY C58 (round 7): unigram-LM (SentencePiece-style)
+        # tokenizer training — the second mainstream tokenizer
+        # family beside BPE: frequent-substring seed, greedy
+        # score-aware segmentation, usage recount + prune per round;
+        # one training run feeds the model AND its application half
+        # (per-word piece counts), same unrolled-CTE oracle
+        # discipline (operators/unigram.py)
+        fingerprint_section(uni_model, "unigram_model"),
+        fingerprint_section(
+            unigram_vocab_after(
+                docs,
+                "text",
+                vocab_size=_UNI_VOCAB,
+                rounds=_UNI_ROUNDS,
+                seed_size=_UNI_SEED,
+                model=uni_model,
+            ),
+            "unigram_tokens",
+        ),
     ]
     return _union(sections)
 
 
 _BPE_ROUNDS = 4
+# C58 unigram-LM demo scale: 2 EM rounds unroll compactly in the
+# oracle; 32-piece target over a 256-piece substring seed
+_UNI_VOCAB = 32
+_UNI_ROUNDS = 2
+_UNI_SEED = 256
 _DECON_MIN_COS = 0.35
 
 # C46/C47 sketch parameters: d×w = 2048 cells, m = 64 registers —
@@ -2097,6 +2143,16 @@ def _text_scoring_sql() -> str:
             _bpe_doc_tokens_sql(),
             ["doc_id", "n_words", "n_bpe_tokens"],
         ),
+        fingerprint_sql(
+            "unigram_model",
+            _unigram_model_sql(),
+            ["piece", "cnt", "cost_q"],
+        ),
+        fingerprint_sql(
+            "unigram_tokens",
+            _unigram_tokens_sql(),
+            ["word", "freq", "n_pieces"],
+        ),
     ]
     return "\nUNION ALL\n".join(pieces)
 
@@ -2106,6 +2162,30 @@ def _bpe_tokens_sql() -> str:
 
     return bpe_vocab_after_sql(
         "SELECT * FROM documents", "text", rounds=_BPE_ROUNDS
+    )
+
+
+def _unigram_model_sql() -> str:
+    from umls2rdf_spark.operators.unigram import unigram_lm_train_sql
+
+    return unigram_lm_train_sql(
+        "SELECT * FROM documents",
+        "text",
+        vocab_size=_UNI_VOCAB,
+        rounds=_UNI_ROUNDS,
+        seed_size=_UNI_SEED,
+    )
+
+
+def _unigram_tokens_sql() -> str:
+    from umls2rdf_spark.operators.unigram import unigram_vocab_after_sql
+
+    return unigram_vocab_after_sql(
+        "SELECT * FROM documents",
+        "text",
+        vocab_size=_UNI_VOCAB,
+        rounds=_UNI_ROUNDS,
+        seed_size=_UNI_SEED,
     )
 
 
