@@ -1,0 +1,299 @@
+"""Hash-sampled scale verification: value-check Spark results past
+the point where the single-process DuckDB oracle runs out of memory.
+
+The 10x/30x sweeps (tools/scale_oracle.py, SCALE.md) showed the
+ORACLE is the binding constraint (~95-106 GB RSS at 30x), not Spark.
+This tool pushes value verification to 100x by exploiting section
+LOCALITY: Spark computes each section over the FULL replica and the
+result is filtered to a deterministic stable_hash40 sample of the
+section's closure key; DuckDB computes the SAME section over ONLY
+the sampled sub-corpus. For sections whose per-row output depends
+only on its own closure (per-document or per-source), the two are
+EXACTLY equal — this is a value gate, not a statistical one.
+
+Closure classes verified here (all from the text_scoring surface):
+
+- **per-document** (row depends only on its own doc): char_profile,
+  pii_scrub, doc_repetition, gopher_quality, html_extract, simhash,
+  snapshot_diff (both snapshots derive from the same doc_id).
+- **per-source** (row depends only on its whole source/domain —
+  sampling whole sources keeps group semantics exact):
+  ingest_quarantine, quality_report, diversity_report,
+  score_calibration (the per-source CDF needs every row OF THAT
+  SOURCE, all present), domain_cap (cap ranks within source).
+
+NOT sampleable (global closure — the full-oracle sweeps remain
+their ceiling): tfidf/bm25/surprisal/kn/bigram (corpus-global
+counts), frequent_tokens, mixtures and weighted_sample (global
+totals/budgets), minhash_pairs/containment/url_dedup (cross-doc
+pairs/groups not closed under doc sampling), BPE/unigram training
+(global vocab), embedding/hard-negative families (corpus-global
+candidates), sketches (global cells). Listed explicitly in SCALE.md.
+
+Usage:
+    python tools/sampled_oracle.py [--copies 100] [--rate 16]
+        [--src /root/testdata/sf0.1] [--dst /tmp/sf10x]
+        [--skip-build] [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from tools.scale_oracle import build_replica, frame_facts, table_glob
+
+
+def _doc_sections():
+    """name -> (spark_frame_fn(docs), oracle_sql, filter_output_col).
+
+    Each Spark frame is built exactly as the text_scoring composed
+    demo builds its section (same seeded wrappers, same constants),
+    so a sampled match here is evidence about the driver surface."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.htmlextract import html_stats
+    from umls2rdf_spark.operators.pii import pii_scrub
+    from umls2rdf_spark.operators.repetition import doc_repetition
+    from umls2rdf_spark.operators.corpus import snapshot_diff
+    from umls2rdf_spark.operators.dedup import simhash
+    from umls2rdf_spark.operators.textstats import (
+        char_profile,
+        char_profile_sql,
+        gopher_quality,
+        gopher_quality_sql,
+    )
+    from umls2rdf_spark.plans import completion as C
+    from umls2rdf_spark.plans.llm_demos import DEDUP_SIMHASH_SQL
+
+    def snap(docs):
+        return snapshot_diff(
+            docs.where(F.col("doc_id") % 3 != 0),
+            docs.where(F.col("doc_id") % 5 != 0).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" rev2")),
+                ).otherwise(F.col("text")),
+            ),
+            "doc_id",
+            "text",
+        )
+
+    return {
+        "char_profile": (
+            lambda d: char_profile(
+                C._script_pages_frame(d), "doc_id", "text"
+            ),
+            char_profile_sql(C._SCRIPT_PAGES_SQL, "doc_id", "text"),
+            "doc_id",
+        ),
+        "pii_scrub": (
+            lambda d: pii_scrub(C._pii_pages_frame(d), "doc_id", "text"),
+            C._pii_scrub_sql(),
+            "doc_id",
+        ),
+        "doc_repetition": (
+            lambda d: doc_repetition(d, "doc_id", "text"),
+            C._doc_repetition_sql(),
+            "doc_id",
+        ),
+        "gopher_quality": (
+            lambda d: gopher_quality(d, "doc_id", "text"),
+            gopher_quality_sql("documents", "doc_id", "text"),
+            "doc_id",
+        ),
+        "html_extract": (
+            lambda d: html_stats(
+                C._html_pages_frame(d), "doc_id", "html", text_col="clean"
+            ),
+            C._html_extract_sql(),
+            "doc_id",
+        ),
+        "simhash": (
+            lambda d: simhash(d, "doc_id", "text"),
+            DEDUP_SIMHASH_SQL,
+            "doc_id",
+        ),
+        "snapshot_diff": (snap, C._snapshot_diff_sql(), "doc_id"),
+    }
+
+
+def _source_sections():
+    from umls2rdf_spark.operators.reporting import (
+        diversity_report,
+        diversity_report_sql,
+        quality_report,
+    )
+    from umls2rdf_spark.operators.selection import (
+        score_percentile,
+        score_percentile_sql,
+    )
+    from umls2rdf_spark.operators.webcurate import cap_per_domain
+    from umls2rdf_spark.plans import completion as C
+    from umls2rdf_spark.plans import curation_demos as CD
+
+    return {
+        "ingest_quarantine": (
+            lambda d: C._ingest_quarantine_frame(d),
+            C._QUAR_SQL,
+            "source",
+        ),
+        "quality_report": (
+            lambda d: quality_report(
+                C._pii_pages_frame(d), "doc_id", "text", "source"
+            ),
+            C._quality_report_sql(),
+            "source",
+        ),
+        "diversity_report": (
+            lambda d: diversity_report(d, "doc_id", "text", "source"),
+            diversity_report_sql(
+                "SELECT * FROM documents", "doc_id", "text", "source"
+            ),
+            "source",
+        ),
+        "score_calibration": (
+            lambda d: score_percentile(d, "doc_id", "n_chars", "source"),
+            score_percentile_sql(
+                "documents", "doc_id", "n_chars", "source"
+            ),
+            "source",
+        ),
+        "domain_cap": (
+            lambda d: cap_per_domain(
+                d, "doc_id", "source", cap=CD._CAP,
+                blocklist=CD._BLOCKLIST,
+            ),
+            CD.DOMAIN_CAP_SQL,
+            "source",
+        ),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=100)
+    ap.add_argument("--rate", type=int, default=16,
+                    help="keep keys with stable_hash40 %% rate == 0")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf10x")
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--keys", default="all")
+    args = ap.parse_args()
+
+    if not args.skip_build:
+        t0 = time.time()
+        build_replica(args.src, args.dst, args.copies,
+                      perturb_docs=True)
+        print(f"replica built at {args.dst} in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    import duckdb
+
+    from umls2rdf_spark.functions.hashing import (
+        stable_hash40,
+        stable_hash40_sql,
+    )
+    from umls2rdf_spark.session import get_spark
+
+    spark = get_spark(app_name="sampled-oracle", shuffle_partitions=32)
+    docs_path = table_glob(args.dst, "documents")
+
+    doc_pred_sql = (
+        stable_hash40_sql("CAST(doc_id AS VARCHAR)")
+        + f" % {args.rate} = 0"
+    )
+    src_pred_sql = stable_hash40_sql("source") + f" % {args.rate} = 0"
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{args.dst}/documents.parquet")
+    doc_pred = (
+        stable_hash40(F.col("doc_id").cast("string")) % args.rate == 0
+    )
+    src_pred = stable_hash40(F.col("source")) % args.rate == 0
+
+    # TWO oracle connections, each exposing the SAME table name the
+    # section twins reference ('documents') but holding only the
+    # sampled closure: by doc hash for per-doc sections, by source
+    # hash for per-source sections.
+    con_doc = duckdb.connect()
+    con_doc.execute(
+        f"CREATE TEMP TABLE documents AS SELECT * FROM '{docs_path}' "
+        f"WHERE {doc_pred_sql}"
+    )
+    con_src = duckdb.connect()
+    con_src.execute(
+        f"CREATE TEMP TABLE documents AS SELECT * FROM '{docs_path}' "
+        f"WHERE {src_pred_sql}"
+    )
+
+    plans = [
+        (name, fn, sql, fcol, con_doc, doc_pred)
+        for name, (fn, sql, fcol) in _doc_sections().items()
+    ] + [
+        (name, fn, sql, fcol, con_src, src_pred)
+        for name, (fn, sql, fcol) in _source_sections().items()
+    ]
+    wanted = None if args.keys == "all" else set(args.keys.split(","))
+
+    results = []
+    for name, fn, sql, fcol, con, pred in plans:
+        if wanted is not None and name not in wanted:
+            continue
+        t0 = time.time()
+        print(f"[{time.strftime('%H:%M:%S')}] {name}: spark(full) + "
+              f"filter...", file=sys.stderr, flush=True)
+        try:
+            frame = fn(docs).where(pred)
+            cols = frame.columns
+            s_n, s_names, s_hash = frame_facts(
+                cols, [tuple(r) for r in frame.collect()]
+            )
+            print(f"[{time.strftime('%H:%M:%S')}] {name}: "
+                  f"oracle(sampled)...", file=sys.stderr, flush=True)
+            rel = con.execute(sql)
+            o_cols = [d[0] for d in rel.description]
+            o_n, o_names, o_hash = frame_facts(o_cols, rel.fetchall())
+            ok = (s_n == o_n and s_names == o_names and s_hash == o_hash)
+            results.append((name, s_n, o_n, s_names == o_names,
+                            s_hash == o_hash, ok, time.time() - t0, None))
+        except Exception as e:
+            results.append((name, -1, -1, False, False, False,
+                            time.time() - t0,
+                            f"{type(e).__name__}: {e}"))
+
+    fail = 0
+    if args.markdown:
+        print("| section | closure | rows (spark=oracle) | schema | "
+              "values | wall (s) |")
+        print("|---|---|---|---|---|---|")
+    doc_names = set(_doc_sections())
+    for name, s_n, o_n, sch, hsh, ok, wall, err in results:
+        if not ok:
+            fail += 1
+        closure = "doc" if name in doc_names else "source"
+        if args.markdown:
+            rows = f"{s_n}={o_n}" if s_n == o_n else f"**{s_n}≠{o_n}**"
+            print(f"| {name} | {closure} | {rows} | {'✓' if sch else '✗'}"
+                  f" | {'✓' if hsh else '✗'} | {wall:.1f} |")
+        else:
+            print(name, "OK" if ok else
+                  f"FAIL rows={s_n}/{o_n} schema={sch} hash={hsh} "
+                  f"err={err}", f"{wall:.1f}s")
+        if err:
+            print(f"  {name}: {err}", file=sys.stderr)
+    print(f"{len(results) - fail}/{len(results)} green", file=sys.stderr)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
