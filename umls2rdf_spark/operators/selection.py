@@ -670,25 +670,52 @@ def score_percentile(
 
     Output: the input columns + ``pct_ppm``.
     """
-    counts = df.groupBy(group_col, score_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
+    dim = score_percentile_dim(
+        score_counts(df, score_col, group_col), score_col, group_col
+    )
+    return df.join(F.broadcast(dim), [group_col, score_col]).select(
+        *df.columns, "pct_ppm"
+    )
+
+
+def score_counts(
+    df: DataFrame, score_col: str, group_col: str
+) -> DataFrame:
+    """The bounded (group, score, __cnt) counts frame behind
+    :func:`score_percentile` — ADDITIVE across shards and epochs
+    (plain int64 sums), which is what makes it the streaming
+    calibration state (streaming/selection.py): each micro-batch
+    persists ITS OWN counts partial and the standing CDF is a
+    re-aggregation of tiny rows, never of the data."""
+    return df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+
+
+def score_percentile_dim(
+    counts: DataFrame, score_col: str, group_col: str
+) -> DataFrame:
+    """(group, score, pct_ppm) calibration dim from a (possibly
+    multi-epoch) counts frame: duplicate (group, score) rows are
+    merged first so epoch partials compose exactly; then the one
+    window runs over the bounded merged frame (strictly-below int64
+    ppm, the :func:`score_percentile` convention)."""
+    merged = counts.groupBy(group_col, score_col).agg(
+        F.sum("__cnt").cast("bigint").alias("__cnt")
     )
     w_cdf = (
         Window.partitionBy(group_col)
         .orderBy(score_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cdf = counts.withColumn(
+    cdf = merged.withColumn(
         "__below", F.coalesce(F.sum("__cnt").over(w_cdf), F.lit(0))
     )
-    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
-    dim = cdf.join(tot, group_col).select(
+    tot = merged.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    return cdf.join(tot, group_col).select(
         group_col,
         score_col,
         F.expr("__below * 1000000 div __n").alias("pct_ppm"),
-    )
-    return df.join(F.broadcast(dim), [group_col, score_col]).select(
-        *df.columns, "pct_ppm"
     )
 
 
