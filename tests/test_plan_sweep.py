@@ -128,8 +128,10 @@ FULL_SCAN_OK = {
     # scan is behind its eager checkpoint (invisible here), but
     # unigram_tokens re-derives word_freqs for the application walk
     # and the section pair's candidate explode shares one more
-    # direct read.
-    "text_scoring": {"documents.parquet": 42, "embeddings.parquet": 4},
+    # direct read; psl_domains (51) adds its one seeded-host scan —
+    # the K PSL joins are broadcasts over driver-built dims, zero
+    # further reads.
+    "text_scoring": {"documents.parquet": 43, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

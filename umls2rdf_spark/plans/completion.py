@@ -580,7 +580,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``aggregate`` lambda), usage recount + prune per round; model
       = (piece, cnt, quantized cost), tokens = per-word piece counts
       under the final model; oracle unrolls the same rounds with
-      recursive-CTE walks (C58, round 7; operators/unigram.py).
+      recursive-CTE walks (C58, round 7; operators/unigram.py),
+
+    - ``psl_domains`` — FULL Public Suffix List registered domains
+      over a seeded host mix exercising every rule kind (exact,
+      wildcard, exception, bare-label): the zero-Exchange K-join
+      plan (C37's production half, round 7; webcurate.py
+      registered_domain_psl).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -668,6 +674,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_UNI_ROUNDS,
         seed_size=_UNI_SEED,
     )
+    from umls2rdf_spark.operators.webcurate import registered_domain_psl
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
     # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
     # per-op persists would double both
@@ -1112,6 +1119,18 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "unigram_tokens",
         ),
+        # SURVEY C37's production half (round 7): FULL-PSL registered
+        # domains — wildcard + exception rules resolved by the
+        # zero-Exchange K-join plan (webcurate.py
+        # registered_domain_psl); the seeded host mix exercises every
+        # rule kind (exact 1/2-label, wildcard, exception,
+        # bare-label pass-through) in both engines
+        fingerprint_section(
+            registered_domain_psl(
+                _psl_hosts_frame(docs), "host", _PSL_RULES
+            ),
+            "psl_domains",
+        ),
     ]
     return _union(sections)
 
@@ -1122,7 +1141,48 @@ _BPE_ROUNDS = 4
 _UNI_VOCAB = 32
 _UNI_ROUNDS = 2
 _UNI_SEED = 256
+#: C37 full-PSL demo rules: one of every rule kind (1- and 2-label
+#: exact, wildcard, exception) — the publicsuffix.org kobe.jp block
+_PSL_RULES = ("com", "co.uk", "jp", "*.kobe.jp", "!city.kobe.jp")
 _DECON_MIN_COS = 0.35
+
+
+def _psl_hosts_frame(docs: DataFrame) -> DataFrame:
+    """Deterministically seeded host mix for the psl_domains section:
+    doc_id mod 5 routes each doc through a different PSL rule kind —
+    plain eTLD+1, multi-label suffix, wildcard (host has a label in
+    the * slot), exception, and the bare-label pass-through."""
+    m = F.col("doc_id") % 5
+    host = (
+        F.when(m == 0, F.concat(F.col("source"), F.lit(".alpha.com")))
+        .when(m == 1, F.concat(F.col("source"), F.lit(".beta.co.uk")))
+        .when(m == 2, F.concat(F.col("source"), F.lit(".sub.kobe.jp")))
+        .when(m == 3, F.lit("city.kobe.jp"))
+        .otherwise(F.lit("localhost"))
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+_PSL_HOSTS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN source || '.alpha.com'
+         WHEN 1 THEN source || '.beta.co.uk'
+         WHEN 2 THEN source || '.sub.kobe.jp'
+         WHEN 3 THEN 'city.kobe.jp'
+         ELSE 'localhost' END AS host
+FROM documents
+"""
+
+
+def _psl_domains_sql() -> str:
+    from umls2rdf_spark.operators.webcurate import (
+        registered_domain_psl_sql,
+    )
+
+    return registered_domain_psl_sql(
+        _PSL_HOSTS_SQL, "host", _PSL_RULES
+    )
 
 # C46/C47 sketch parameters: d×w = 2048 cells, m = 64 registers —
 # the query list mixes corpus-frequent tokens with an absent key so
@@ -2152,6 +2212,11 @@ def _text_scoring_sql() -> str:
             "unigram_tokens",
             _unigram_tokens_sql(),
             ["word", "freq", "n_pieces"],
+        ),
+        fingerprint_sql(
+            "psl_domains",
+            _psl_domains_sql(),
+            ["doc_id", "host", "reg_domain"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
