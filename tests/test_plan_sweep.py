@@ -128,10 +128,13 @@ FULL_SCAN_OK = {
     # scan is behind its eager checkpoint (invisible here), but
     # unigram_tokens re-derives word_freqs for the application walk
     # and the section pair's candidate explode shares one more
-    # direct read; psl_domains (51) adds its one seeded-host scan —
-    # the K PSL joins are broadcasts over driver-built dims, zero
-    # further reads.
-    "text_scoring": {"documents.parquet": 43, "embeddings.parquet": 4},
+    # direct read; psl_domains adds its one seeded-host scan (the K
+    # PSL joins are broadcasts over driver-built dims, zero further
+    # reads); unigram_doc_tokens (52) adds its word-occurrence
+    # explode + the application walk's word_freqs/candidate pair
+    # (model reused from the eager-checkpointed training run):
+    # observed 46 at the 52-section surface.
+    "text_scoring": {"documents.parquet": 46, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

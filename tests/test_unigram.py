@@ -227,3 +227,49 @@ def test_no_python_row_udfs(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_doc_tokens_matches_oracle(spark, duck):
+    from umls2rdf_spark.operators.unigram import (
+        unigram_doc_tokens,
+        unigram_doc_tokens_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    assert_matches_oracle(
+        unigram_doc_tokens(docs, "doc_id", "text", vocab_size=32),
+        duck,
+        unigram_doc_tokens_sql(
+            "SELECT * FROM documents", "doc_id", "text", vocab_size=32
+        ),
+    )
+
+
+def test_doc_tokens_conserve_vocab_totals(spark):
+    # sum over docs of n_unigram_tokens == sum over vocab of
+    # freq * n_pieces (every word occurrence accounted once)
+    from umls2rdf_spark.operators.unigram import (
+        unigram_doc_tokens,
+        unigram_lm_train,
+        unigram_vocab_after,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], ["doc_id", "text"]
+    )
+    model = unigram_lm_train(
+        df, "text", vocab_size=24, rounds=2, seed_size=64
+    )
+    per_doc = unigram_doc_tokens(df, "doc_id", "text", model=model)
+    doc_total = per_doc.agg(F.sum("n_unigram_tokens")).collect()[0][0]
+    va = unigram_vocab_after(
+        df, "text", vocab_size=24, rounds=2, seed_size=64, model=model
+    )
+    vocab_total = va.select(
+        F.sum(F.col("freq") * F.col("n_pieces")).alias("t")
+    ).collect()[0][0]
+    assert doc_total == vocab_total
+    words = {r.doc_id: r.n_words for r in per_doc.collect()}
+    for i, t in enumerate(_CORPUS):
+        assert words[i] == len(t.split())

@@ -464,3 +464,49 @@ def test_cap_composes_with_psl_registered_domain(spark):
     assert all(n == 1 for d, n in per.items() if d.endswith("kobe.jp"))
     # example.com collapses: 9 docs -> cap 2
     assert per["example.com"] == 2
+
+
+def test_registered_domain_psl_large_rule_table(spark, duck):
+    """Real-PSL-shaped rule table (~1000 rules, depths 1-4, wildcard
+    and exception rules mixed in): the K-join plan and the DuckDB
+    twin stay value-equal, and the plan stays broadcast-only."""
+    from umls2rdf_spark.operators.webcurate import (
+        registered_domain_psl,
+        registered_domain_psl_sql,
+    )
+
+    rules = ["com", "org", "net", "uk", "jp"]
+    rules += [f"t{i}" for i in range(200)]                    # 1-label
+    rules += [f"co.t{i}" for i in range(200)]                 # 2-label
+    rules += [f"pref.co.t{i}" for i in range(0, 200, 2)]      # 3-label
+    rules += [f"city.pref.co.t{i}" for i in range(0, 200, 4)] # 4-label
+    rules += [f"*.wild.t{i}" for i in range(0, 200, 5)]       # wildcard
+    rules += [f"!keep.wild.t{i}" for i in range(0, 200, 10)]  # exception
+    rules = tuple(rules)
+
+    hosts = []
+    for i in range(0, 200, 7):
+        hosts.append(f"a.co.t{i}")             # 2-label suffix
+        hosts.append(f"b.pref.co.t{i}")        # 3-label when listed
+        hosts.append(f"x.y.wild.t{i}")         # wildcard zone
+        hosts.append(f"keep.wild.t{i}")        # exception zone
+        hosts.append(f"plain.t{i}")            # 1-label suffix
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    got = registered_domain_psl(df, "host", rules)
+    # spot-check the semantics at each depth
+    vals = {r["host"]: r["reg_domain"] for r in got.collect()}
+    assert vals["a.co.t0"] == "a.co.t0"
+    assert vals["b.pref.co.t0"] == "b.pref.co.t0"
+    assert vals["x.y.wild.t0"] == "x.y.wild.t0"   # y.wild.t0 is PS
+    assert vals["keep.wild.t0"] == "keep.wild.t0" # exception: PS=wild.t0
+    assert vals["plain.t7"] == "plain.t7"
+    inline = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{h}')" for i, h in enumerate(hosts)
+    ) + ") AS v(id, host)"
+    assert_matches_oracle(
+        got, duck, registered_domain_psl_sql(inline, "host", rules)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")

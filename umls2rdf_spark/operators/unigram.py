@@ -474,3 +474,126 @@ def unigram_vocab_after_sql(
 SELECT word, freq, CAST(len(parts) AS INT) AS n_pieces
 FROM __walkF WHERE pos = length(word)"""
     )
+
+
+def unigram_doc_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+    quant_bits: int = UNIGRAM_QUANT_BITS,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-DOCUMENT token counts under the trained unigram-LM
+    tokenizer: (id, n_words, n_unigram_tokens) — the C51
+    (bpe_doc_tokens) counterpart for the second tokenizer family,
+    and the number packing / token-budget / epoch-sizing decisions
+    consume. One word-occurrence explode joined against the
+    vocab-bounded per-word segmentation size (broadcast — the MODEL
+    side, megabytes at web scale by Heaps' law), then a
+    map-side-combined per-doc sum.
+
+    Pass ``model`` to reuse an existing :func:`unigram_lm_train`
+    run (the composed demo does — training executes once). The
+    segmentation is computed for THIS corpus's words under the
+    model, so unlike a word→count lookup table, words absent from
+    the training corpus still segment (the single-char coverage
+    guarantee) as long as their characters appeared in training;
+    truly novel characters drop at the candidate join (fail-closed —
+    union the new corpus's chars into the model to keep them).
+    """
+    if model is None:
+        model = unigram_lm_train(
+            df,
+            text_col,
+            vocab_size,
+            rounds,
+            max_piece_len,
+            seed_size,
+            quant_bits,
+        )
+    wf = word_freqs(df, text_col)
+    nsub = unigram_segment(wf, model, max_piece_len).select(
+        "word", F.size("parts").cast("bigint").alias("__ns")
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    occ = df.select(F.col(id_col), F.explode(toks).alias("word"))
+    return (
+        occ.join(F.broadcast(nsub), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__ns").cast("bigint").alias("n_unigram_tokens"),
+        )
+    )
+
+
+def unigram_doc_tokens_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+    quant_bits: int = UNIGRAM_QUANT_BITS,
+) -> str:
+    """DuckDB twin of :func:`unigram_doc_tokens` — the shared
+    training CTE chain's final walk joined to the same
+    word-occurrence unnest (the bpe_doc_tokens_sql shape)."""
+    mult = _lcm_upto(max_piece_len)
+    ctes = _round_ctes_unigram(
+        docs_sql,
+        text_col,
+        vocab_size,
+        rounds,
+        max_piece_len,
+        seed_size,
+        quant_bits,
+    )
+    fin = rounds
+    ctes.append(
+        f"""__bestF AS (
+  SELECT word, s, l, piece FROM (
+    SELECT c.word, c.s, c.l, c.piece,
+           row_number() OVER (
+             PARTITION BY c.word, c.s
+             ORDER BY (v.cost_q * {mult}) // c.l ASC,
+                      c.l DESC, c.piece ASC) AS rn
+    FROM __cand c JOIN __voc{fin} v USING (piece)
+  ) WHERE rn = 1)"""
+    )
+    ctes.append(
+        """__walkF AS (
+  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+         CAST([] AS VARCHAR[]) AS parts
+  FROM __wf
+  UNION ALL
+  SELECT w.word, w.freq, w.pos + b.l,
+         list_append(w.parts, b.piece)
+  FROM __walkF w
+  JOIN __bestF b ON b.word = w.word AND b.s = w.pos + 1
+  WHERE w.pos < length(w.word))"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+__ns AS (
+  SELECT word, CAST(len(parts) AS BIGINT) AS ns
+  FROM __walkF WHERE pos = length(word)),
+__occ AS (
+  SELECT {id_col}, u.w AS word
+  FROM ({docs_sql}) AS __docs,
+       UNNEST(list_filter(regexp_split_to_array({text_col}, '\\s+'),
+              t -> t <> '')) AS u(w))
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(ns) AS BIGINT) AS n_unigram_tokens
+FROM __occ JOIN __ns USING (word)
+GROUP BY {id_col}"""
+    )

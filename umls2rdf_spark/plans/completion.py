@@ -663,6 +663,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # likewise ONE unigram-LM training run feeds model + tokens
     from umls2rdf_spark.operators.unigram import (
+        unigram_doc_tokens,
         unigram_lm_train,
         unigram_vocab_after,
     )
@@ -1119,6 +1120,15 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "unigram_tokens",
         ),
+        # C58's per-doc application (round 7): token counts under the
+        # SAME trained unigram model — the C51 counterpart for the
+        # second tokenizer family (model reused; training ran once)
+        fingerprint_section(
+            unigram_doc_tokens(
+                docs, "doc_id", "text", model=uni_model
+            ),
+            "unigram_doc_tokens",
+        ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
         # zero-Exchange K-join plan (webcurate.py
@@ -1173,6 +1183,19 @@ SELECT doc_id,
          ELSE 'localhost' END AS host
 FROM documents
 """
+
+
+def _unigram_doc_tokens_sql() -> str:
+    from umls2rdf_spark.operators.unigram import unigram_doc_tokens_sql
+
+    return unigram_doc_tokens_sql(
+        "SELECT * FROM documents",
+        "doc_id",
+        "text",
+        vocab_size=_UNI_VOCAB,
+        rounds=_UNI_ROUNDS,
+        seed_size=_UNI_SEED,
+    )
 
 
 def _psl_domains_sql() -> str:
@@ -2212,6 +2235,11 @@ def _text_scoring_sql() -> str:
             "unigram_tokens",
             _unigram_tokens_sql(),
             ["word", "freq", "n_pieces"],
+        ),
+        fingerprint_sql(
+            "unigram_doc_tokens",
+            _unigram_doc_tokens_sql(),
+            ["doc_id", "n_words", "n_unigram_tokens"],
         ),
         fingerprint_sql(
             "psl_domains",
