@@ -217,17 +217,18 @@ def unigram_lm_train(
         .localCheckpoint(eager=True)
     )
     chars = seed_counts.where(F.length("piece") == 1).select("piece")
-    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
 
     def prune(counts: DataFrame, keep: int) -> DataFrame:
         # top-`keep` by (cnt DESC, piece ASC) ∪ all single chars at
-        # their (possibly zero) counts; the ranking window runs on
-        # the model-sized piece frame, never the corpus
-        top = (
-            counts.withColumn("__rn", F.row_number().over(rank_w))
-            .where(F.col("__rn") <= keep)
-            .select("piece", "cnt")
-        )
+        # their (possibly zero) counts. orderBy+limit compiles to
+        # TakeOrderedAndProject — per-partition partial top-K merged
+        # on the driver — NOT a single-partition rank window (the
+        # piece frame is substring-vocab-bounded, but at crawl scale
+        # that is still millions of rows; a global window would
+        # funnel them through one reducer)
+        top = counts.orderBy(
+            F.col("cnt").desc(), F.col("piece").asc()
+        ).limit(keep)
         char_cnt = chars.join(counts, "piece", "left").select(
             "piece", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
         )
