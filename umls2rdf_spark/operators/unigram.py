@@ -340,20 +340,20 @@ def _round_ctes_unigram(
 ) -> list[str]:
     mult = _lcm_upto(max_len)
     ctes = [
-        f"__wf AS ({word_freqs_sql(docs_sql, text_col)})",
-        f"__cand AS ({_cand_sql('__wf', max_len)})",
-        """__seedcnt AS (
+        f"__wf AS MATERIALIZED ({word_freqs_sql(docs_sql, text_col)})",
+        f"__cand AS MATERIALIZED ({_cand_sql('__wf', max_len)})",
+        """__seedcnt AS MATERIALIZED (
   SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM __cand GROUP BY piece)""",
         """__chars AS (
   SELECT DISTINCT piece FROM __seedcnt WHERE length(piece) = 1)""",
-        f"__p0 AS ({_prune_sql('__seedcnt', seed_size)})",
-        f"__voc0 AS ({_costs_sql('__p0', quant_bits)})",
+        f"__p0 AS MATERIALIZED ({_prune_sql('__seedcnt', seed_size)})",
+        f"__voc0 AS MATERIALIZED ({_costs_sql('__p0', quant_bits)})",
     ]
     for r in range(1, rounds + 1):
         prev = f"__voc{r - 1}"
         ctes.append(
-            f"""__best{r} AS (
+            f"""__best{r} AS MATERIALIZED (
   SELECT word, s, l, piece FROM (
     SELECT c.word, c.s, c.l, c.piece,
            row_number() OVER (
@@ -376,21 +376,21 @@ def _round_ctes_unigram(
   WHERE w.pos < length(w.word))"""
         )
         ctes.append(
-            f"""__seg{r} AS (
+            f"""__seg{r} AS MATERIALIZED (
   SELECT word, freq, parts FROM __walk{r}
   WHERE pos = length(word))"""
         )
         ctes.append(
-            f"""__use{r} AS (
+            f"""__use{r} AS MATERIALIZED (
   SELECT u.piece AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM __seg{r}, UNNEST(parts) AS u(piece)
   GROUP BY u.piece)"""
         )
         ctes.append(
-            f"__p{r} AS ({_prune_sql(f'__use{r}', vocab_size)})"
+            f"__p{r} AS MATERIALIZED ({_prune_sql(f'__use{r}', vocab_size)})"
         )
         ctes.append(
-            f"__voc{r} AS ({_costs_sql(f'__p{r}', quant_bits)})"
+            f"__voc{r} AS MATERIALIZED ({_costs_sql(f'__p{r}', quant_bits)})"
         )
     return ctes
 
@@ -446,7 +446,7 @@ def unigram_vocab_after_sql(
     )
     fin = rounds
     ctes.append(
-        f"""__bestF AS (
+        f"""__bestF AS MATERIALIZED (
   SELECT word, s, l, piece FROM (
     SELECT c.word, c.s, c.l, c.piece,
            row_number() OVER (
@@ -559,7 +559,7 @@ def unigram_doc_tokens_sql(
     )
     fin = rounds
     ctes.append(
-        f"""__bestF AS (
+        f"""__bestF AS MATERIALIZED (
   SELECT word, s, l, piece FROM (
     SELECT c.word, c.s, c.l, c.piece,
            row_number() OVER (
