@@ -273,3 +273,47 @@ def test_doc_tokens_conserve_vocab_totals(spark):
     words = {r.doc_id: r.n_words for r in per_doc.collect()}
     for i, t in enumerate(_CORPUS):
         assert words[i] == len(t.split())
+
+
+def test_greedy_segmentation_vs_viterbi_optimal(spark):
+    """Honesty pin for the documented approximation: the greedy
+    lowest-average-cost-per-char E-step is NOT Viterbi; this test
+    quantifies the gap. Per word: greedy total cost >= the true
+    Viterbi optimum (DP over the same model), and on a realistic
+    corpus the two agree on the large majority of words (the pin is
+    the inequality plus a loose agreement floor — the approximation
+    being measurable is the point)."""
+    from umls2rdf_spark.operators.bpe import word_freqs
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model_df = unigram_lm_train(docs, "text", vocab_size=48, rounds=2)
+    cost = {r["piece"]: r["cost_q"] for r in model_df.collect()}
+    segged = unigram_segment(
+        word_freqs(docs, "text"), model_df, max_piece_len=4
+    ).collect()
+
+    def viterbi(word):
+        n = len(word)
+        INF = float("inf")
+        dp = [0] + [INF] * n
+        for i in range(1, n + 1):
+            for j in range(1, min(4, i) + 1):
+                p = word[i - j : i]
+                if p in cost and dp[i - j] + cost[p] < dp[i]:
+                    dp[i] = dp[i - j] + cost[p]
+        return dp[n]
+
+    agree = total = 0
+    for r in segged:
+        greedy_cost = sum(cost[p] for p in r["parts"])
+        opt = viterbi(r["word"])
+        assert greedy_cost >= opt, r["word"]
+        total += 1
+        agree += greedy_cost == opt
+    # loose floor: greedy finds the optimum for most real words
+    assert agree / total > 0.5, (agree, total)
