@@ -317,3 +317,41 @@ def test_greedy_segmentation_vs_viterbi_optimal(spark):
         agree += greedy_cost == opt
     # loose floor: greedy finds the optimum for most real words
     assert agree / total > 0.5, (agree, total)
+
+
+def test_min_word_freq_cutoff_and_uncoverable_drop_parity(spark, duck):
+    """Training on freq>=2 words only: the hapax word with a unique
+    character ('qux~' — '~' appears nowhere else) cannot be covered
+    by the trained vocab, so BOTH engines drop it from the
+    application output identically (the stall-and-filter contract);
+    hapax words whose chars ARE covered still segment."""
+    from umls2rdf_spark.operators.unigram import (
+        unigram_vocab_after,
+        unigram_vocab_after_sql,
+    )
+
+    corpus = [
+        "the cat sat on the mat the cat",
+        "the cat ran to the mat and sat",
+        "qux~ meat",  # both hapax; 'meat' chars covered, '~' not
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = unigram_vocab_after(
+        df, "text", vocab_size=24, rounds=2, seed_size=64,
+        min_word_freq=2,
+    )
+    words = {r["word"]: r["n_pieces"] for r in got.collect()}
+    assert "qux~" not in words          # uncoverable -> dropped
+    assert "meat" in words              # covered hapax segments
+    assert words["the"] >= 1
+    inline = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{t}')" for t in corpus
+    ) + ") AS v(text)"
+    assert_matches_oracle(
+        got,
+        duck,
+        unigram_vocab_after_sql(
+            inline, "text", vocab_size=24, rounds=2, seed_size=64,
+            min_word_freq=2,
+        ),
+    )

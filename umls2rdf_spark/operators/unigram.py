@@ -129,10 +129,15 @@ def unigram_segment(
     wf: DataFrame, model: DataFrame, max_piece_len: int
 ) -> DataFrame:
     """Segment the (word, freq) frame under a (piece, cost_q) model:
-    greedy lowest-average-cost-per-char (module docstring). The model
-    MUST contain every single character occurring in the words (the
-    trainer guarantees this for its own vocab; callers applying a
-    model to a NEW corpus must union in the new corpus's chars).
+    greedy lowest-average-cost-per-char (module docstring).
+
+    Words containing a character the model cannot represent (possible
+    when applying a model to a NEW corpus, or when training used a
+    ``min_word_freq`` cutoff) are DROPPED, identically in both
+    engines: the walk stalls at the uncoverable offset and the final
+    ``pos == length`` filter removes the word — the DuckDB twin's
+    recursive walk stops at the same missing winner row. Fail-closed;
+    union the new corpus's chars into the model to keep such words.
 
     Returns (word, freq, parts array<string>).
     """
@@ -169,7 +174,15 @@ def unigram_segment(
             F.lit(0).cast("int").alias("pos"),
             F.expr("CAST(array() AS array<string>)").alias("parts"),
         ),
-        lambda acc, _x: F.when(acc["pos"] >= F.col("__n"), acc).otherwise(
+        # stall (keep acc) when done OR when no winner exists at the
+        # next offset — an uncoverable character; the pos == __n
+        # filter below then drops the word, matching the DuckDB
+        # twin's recursive walk stopping at the missing winner row
+        lambda acc, _x: F.when(
+            (acc["pos"] >= F.col("__n"))
+            | F.element_at(F.col("__m"), acc["pos"] + F.lit(1)).isNull(),
+            acc,
+        ).otherwise(
             F.struct(
                 (
                     acc["pos"]
@@ -191,7 +204,13 @@ def unigram_segment(
         ),
     )
     return seg.select(
-        "word", "freq", walk.getField("parts").alias("parts")
+        "word",
+        "freq",
+        walk.getField("pos").alias("__pos"),
+        walk.getField("parts").alias("parts"),
+        F.col("__n"),
+    ).where(F.col("__pos") == F.col("__n")).select(
+        "word", "freq", "parts"
     )
 
 
@@ -203,13 +222,28 @@ def unigram_lm_train(
     max_piece_len: int = 4,
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """Train the unigram-LM tokenizer; returns the MODEL —
     (piece, cnt, cost_q) after ``rounds`` segment→recount→prune
     rounds — the artifact a pipeline persists (cnt = the final
     round's freq-weighted usage count; single chars are always
-    retained, possibly at cnt 0)."""
-    wf = word_freqs(df, text_col).localCheckpoint(eager=True)
+    retained, possibly at cnt 0).
+
+    ``min_word_freq`` bounds TRAINING state under adversarial
+    vocabularies: real corpora are Heaps-bounded, but boilerplate
+    ids / random tails make every word distinct and the candidate
+    frame corpus-sized (the SCALE.md 10x-perturbed finding).
+    Training on words with freq >= N caps the frame at the
+    N-or-more vocabulary while application (unigram_segment /
+    unigram_vocab_after / unigram_doc_tokens) still covers the full
+    corpus; words whose characters never reached training drop
+    fail-closed, identically in both engines."""
+    wf = (
+        word_freqs(df, text_col)
+        .where(F.col("freq") >= min_word_freq)
+        .localCheckpoint(eager=True)
+    )
     seed_counts = (
         _candidates(wf, max_piece_len)
         .groupBy("piece")
@@ -261,11 +295,15 @@ def unigram_vocab_after(
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
     model: DataFrame | None = None,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """The application half: per-word segmentation size under the
-    trained model — (word, freq, n_pieces). ``sum(freq * n_pieces)``
-    is the corpus's post-tokenizer token count (the bpe_vocab_after
-    counterpart). Pass ``model`` to reuse an existing training run."""
+    trained model — (word, freq, n_pieces) over the FULL corpus
+    vocabulary (the training cutoff, if any, does not restrict
+    application; uncoverable words drop fail-closed).
+    ``sum(freq * n_pieces)`` is the corpus's post-tokenizer token
+    count (the bpe_vocab_after counterpart). Pass ``model`` to reuse
+    an existing training run."""
     if model is None:
         model = unigram_lm_train(
             df,
@@ -275,6 +313,7 @@ def unigram_vocab_after(
             max_piece_len,
             seed_size,
             quant_bits,
+            min_word_freq,
         )
     wf = word_freqs(df, text_col)
     return unigram_segment(wf, model, max_piece_len).select(
@@ -337,10 +376,13 @@ def _round_ctes_unigram(
     max_len: int,
     seed_size: int,
     quant_bits: int,
+    min_word_freq: int = 1,
 ) -> list[str]:
     mult = _lcm_upto(max_len)
     ctes = [
-        f"__wf AS MATERIALIZED ({word_freqs_sql(docs_sql, text_col)})",
+        f"__wfall AS MATERIALIZED ({word_freqs_sql(docs_sql, text_col)})",
+        "__wf AS MATERIALIZED (SELECT * FROM __wfall"
+        f" WHERE freq >= {min_word_freq})",
         f"__cand AS MATERIALIZED ({_cand_sql('__wf', max_len)})",
         """__seedcnt AS MATERIALIZED (
   SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -395,6 +437,36 @@ def _round_ctes_unigram(
     return ctes
 
 
+def _final_walk_ctes(rounds: int, max_len: int) -> list[str]:
+    """Application-walk CTEs under the FINAL vocab, over the FULL
+    (unfiltered) word frame — a training min_word_freq cutoff never
+    restricts application; words the final vocab cannot cover stall
+    and are dropped by the pos == length filter (both engines)."""
+    mult = _lcm_upto(max_len)
+    return [
+        f"__candF AS MATERIALIZED ({_cand_sql('__wfall', max_len)})",
+        f"""__bestF AS MATERIALIZED (
+  SELECT word, s, l, piece FROM (
+    SELECT c.word, c.s, c.l, c.piece,
+           row_number() OVER (
+             PARTITION BY c.word, c.s
+             ORDER BY (v.cost_q * {mult}) // c.l ASC,
+                      c.l DESC, c.piece ASC) AS rn
+    FROM __candF c JOIN __voc{rounds} v USING (piece)
+  ) WHERE rn = 1)""",
+        """__walkF AS (
+  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+         CAST([] AS VARCHAR[]) AS parts
+  FROM __wfall
+  UNION ALL
+  SELECT w.word, w.freq, w.pos + b.l,
+         list_append(w.parts, b.piece)
+  FROM __walkF w
+  JOIN __bestF b ON b.word = w.word AND b.s = w.pos + 1
+  WHERE w.pos < length(w.word))""",
+    ]
+
+
 def unigram_lm_train_sql(
     docs_sql: str,
     text_col: str = "text",
@@ -403,6 +475,7 @@ def unigram_lm_train_sql(
     max_piece_len: int = 4,
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
+    min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`unigram_lm_train` — the identical
     trajectory unrolled as chained CTEs (the bpe/pagerank oracle
@@ -415,6 +488,7 @@ def unigram_lm_train_sql(
         max_piece_len,
         seed_size,
         quant_bits,
+        min_word_freq,
     )
     return (
         "WITH RECURSIVE "
@@ -431,10 +505,11 @@ def unigram_vocab_after_sql(
     max_piece_len: int = 4,
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
+    min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`unigram_vocab_after`: one more
-    segmentation walk under the FINAL vocab."""
-    mult = _lcm_upto(max_piece_len)
+    segmentation walk under the FINAL vocab, over the full word
+    frame."""
     ctes = _round_ctes_unigram(
         docs_sql,
         text_col,
@@ -443,31 +518,8 @@ def unigram_vocab_after_sql(
         max_piece_len,
         seed_size,
         quant_bits,
-    )
-    fin = rounds
-    ctes.append(
-        f"""__bestF AS MATERIALIZED (
-  SELECT word, s, l, piece FROM (
-    SELECT c.word, c.s, c.l, c.piece,
-           row_number() OVER (
-             PARTITION BY c.word, c.s
-             ORDER BY (v.cost_q * {mult}) // c.l ASC,
-                      c.l DESC, c.piece ASC) AS rn
-    FROM __cand c JOIN __voc{fin} v USING (piece)
-  ) WHERE rn = 1)"""
-    )
-    ctes.append(
-        """__walkF AS (
-  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
-         CAST([] AS VARCHAR[]) AS parts
-  FROM __wf
-  UNION ALL
-  SELECT w.word, w.freq, w.pos + b.l,
-         list_append(w.parts, b.piece)
-  FROM __walkF w
-  JOIN __bestF b ON b.word = w.word AND b.s = w.pos + 1
-  WHERE w.pos < length(w.word))"""
-    )
+        min_word_freq,
+    ) + _final_walk_ctes(rounds, max_piece_len)
     return (
         "WITH RECURSIVE "
         + ",\n".join(ctes)
@@ -487,6 +539,7 @@ def unigram_doc_tokens(
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
     model: DataFrame | None = None,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """Per-DOCUMENT token counts under the trained unigram-LM
     tokenizer: (id, n_words, n_unigram_tokens) — the C51
@@ -515,6 +568,7 @@ def unigram_doc_tokens(
             max_piece_len,
             seed_size,
             quant_bits,
+            min_word_freq,
         )
     wf = word_freqs(df, text_col)
     nsub = unigram_segment(wf, model, max_piece_len).select(
@@ -543,11 +597,11 @@ def unigram_doc_tokens_sql(
     max_piece_len: int = 4,
     seed_size: int = 256,
     quant_bits: int = UNIGRAM_QUANT_BITS,
+    min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`unigram_doc_tokens` — the shared
     training CTE chain's final walk joined to the same
     word-occurrence unnest (the bpe_doc_tokens_sql shape)."""
-    mult = _lcm_upto(max_piece_len)
     ctes = _round_ctes_unigram(
         docs_sql,
         text_col,
@@ -556,31 +610,8 @@ def unigram_doc_tokens_sql(
         max_piece_len,
         seed_size,
         quant_bits,
-    )
-    fin = rounds
-    ctes.append(
-        f"""__bestF AS MATERIALIZED (
-  SELECT word, s, l, piece FROM (
-    SELECT c.word, c.s, c.l, c.piece,
-           row_number() OVER (
-             PARTITION BY c.word, c.s
-             ORDER BY (v.cost_q * {mult}) // c.l ASC,
-                      c.l DESC, c.piece ASC) AS rn
-    FROM __cand c JOIN __voc{fin} v USING (piece)
-  ) WHERE rn = 1)"""
-    )
-    ctes.append(
-        """__walkF AS (
-  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
-         CAST([] AS VARCHAR[]) AS parts
-  FROM __wf
-  UNION ALL
-  SELECT w.word, w.freq, w.pos + b.l,
-         list_append(w.parts, b.piece)
-  FROM __walkF w
-  JOIN __bestF b ON b.word = w.word AND b.s = w.pos + 1
-  WHERE w.pos < length(w.word))"""
-    )
+        min_word_freq,
+    ) + _final_walk_ctes(rounds, max_piece_len)
     return (
         "WITH RECURSIVE "
         + ",\n".join(ctes)
