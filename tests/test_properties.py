@@ -850,3 +850,141 @@ def test_containment_invariants_fuzz(spark, docs):
                 assert r.containment_a >= r.jaccard - 1e-12
             if r.containment_b is not None:
                 assert r.containment_b >= r.jaccard - 1e-12
+
+
+# ── full-PSL registered domains vs an independent replica ──────────
+def _psl_reference(host: str, rules: tuple[str, ...]) -> str:
+    """Independent pure-Python publicsuffix.org algorithm: find every
+    matching rule ('*' matches exactly one label; a rule matches if
+    its labels suffix-match the host's), exceptions beat all (public
+    suffix = exception minus its leftmost label), otherwise the
+    matching rule with the most labels, default '*'. Registered
+    domain = PS + 1 label; host == PS or bare label passes through
+    (the repo convention)."""
+    labels = host.lower().split(".")
+    n = len(labels)
+    best_ps = 1  # implicit * rule
+    exc_ps = None
+    for rule in rules:
+        exc = rule.startswith("!")
+        r = rule[1:] if exc else rule
+        rl = r.split(".")
+        m = len(rl)
+        if m > n:
+            continue
+        tail = labels[n - m:]
+        ok = all(a == "*" or a == b for a, b in zip(rl, tail))
+        if not ok:
+            continue
+        if exc:
+            ps = m - 1
+            if exc_ps is None or ps > exc_ps:
+                exc_ps = ps
+        else:
+            best_ps = max(best_ps, m)
+    ps = exc_ps if exc_ps is not None else best_ps
+    if n >= ps + 1:
+        return ".".join(labels[n - ps - 1:])
+    return host.lower()
+
+
+@given(
+    st.lists(
+        st.builds(
+            lambda kind, labs: kind + ".".join(labs)
+            if kind != "*."
+            else "*." + ".".join(labs),
+            st.sampled_from(["", "", "", "*.", "!"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "net"]),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "net", "www", "x"]),
+            min_size=1,
+            max_size=5,
+        ).map(".".join),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_registered_domain_psl_matches_reference_replica(
+    spark, rules, hosts
+):
+    from umls2rdf_spark.operators.webcurate import (
+        registered_domain_psl,
+    )
+
+    # exception rules with a single label have no removable leftmost
+    # label under the spec; the parser accepts them but the reference
+    # algorithm's ps would be 0 — keep them out the way the real PSL
+    # does (exceptions always have >= 2 labels)
+    rules = tuple(
+        r for r in rules
+        if not (r.startswith("!") and "." not in r)
+    ) or ("net",)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    got = {
+        r["id"]: r["reg_domain"]
+        for r in registered_domain_psl(df, "host", rules).collect()
+    }
+    for i, h in enumerate(hosts):
+        want = _psl_reference(h, rules)
+        assert got[i] == want, (h, rules, got[i], want)
+
+
+# ── unigram-LM trainer vs the plain-Python replica on fuzz corpora ──
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=7),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_unigram_trainer_matches_replica_on_fuzz_corpora(
+    spark, texts, rounds
+):
+    """Tiny alphabet forces heavy substring collisions — the
+    adversarial case for seed ranking, tie-breaks, and the greedy
+    walk. Model AND per-word segmentation must equal the independent
+    replica exactly."""
+    from tests.test_unigram import _ref_train
+    from umls2rdf_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_vocab_after,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    model_df = unigram_lm_train(
+        df, "text", vocab_size=8, rounds=rounds, seed_size=16
+    )
+    got_model = {
+        r["piece"]: (r["cnt"], r["cost_q"]) for r in model_df.collect()
+    }
+    model, seg, wf = _ref_train(
+        texts, vocab_size=8, rounds=rounds, seed_size=16
+    )
+    assert got_model == model
+    got_seg = {
+        r["word"]: r["n_pieces"]
+        for r in unigram_vocab_after(
+            df, "text", vocab_size=8, rounds=rounds, seed_size=16,
+            model=model_df,
+        ).collect()
+    }
+    assert got_seg == {w: len(seg[w]) for w in wf}
