@@ -153,3 +153,87 @@ def test_replay_is_noop(spark, tmp_path):
         map(tuple, read_admitted(spark, state).collect())
     )
     assert after == before
+
+
+# ── continuous canonical-URL dedup intake ───────────────────────────
+def _url_frame(docs):
+    # deterministic URL mix: every third row is a utm variant of the
+    # previous row's URL (same canonical), ids keep batch order
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p"), (F.col("doc_id") % 11).cast("string"),
+    )
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(base, F.lit("?utm_source=x")),
+    ).otherwise(base)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def test_url_intake_single_epoch_equals_batch(spark, tmp_path):
+    from umls2rdf_spark.operators.webcurate import dedup_by_url
+    from umls2rdf_spark.streaming.webcurate import (
+        read_url_index,
+        run_url_dedup_intake,
+    )
+
+    docs = _url_frame(
+        load_table(spark, SF_DIR, "documents").select("doc_id")
+    )
+    src = _write_parts(spark, tmp_path, [docs])
+    state = str(tmp_path / "state")
+    run_url_dedup_intake(
+        _stream(spark, src), state, str(tmp_path / "ckpt"),
+        "doc_id", "url",
+    )
+    got = sorted(
+        (r["url_norm"], r["doc_id"])
+        for r in read_url_index(spark, state).collect()
+    )
+    want = sorted(
+        (r["url_norm"], r["doc_id"])
+        for r in dedup_by_url(docs, "doc_id", "url").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_url_intake_first_seen_wins_across_epochs(spark, tmp_path):
+    from umls2rdf_spark.streaming.webcurate import (
+        read_url_index,
+        run_url_dedup_intake,
+    )
+
+    docs = _url_frame(
+        load_table(spark, SF_DIR, "documents").select("doc_id")
+    )
+    # epoch 0 = high ids, epoch 1 = low ids re-fetching the SAME
+    # canonical urls: first-seen (epoch 0) must keep its admission
+    # even though the batch operator over the union would prefer the
+    # lower ids
+    median = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    parts = [
+        docs.where(F.col("doc_id") > median),
+        docs.where(F.col("doc_id") <= median),
+    ]
+    src = _write_parts(spark, tmp_path, parts)
+    state = str(tmp_path / "state")
+    run_url_dedup_intake(
+        _stream(spark, src), state, str(tmp_path / "ckpt"),
+        "doc_id", "url",
+    )
+    idx = read_url_index(spark, state)
+    # one admission per canonical url
+    assert (
+        idx.groupBy("url_norm").count().agg(F.max("count")).collect()[0][0]
+        == 1
+    )
+    # every url first seen in epoch 0 is owned by an epoch-0 id
+    ep0_urls = {
+        r["url_norm"]
+        for r in idx.where(F.col("batch_id") == 0).collect()
+    }
+    owners = {
+        r["url_norm"]: r["doc_id"] for r in idx.collect()
+    }
+    for u in ep0_urls:
+        assert owners[u] > median, u

@@ -106,3 +106,67 @@ def read_admitted(
     before the first batch; fail-closed on any non-missing-path read
     error (events.read_standing_state)."""
     return read_standing_state(spark, f"{state_dir}/capidx")
+
+
+def run_url_dedup_intake(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    url_col: str,
+) -> None:
+    """Continuous canonical-URL dedup — the intake form of
+    operators/webcurate.py dedup_by_url (C41), first-seen-wins across
+    crawl epochs: a URL admitted in an earlier fetch blocks every
+    later re-fetch (re-crawls of the same page differ by timestamps
+    and ads; URL identity is the cheap first gate BEFORE content
+    hashing).
+
+    State: ``{state_dir}/urlidx`` — admitted (url_norm, id) rows,
+    batch_id-partitioned, bytes per admitted URL. Each micro-batch
+    normalizes its URLs, anti-joins the standing index EXCLUDING its
+    own epoch (replay-idempotent), keeps the min id per url_norm
+    within the batch (the batch operator's rule), and overwrites its
+    partition. Single-epoch stream == batch dedup_by_url exactly
+    (pinned); multi-epoch semantics are first-seen-wins, never
+    revoked. Rows with unparseable URLs drop, as in the batch form.
+    """
+    from umls2rdf_spark.operators.webcurate import normalize_url_expr
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cand = batch_df.select(
+            F.col(id_col),
+            normalize_url_expr(F.col(url_col)).alias("url_norm"),
+        ).where(F.col("url_norm").isNotNull())
+        prior = read_standing_state(spark, f"{state_dir}/urlidx")
+        if prior is not None:
+            seen = prior.where(
+                F.col("batch_id") != batch_id
+            ).select("url_norm")
+            cand = cand.join(seen, "url_norm", "left_anti")
+        w = Window.partitionBy("url_norm").orderBy(F.col(id_col))
+        admitted = (
+            cand.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("url_norm", id_col)
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{state_dir}/urlidx/batch_id={batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_url_index(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """The standing admitted (url_norm, id, batch_id) index — None
+    before the first batch; fail-closed reads."""
+    return read_standing_state(spark, f"{state_dir}/urlidx")
