@@ -48,12 +48,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    try:  # host-load context for interpreting the numbers (stderr)
-        with open("/proc/loadavg") as fh:
-            print(f"bench: loadavg at start {fh.read().split()[0]}",
-                  file=sys.stderr)
-    except OSError:  # pragma: no cover
-        pass
+    load_start = _loadavg()
+    if load_start is not None:
+        print(f"bench: loadavg at start {load_start}", file=sys.stderr)
 
     # Warm the JVM/session so the first measured query doesn't pay
     # one-time init costs.
@@ -119,6 +116,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-load context persisted INTO the artifact so a
+                # flagged regression is adjudicable from the JSON
+                # alone (loadavg >> 0 at either end = measurement
+                # taken under external load, not a plan regression)
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
             }
         )
     )
@@ -128,6 +131,15 @@ def main() -> None:
         report_regressions(timings)
     except Exception as exc:  # pragma: no cover
         print(f"bench-diff: skipped ({exc!r})", file=sys.stderr)
+
+
+def _loadavg() -> float | None:
+    """1-minute host loadavg, or None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
 
 
 def _latest_bench() -> tuple[str, dict] | None:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -922,10 +923,20 @@ def test_registered_domain_psl_matches_reference_replica(
         registered_domain_psl,
     )
 
-    # exception rules with a single label have no removable leftmost
-    # label under the spec; the parser accepts them but the reference
-    # algorithm's ps would be 0 — keep them out the way the real PSL
-    # does (exceptions always have >= 2 labels)
+    # exception rules always have >= 2 labels per the PSL spec;
+    # _psl_key_table REJECTS one-label '!x' (ValueError) rather than
+    # miscomputing a zero-label "public suffix" — pin the raise, then
+    # proceed with the valid subset
+    one_label_exc = [
+        r for r in rules if r.startswith("!") and "." not in r
+    ]
+    if one_label_exc:
+        with pytest.raises(ValueError, match="exception rule"):
+            registered_domain_psl(
+                spark.createDataFrame([("x.net",)], ["host"]),
+                "host",
+                tuple(rules),
+            )
     rules = tuple(
         r for r in rules
         if not (r.startswith("!") and "." not in r)

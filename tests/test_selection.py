@@ -1225,6 +1225,20 @@ def test_weighted_sample_guards(spark):
     )
     with _pt.raises(ValueError, match="non-negative"):
         weighted_sample(neg, "id", "w", k=1)
+    # NULL weights raise with the same clear error (r7 ADVICE: the
+    # window-sum/min skip NULLs, so a NULL weight otherwise acts as
+    # silent zero — and an all-NULL bucket crashed min() with a
+    # TypeError instead of the intended ValueError)
+    part_null = spark.createDataFrame(
+        [(1, 5), (2, None)], "id long, w long"
+    )
+    with _pt.raises(ValueError, match="non-null"):
+        weighted_sample(part_null, "id", "w", k=1)
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, w long"
+    )
+    with _pt.raises(ValueError, match="non-null"):
+        weighted_sample(all_null, "id", "w", k=1)
 
 
 # ── per-source score calibration (C57) ──────────────────────────────

@@ -216,10 +216,12 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{args.dst}/documents.parquet")
-    doc_pred = (
-        stable_hash40(F.col("doc_id").cast("string")) % args.rate == 0
-    )
-    src_pred = stable_hash40(F.col("source")) % args.rate == 0
+
+    def pred_for(fcol: str):
+        # Spark-side sample predicate built from the SAME per-section
+        # filter-column declaration the section tuple carries, so the
+        # declaration cannot silently drift from the actual filter
+        return stable_hash40(F.col(fcol).cast("string")) % args.rate == 0
 
     # TWO oracle connections, each exposing the SAME table name the
     # section twins reference ('documents') but holding only the
@@ -237,10 +239,10 @@ def main() -> int:
     )
 
     plans = [
-        (name, fn, sql, fcol, con_doc, doc_pred)
+        (name, fn, sql, fcol, con_doc, pred_for(fcol))
         for name, (fn, sql, fcol) in _doc_sections().items()
     ] + [
-        (name, fn, sql, fcol, con_src, src_pred)
+        (name, fn, sql, fcol, con_src, pred_for(fcol))
         for name, (fn, sql, fcol) in _source_sections().items()
     ]
     wanted = None if args.keys == "all" else set(args.keys.split(","))

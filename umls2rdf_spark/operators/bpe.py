@@ -74,6 +74,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: surprisal weights and segment_words already rely on).
 LOCAL_FINISH_ROUNDS = 64
 
+#: hard ceiling on the (word, freq) rows the local-finish path will
+#: collect to the driver. Heaps' law bounds REAL corpora well under
+#: this, but adversarial vocabularies (boilerplate ids, random tails —
+#: the SCALE.md 10x-perturbed finding that gave unigram_lm_train its
+#: ``min_word_freq`` valve) make every word distinct and the frame
+#: corpus-sized; 20M rows ≈ ~1-2 GB of driver heap is the documented
+#: bound past which the trainer refuses and tells the caller to raise
+#: ``min_word_freq`` instead of silently OOM-ing the driver.
+MAX_LOCAL_FINISH_WORDS = 20_000_000
+
 #: initial byte-level segmentation of ``word`` as a SQL expression
 #: fragment (engine-shared shape; see module docstring)
 _SEG_SPARK = (
@@ -84,18 +94,26 @@ _SEG_SPARK = (
 
 
 def word_freqs(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", min_word_freq: int = 1
 ) -> DataFrame:
     """(word, freq) over whitespace-run tokens — the one
-    corpus-sized stage; map-side-combined word-count shape."""
+    corpus-sized stage; map-side-combined word-count shape.
+
+    ``min_word_freq`` > 1 drops rarer words AFTER the count (a
+    HAVING, pushed as a post-agg filter): the valve that keeps
+    training state vocab-bounded under adversarial vocabularies
+    (same contract as unigram.py's unigram_lm_train)."""
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != ""
     )
-    return (
+    wf = (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    if min_word_freq > 1:
+        wf = wf.where(F.col("freq") >= min_word_freq)
+    return wf
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -127,6 +145,7 @@ def train_bpe_merges(
     text_col: str = "text",
     rounds: int = 4,
     local_finish: bool | None = None,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """Fixed-round byte-level BPE training; returns the merge table
     (round, pair_a, pair_b, merged, cnt) — ``rounds`` rows (fewer
@@ -136,9 +155,11 @@ def train_bpe_merges(
     itself takes any count — plan depth stays constant via the
     per-round checkpoint, and above LOCAL_FINISH_ROUNDS the merge
     loop runs driver-side on the collected vocab-bounded frame
-    (see :func:`train_bpe`).
+    (see :func:`train_bpe`, incl. the ``min_word_freq`` valve).
     """
-    merges, _ = train_bpe(df, text_col, rounds, local_finish)
+    merges, _ = train_bpe(
+        df, text_col, rounds, local_finish, min_word_freq
+    )
     return merges
 
 
@@ -147,6 +168,7 @@ def bpe_vocab_after(
     text_col: str = "text",
     rounds: int = 4,
     local_finish: bool | None = None,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """The APPLICATION side of the same training run: the vocabulary
     segmentation after ``rounds`` merges — (word, freq, n_subwords)
@@ -154,7 +176,9 @@ def bpe_vocab_after(
     corpus's post-BPE token count, the number a data pipeline
     budgets epochs and packing with; the frame itself stays
     vocab-bounded at any corpus size (same argument as training)."""
-    _, vocab = train_bpe(df, text_col, rounds, local_finish)
+    _, vocab = train_bpe(
+        df, text_col, rounds, local_finish, min_word_freq
+    )
     return vocab.select(
         "word",
         "freq",
@@ -277,15 +301,40 @@ def _bpe_merge_loop(
 
 
 def _train_bpe_local_finish(
-    df: DataFrame, text_col: str, rounds: int
+    df: DataFrame,
+    text_col: str,
+    rounds: int,
+    min_word_freq: int = 1,
+    max_collect_rows: int | None = MAX_LOCAL_FINISH_WORDS,
 ) -> tuple[DataFrame, DataFrame]:
     """Local-finish training: the corpus-sized word_freqs scan stays
     distributed; the vocab-bounded (word, freq) frame is collected
-    (megabytes at web scale by Heaps' law) and merged driver-side in
-    one pass — rounds Spark jobs become ONE, so a 32k-merge vocab is
-    seconds of heap work instead of ~64k serial job round-trips."""
+    and merged driver-side in one pass — rounds Spark jobs become
+    ONE, so a 32k-merge vocab is seconds of heap work instead of
+    ~64k serial job round-trips.
+
+    Heaps' law bounds the frame for REAL corpora, but that is an
+    assumption, not a guarantee — adversarial vocabularies make
+    every word distinct (the unigram finding), so the collect is
+    guarded twice: ``min_word_freq`` caps the frame at the
+    N-or-more vocabulary, and the collect itself runs through
+    ``limit(max_collect_rows + 1)`` — ONE job, no pre-count — and
+    raises (naming the valve) if the limit row arrives, so an
+    unbounded frame can never reach driver heap."""
     spark = df.sparkSession
-    wf = word_freqs(df, text_col).collect()
+    wf_df = word_freqs(df, text_col, min_word_freq)
+    if max_collect_rows is not None:
+        wf = wf_df.limit(max_collect_rows + 1).collect()
+        if len(wf) > max_collect_rows:
+            raise ValueError(
+                f"train_bpe local-finish: word-frequency frame exceeds"
+                f" max_collect_rows={max_collect_rows} (adversarial or"
+                f" non-Heaps vocabulary); raise min_word_freq (currently"
+                f" {min_word_freq}) to bound training state, or raise"
+                f" max_collect_rows if driver heap genuinely allows it"
+            )
+    else:
+        wf = wf_df.collect()
     merge_rows, vocab_rows = _bpe_merge_loop(
         [(r["word"], r["freq"]) for r in wf], rounds
     )
@@ -301,6 +350,8 @@ def train_bpe(
     text_col: str = "text",
     rounds: int = 4,
     local_finish: bool | None = None,
+    min_word_freq: int = 1,
+    max_collect_rows: int | None = MAX_LOCAL_FINISH_WORDS,
 ) -> tuple[DataFrame, DataFrame]:
     """One training run, both artifacts: (merge table, post-merge
     vocab segmentation) — callers composing both sections use this
@@ -313,13 +364,25 @@ def train_bpe(
     local-finish form is the production path for realistic merge
     counts, where per-round scheduler latency (2 eager jobs × rounds)
     would dominate a vocab-bounded computation (equality is
-    property-tested for rounds ∈ {4, 64, 512})."""
+    property-tested for rounds ∈ {4, 64, 512}).
+
+    ``min_word_freq`` bounds TRAINING state under adversarial
+    vocabularies (the unigram_lm_train contract): training sees only
+    words with freq >= N, identically on both paths and in the
+    DuckDB twins; vocab-side outputs (bpe_vocab_after /
+    bpe_doc_tokens) then drop the rarer words fail-closed — full
+    coverage of a scored corpus is :func:`segment_words`, whose merge
+    rules apply to any word. ``max_collect_rows`` additionally caps
+    what the local-finish path may collect (see
+    :func:`_train_bpe_local_finish`)."""
     if local_finish is None:
         local_finish = rounds > LOCAL_FINISH_ROUNDS
     if local_finish:
-        return _train_bpe_local_finish(df, text_col, rounds)
+        return _train_bpe_local_finish(
+            df, text_col, rounds, min_word_freq, max_collect_rows
+        )
     vocab = (
-        word_freqs(df, text_col)
+        word_freqs(df, text_col, min_word_freq)
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
         .localCheckpoint(eager=True)
     )
@@ -374,6 +437,7 @@ def bpe_doc_tokens(
     text_col: str = "text",
     rounds: int = 4,
     vocab: DataFrame | None = None,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """Per-DOCUMENT token counts under the trained tokenizer:
     (id, n_words, n_bpe_tokens) — the number every packing /
@@ -392,7 +456,9 @@ def bpe_doc_tokens(
     word) and pass that as ``vocab``.
     """
     if vocab is None:
-        _, vocab = train_bpe(df, text_col, rounds)
+        _, vocab = train_bpe(
+            df, text_col, rounds, min_word_freq=min_word_freq
+        )
     nsub = vocab.select(
         "word", F.size(F.split("seg", " ")).cast("bigint").alias("__ns")
     )
@@ -415,11 +481,12 @@ def bpe_doc_tokens_sql(
     id_col: str,
     text_col: str = "text",
     rounds: int = 4,
+    min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`bpe_doc_tokens` — the shared training
     CTE chain's final vocab joined to the same word-occurrence
     unnest."""
-    ctes = _round_ctes(docs_sql, text_col, rounds)
+    ctes = _round_ctes(docs_sql, text_col, rounds, min_word_freq)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -485,7 +552,14 @@ _SEG_DUCK = (
 )
 
 
-def word_freqs_sql(docs_sql: str, text_col: str = "text") -> str:
+def word_freqs_sql(
+    docs_sql: str, text_col: str = "text", min_word_freq: int = 1
+) -> str:
+    having = (
+        f"\nHAVING COUNT(*) >= {int(min_word_freq)}"
+        if min_word_freq > 1
+        else ""
+    )
     return f"""
 SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
 FROM (
@@ -494,19 +568,23 @@ FROM (
            t -> t <> '')) AS word
   FROM ({docs_sql}) AS __docs
 ) AS __w
-GROUP BY word
+GROUP BY word{having}
 """
 
 
 def _round_ctes(
-    docs_sql: str, text_col: str, rounds: int
+    docs_sql: str,
+    text_col: str,
+    rounds: int,
+    min_word_freq: int = 1,
 ) -> list[str]:
-    """Shared CTE chain for both oracle twins: word freqs, initial
-    byte segmentation, then per round the pair counts (__p{r}),
+    """Shared CTE chain for both oracle twins: word freqs (after the
+    same ``min_word_freq`` HAVING as the operator), initial byte
+    segmentation, then per round the pair counts (__p{r}),
     deterministic top-1 (__m{r}) and merged vocab (__v{r})."""
     seg0 = _SEG_DUCK.format(w="word")
     ctes = [
-        f"__wf AS ({word_freqs_sql(docs_sql, text_col)})",
+        f"__wf AS ({word_freqs_sql(docs_sql, text_col, min_word_freq)})",
         f"__v0 AS (SELECT word, freq, {seg0} AS seg FROM __wf)",
     ]
     for r in range(1, rounds + 1):
@@ -540,13 +618,14 @@ def train_bpe_merges_sql(
     docs_sql: str,
     text_col: str = "text",
     rounds: int = 4,
+    min_word_freq: int = 1,
 ) -> str:
     """The same fixed rounds unrolled as chained CTEs — pair counts,
     deterministic top-1, left-to-right replace — every step the
     identical string/integer op, so the oracle value-verifies the
     training trajectory (the pagerank_sql / Lloyd-CTE discipline).
     """
-    ctes = _round_ctes(docs_sql, text_col, rounds)
+    ctes = _round_ctes(docs_sql, text_col, rounds, min_word_freq)
     unions = "\nUNION ALL\n".join(
         f"SELECT round, pair_a, pair_b, merged, cnt FROM __m{r}"
         for r in range(1, rounds + 1)
@@ -558,11 +637,12 @@ def bpe_vocab_after_sql(
     docs_sql: str,
     text_col: str = "text",
     rounds: int = 4,
+    min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`bpe_vocab_after`: the final __v{rounds}
     vocab CTE with the subword count (list length of the space-split
     segmentation — identical in both engines)."""
-    ctes = _round_ctes(docs_sql, text_col, rounds)
+    ctes = _round_ctes(docs_sql, text_col, rounds, min_word_freq)
     return (
         "WITH "
         + ",\n".join(ctes)

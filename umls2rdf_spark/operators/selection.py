@@ -560,15 +560,28 @@ def weighted_sample(
     totals = local.groupBy("__b").agg(
         F.max("__cum").alias("__tot"),
         F.min(F.col(weight_col).cast("bigint")).alias("__minw"),
+        F.sum(
+            F.col(weight_col).isNull().cast("bigint")
+        ).alias("__nnull"),
     )
     w_off = (
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__b", "__off", "__tot", "__minw")
+    ).select("__b", "__off", "__tot", "__minw", "__nnull")
     spark = df.sparkSession
     rows = offs.collect()  # <= buckets rows (zero-residency trade)
+    n_null = sum(r["__nnull"] or 0 for r in rows)
+    if n_null > 0:
+        # window-sum and min() both SKIP NULLs, so a NULL weight
+        # would otherwise silently act as zero (and an all-NULL
+        # bucket would make __minw None and crash min() below with
+        # a TypeError) — enforced in the same eager pass
+        raise ValueError(
+            f"weights must be non-null non-negative integers "
+            f"({n_null} NULL weight(s) found)"
+        )
     min_w = min((r["__minw"] for r in rows), default=0)
     if min_w < 0:
         # enforced, not just documented: a negative weight breaks the

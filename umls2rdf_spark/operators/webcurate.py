@@ -246,6 +246,15 @@ def _psl_key_table(
     for rule in rules:
         if rule.startswith("!"):
             key = rule[1:]
+            if len(key.split(".")) < 2:
+                # the PSL spec guarantees exception rules modify a
+                # multi-label wildcard rule; a one-label '!com' would
+                # make exc_ps=0 and mint a bogus zero-label "public
+                # suffix" — reject malformed input loudly
+                raise ValueError(
+                    f"malformed PSL exception rule {rule!r}: "
+                    "exception rules must have >= 2 labels"
+                )
             slot(key)[0] = len(key.split(".")) - 1
         elif rule.startswith("*."):
             key = rule[2:]
