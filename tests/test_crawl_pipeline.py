@@ -206,3 +206,44 @@ def test_warc_scanned_only_at_ingest(spark, tmp_path):
     assert "FileScan" not in access_path(packed)
     for f in frames.values():
         f.unpersist()
+
+
+def test_checkpoint_mode_same_results_and_no_warc_reread(
+    spark, tmp_path
+):
+    """checkpoint_dir mode: identical funnel counts and packed output
+    vs persist mode, and the no-re-read plan fact holds with parquet
+    boundaries — every post-ingest stage's executed plan scans ONLY
+    its upstream checkpoint table (FileScan parquet), never the raw
+    WARC (FileScan text)."""
+    path, base_text = _fixture(tmp_path)
+    base = spark.createDataFrame(
+        [(10**15, base_text)], "doc_id long, text string"
+    )
+    packed_p, counts_p, frames_p = curate_crawl(
+        spark, path, base, _PSL, cap=2, seq_len=32
+    )
+    ckpt = str(tmp_path / "ckpt")
+    packed_c, counts_c, frames_c = curate_crawl(
+        spark, path, base, _PSL, cap=2, seq_len=32,
+        checkpoint_dir=ckpt,
+    )
+    assert counts_c == counts_p
+    for stage, c in counts_c.items():
+        assert c["observed"] == c["direct"], (stage, c)
+    assert sorted(map(tuple, packed_c.collect())) == sorted(
+        map(tuple, packed_p.collect())
+    )
+    # plan audit: post-ingest stages read parquet boundaries only
+    for stage in ("extract", "pii_scrub", "quality_gate", "url_dedup",
+                  "domain_cap", "near_dup"):
+        plan = (
+            frames_c[stage]._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "FileScan text" not in plan, (stage, plan)
+        assert "FileScan parquet" in plan, stage
+    final = packed_c._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" not in final
+    for f in frames_p.values():
+        f.unpersist()

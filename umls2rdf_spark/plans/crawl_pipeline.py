@@ -14,9 +14,10 @@ Composition contracts this module pins (tests/test_crawl_pipeline.py):
   (persist + the observation action), so stage N+1's physical plan
   reads the materialized boundary — the raw WARC text is scanned by
   the ingest stage ONLY, and no later stage's plan contains a file
-  scan of it. At 100 TB the boundary would be a parquet checkpoint
-  table instead of a cache (swap ``persist`` for a write/read), but
-  the no-re-read shape is the same plan fact.
+  scan of it. ``checkpoint_dir=`` selects the boundary medium:
+  executor-memory persist (default) or parquet checkpoint tables
+  (the 100 TB mode); the no-re-read shape is the same plan fact in
+  both, and the audit test runs both.
 - **Funnel counts are free.** Each stage's surviving-row count comes
   from the Observation API (operators/metrics.py, D9) riding the
   boundary action — zero extra jobs — and must equal the direct
@@ -43,15 +44,26 @@ def curate_crawl(
     seq_len: int = 64,
     num_perm: int = 8,
     shingle_n: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, dict[str, dict[str, int]], dict[str, DataFrame]]:
     """Run the full curation chain over ``warc_path``.
 
     ``base_docs`` is the standing corpus (doc_id, text) the new crawl
     near-dedups against (pass an empty frame for a cold start).
 
+    ``checkpoint_dir`` picks the stage-boundary materialization:
+    None (default) persists each boundary in executor memory — right
+    for interactive/sf-scale runs; a path writes each boundary as a
+    parquet table ``<dir>/<stage>`` and reads it back — the 100 TB
+    mode, where boundaries outlive executors, survive preemption,
+    and cost no cluster memory. BOTH modes keep the one-scan-per-
+    boundary plan fact (no later stage re-reads the WARC) and the
+    same funnel-count contract; the plan-audit test runs in both.
+
     Returns (packed, counts, frames): the packed-sequence frame, the
     per-stage ``{"observed": n, "direct": n}`` funnel counts, and the
-    materialized per-stage frames (for audits; unpersist when done).
+    materialized per-stage frames (for audits; unpersist when done —
+    a no-op in checkpoint mode).
     """
     from umls2rdf_spark.operators.dedup import incremental_minhash_dedupe
     from umls2rdf_spark.operators.corpus import pack_sequences
@@ -75,8 +87,19 @@ def curate_crawl(
 
     def boundary(df: DataFrame, name: str) -> DataFrame:
         obs_df, obs = observe_stage(df, name)
-        out = obs_df.persist()
-        direct = out.count()  # the one action: fills the observation
+        if checkpoint_dir is None:
+            out = obs_df.persist()
+            # the one action: fills the observation
+            direct = out.count()
+        else:
+            path = f"{checkpoint_dir}/{name}"
+            # the write is the action that fills the observation;
+            # the re-read severs lineage (downstream plans scan the
+            # checkpoint table, never the upstream stages)
+            obs_df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            # metadata-only count on the freshly written table
+            direct = out.count()
         counts[name] = {
             "observed": int(obs.get["n_rows"]),
             "direct": int(direct),
