@@ -62,6 +62,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     framing) is dropped only when empty — garbage before the first
     record quarantines instead of vanishing."""
     raw = spark.read.option("lineSep", "WARC/1.").text(path)
+    return parse_warc_chunks(raw)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a file-source STREAM over
+    a directory WARC files land in — the continuous-crawl intake
+    shape (each fetcher drop becomes one micro-batch; used by
+    streaming/crawl.py). Identical record framing (the ``lineSep``
+    split happens in the streaming text source's JVM scan) and the
+    identical Column-only parse, so batch and stream rows are
+    byte-equal for the same file."""
+    raw = (
+        spark.readStream.option("lineSep", "WARC/1.")
+        .text(path)
+    )
+    return parse_warc_chunks(raw)
+
+
+def parse_warc_chunks(raw: DataFrame) -> DataFrame:
+    """The shared Column-expression parse over ``lineSep``-framed
+    chunks (one ``value`` row per record candidate) — batch and
+    streaming sources differ only in the scan above this."""
     raw = raw.where(F.col("value") != "")
     # a well-formed chunk starts with the version minor digit and
     # contains the headers/payload blank-line separator

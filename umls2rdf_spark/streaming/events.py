@@ -552,6 +552,68 @@ def read_standing_state(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def minhash_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    rows_per_band: int = 1,
+    min_jaccard: float | None = 0.5,
+) -> DataFrame:
+    """ONE epoch of the continuous near-dup intake: dedupe the batch
+    against the standing corpus/index (own epoch partitions excluded
+    — replay-idempotent), overwrite this epoch's ``corpus`` and
+    ``index`` partitions, return the admitted rows. Factored out of
+    the intake loop so the composed crawl intake
+    (streaming/crawl.py) runs the identical admission inside its
+    single foreachBatch."""
+    from umls2rdf_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_dedupe,
+        minhash_signatures_mapside,
+    )
+
+    corpus_dir = f"{state_dir}/corpus"
+    index_dir = f"{state_dir}/index"
+    spark = batch_df.sparkSession
+    empty = batch_df.limit(0)
+    base_raw = read_standing_state(spark, corpus_dir)
+    if base_raw is None:  # first batch: no standing state yet
+        base, index = empty, None
+    else:
+        base = base_raw.where(
+            F.col("batch_id") != batch_id
+        ).drop("batch_id")
+        index_raw = read_standing_state(spark, index_dir)
+        index = (
+            index_raw.where(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+            if index_raw is not None
+            else None
+        )
+    admitted = incremental_minhash_dedupe(
+        batch_df, base, id_col, text_col,
+        num_perm=num_perm, shingle_n=shingle_n,
+        rows_per_band=rows_per_band, min_jaccard=min_jaccard,
+        base_index=index,
+    )
+    admitted.write.mode("overwrite").parquet(
+        f"{corpus_dir}/batch_id={batch_id}"
+    )
+    out = spark.read.parquet(f"{corpus_dir}/batch_id={batch_id}")
+    sigs = minhash_signatures_mapside(
+        out, id_col, text_col,
+        num_perm=num_perm, shingle_n=shingle_n,
+    )
+    band_signatures(sigs, id_col, rows_per_band).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/batch_id={batch_id}")
+    return out
+
+
 def run_incremental_minhash_ingest(
     docs_stream: DataFrame,
     state_dir: str,
@@ -587,49 +649,11 @@ def run_incremental_minhash_ingest(
     prior partial writes are excluded from the base (filtered out by
     batch id) before deduping.
     """
-    from umls2rdf_spark.operators.dedup import (
-        band_signatures,
-        incremental_minhash_dedupe,
-        minhash_signatures_mapside,
-    )
-
-    corpus_dir = f"{state_dir}/corpus"
-    index_dir = f"{state_dir}/index"
-
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        empty = batch_df.limit(0)
-        base_raw = read_standing_state(spark, corpus_dir)
-        if base_raw is None:  # first batch: no standing state yet
-            base, index = empty, None
-        else:
-            base = base_raw.where(
-                F.col("batch_id") != batch_id
-            ).drop("batch_id")
-            index_raw = read_standing_state(spark, index_dir)
-            index = (
-                index_raw.where(F.col("batch_id") != batch_id)
-                .drop("batch_id")
-                if index_raw is not None
-                else None
-            )
-        admitted = incremental_minhash_dedupe(
-            batch_df, base, id_col, text_col,
-            num_perm=num_perm, shingle_n=shingle_n,
-            rows_per_band=rows_per_band, min_jaccard=min_jaccard,
-            base_index=index,
+        minhash_epoch(
+            batch_df, batch_id, state_dir, id_col, text_col,
+            num_perm, shingle_n, rows_per_band, min_jaccard,
         )
-        admitted.write.mode("overwrite").parquet(
-            f"{corpus_dir}/batch_id={batch_id}"
-        )
-        sigs = minhash_signatures_mapside(
-            spark.read.parquet(f"{corpus_dir}/batch_id={batch_id}"),
-            id_col, text_col,
-            num_perm=num_perm, shingle_n=shingle_n,
-        )
-        band_signatures(sigs, id_col, rows_per_band).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/batch_id={batch_id}")
 
     q = (
         docs_stream.writeStream.foreachBatch(ingest)

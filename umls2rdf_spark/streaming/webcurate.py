@@ -41,6 +41,57 @@ from umls2rdf_spark.functions.hashing import stable_hash40
 from umls2rdf_spark.streaming.events import read_standing_state
 
 
+def domain_cap_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """ONE epoch's cap admission: rank the batch against the standing
+    index (own partition excluded — replay-idempotent), overwrite the
+    epoch's ``{state_dir}/capidx`` partition, return the admitted
+    (domain, id) frame. Factored out of the intake loop so the
+    composed crawl intake (streaming/crawl.py) runs the identical
+    admission logic inside its single foreachBatch."""
+    spark = batch_df.sparkSession
+    prior = read_standing_state(spark, f"{state_dir}/capidx")
+    out = batch_df.select(F.col(domain_col), F.col(id_col))
+    if blocklist:
+        bl = spark.createDataFrame(
+            [(d,) for d in blocklist], f"{domain_col} string"
+        )
+        out = out.join(F.broadcast(bl), domain_col, "left_anti")
+    if prior is not None:
+        used = (
+            prior.where(F.col("batch_id") != batch_id)
+            .groupBy(domain_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("__used"))
+        )
+    else:
+        used = None
+    w = Window.partitionBy(domain_col).orderBy(
+        stable_hash40(F.col(id_col).cast("string")),
+        F.col(id_col),
+    )
+    ranked = out.withColumn("__r", F.row_number().over(w))
+    if used is not None:
+        ranked = ranked.join(
+            F.broadcast(used), domain_col, "left"
+        ).withColumn("__used", F.coalesce("__used", F.lit(0)))
+    else:
+        ranked = ranked.withColumn("__used", F.lit(0))
+    admitted = ranked.where(
+        F.col("__r") <= F.lit(cap) - F.col("__used")
+    ).select(domain_col, id_col)
+    admitted.write.mode("overwrite").parquet(
+        f"{state_dir}/capidx/batch_id={batch_id}"
+    )
+    return spark.read.parquet(f"{state_dir}/capidx/batch_id={batch_id}")
+
+
 def run_domain_cap_intake(
     docs_stream: DataFrame,
     state_dir: str,
@@ -54,40 +105,9 @@ def run_domain_cap_intake(
     ``{state_dir}/capidx`` admitted-(domain, id) index."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prior = read_standing_state(spark, f"{state_dir}/capidx")
-        out = batch_df.select(
-            F.col(domain_col), F.col(id_col)
-        )
-        if blocklist:
-            bl = spark.createDataFrame(
-                [(d,) for d in blocklist], f"{domain_col} string"
-            )
-            out = out.join(F.broadcast(bl), domain_col, "left_anti")
-        if prior is not None:
-            used = (
-                prior.where(F.col("batch_id") != batch_id)
-                .groupBy(domain_col)
-                .agg(F.count(F.lit(1)).cast("int").alias("__used"))
-            )
-        else:
-            used = None
-        w = Window.partitionBy(domain_col).orderBy(
-            stable_hash40(F.col(id_col).cast("string")),
-            F.col(id_col),
-        )
-        ranked = out.withColumn("__r", F.row_number().over(w))
-        if used is not None:
-            ranked = ranked.join(
-                F.broadcast(used), domain_col, "left"
-            ).withColumn("__used", F.coalesce("__used", F.lit(0)))
-        else:
-            ranked = ranked.withColumn("__used", F.lit(0))
-        admitted = ranked.where(
-            F.col("__r") <= F.lit(cap) - F.col("__used")
-        ).select(domain_col, id_col)
-        admitted.write.mode("overwrite").parquet(
-            f"{state_dir}/capidx/batch_id={batch_id}"
+        domain_cap_epoch(
+            batch_df, batch_id, state_dir, id_col, domain_col,
+            cap, blocklist,
         )
 
     q = (
@@ -106,6 +126,44 @@ def read_admitted(
     before the first batch; fail-closed on any non-missing-path read
     error (events.read_standing_state)."""
     return read_standing_state(spark, f"{state_dir}/capidx")
+
+
+def url_dedup_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str,
+    url_col: str,
+) -> DataFrame:
+    """ONE epoch's canonical-URL admission: normalize, anti-join the
+    standing index (own partition excluded — replay-idempotent),
+    min-id within the batch, overwrite the epoch's
+    ``{state_dir}/urlidx`` partition, return the admitted
+    (url_norm, id) frame. Shared by the standalone intake loop and
+    the composed crawl intake (streaming/crawl.py)."""
+    from umls2rdf_spark.operators.webcurate import normalize_url_expr
+
+    spark = batch_df.sparkSession
+    cand = batch_df.select(
+        F.col(id_col),
+        normalize_url_expr(F.col(url_col)).alias("url_norm"),
+    ).where(F.col("url_norm").isNotNull())
+    prior = read_standing_state(spark, f"{state_dir}/urlidx")
+    if prior is not None:
+        seen = prior.where(
+            F.col("batch_id") != batch_id
+        ).select("url_norm")
+        cand = cand.join(seen, "url_norm", "left_anti")
+    w = Window.partitionBy("url_norm").orderBy(F.col(id_col))
+    admitted = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("url_norm", id_col)
+    )
+    admitted.write.mode("overwrite").parquet(
+        f"{state_dir}/urlidx/batch_id={batch_id}"
+    )
+    return spark.read.parquet(f"{state_dir}/urlidx/batch_id={batch_id}")
 
 
 def run_url_dedup_intake(
@@ -131,29 +189,8 @@ def run_url_dedup_intake(
     (pinned); multi-epoch semantics are first-seen-wins, never
     revoked. Rows with unparseable URLs drop, as in the batch form.
     """
-    from umls2rdf_spark.operators.webcurate import normalize_url_expr
-
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cand = batch_df.select(
-            F.col(id_col),
-            normalize_url_expr(F.col(url_col)).alias("url_norm"),
-        ).where(F.col("url_norm").isNotNull())
-        prior = read_standing_state(spark, f"{state_dir}/urlidx")
-        if prior is not None:
-            seen = prior.where(
-                F.col("batch_id") != batch_id
-            ).select("url_norm")
-            cand = cand.join(seen, "url_norm", "left_anti")
-        w = Window.partitionBy("url_norm").orderBy(F.col(id_col))
-        admitted = (
-            cand.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("url_norm", id_col)
-        )
-        admitted.write.mode("overwrite").parquet(
-            f"{state_dir}/urlidx/batch_id={batch_id}"
-        )
+        url_dedup_epoch(batch_df, batch_id, state_dir, id_col, url_col)
 
     q = (
         docs_stream.writeStream.foreachBatch(ingest)
