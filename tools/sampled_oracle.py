@@ -22,13 +22,26 @@ Closure classes verified here (all from the text_scoring surface):
   score_calibration (the per-source CDF needs every row OF THAT
   SOURCE, all present), domain_cap (cap ranks within source).
 
+- **group closure** (round 8 — the round-7 verdict's item 4: the
+  sample key is the section's own grouping unit, chosen so the
+  sampled sub-corpus contains EVERY row each sampled output row
+  depends on): url_dedup (canonical-URL groups — all variants of a
+  URL share its url_norm hash), minhash_pairs (LSH band buckets —
+  both members of a candidate pair carry the sampled bucket, and
+  the per-doc "has a sampled bucket" predicate is computable from
+  the doc's own text in BOTH engines; compared at BUCKET
+  granularity, strictly finer than the section's distinct-pair
+  output), containment (candidate-pair anchors — pairs are
+  (d, d+10M) prefix twins derived in-query and (d, d+1) neighbors,
+  so sampling anchor d and keeping d+1 via the shifted predicate
+  closes every pair).
+
 NOT sampleable (global closure — the full-oracle sweeps remain
 their ceiling): tfidf/bm25/surprisal/kn/bigram (corpus-global
 counts), frequent_tokens, mixtures and weighted_sample (global
-totals/budgets), minhash_pairs/containment/url_dedup (cross-doc
-pairs/groups not closed under doc sampling), BPE/unigram training
-(global vocab), embedding/hard-negative families (corpus-global
-candidates), sketches (global cells). Listed explicitly in SCALE.md.
+totals/budgets), BPE/unigram training (global vocab),
+embedding/hard-negative families (corpus-global candidates),
+sketches (global cells). Listed explicitly in SCALE.md.
 
 Usage:
     python tools/sampled_oracle.py [--copies 100] [--rate 16]
@@ -177,6 +190,134 @@ def _source_sections():
     }
 
 
+def _group_sections(rate: int, docs_path: str):
+    """name -> (spark_fn(docs) -> FILTERED full-replica frame,
+    oracle_sql over the section's own SAMPLED temp ``documents``
+    table, temp-table WHERE predicate). See the module docstring's
+    group-closure class for why each sample is closure-complete."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.functions.hashing import (
+        PERM_MODULUS,
+        perm_params,
+        stable_hash40,
+        stable_hash40_sql,
+    )
+    from umls2rdf_spark.operators.dedup import (
+        band_signatures,
+        containment_verify_pairs,
+        minhash_signatures_mapside,
+    )
+    from umls2rdf_spark.operators.webcurate import (
+        dedup_by_url,
+        normalize_url_expr_sql,
+    )
+    from umls2rdf_spark.plans import completion as C
+
+    # ── url_dedup: closure = the canonical-URL group ────────────────
+    def url_fn(d):
+        out = dedup_by_url(C._url_pages_frame(d), "doc_id", "url")
+        return out.where(
+            stable_hash40(F.col("url_norm")) % rate == 0
+        )
+
+    head, tail = "SELECT doc_id, ", " AS url FROM documents"
+    assert C._URL_PAGES_SQL.startswith(head), C._URL_PAGES_SQL
+    assert C._URL_PAGES_SQL.endswith(tail), C._URL_PAGES_SQL
+    url_case = C._URL_PAGES_SQL[len(head):-len(tail)]
+    url_pred = (
+        f"{stable_hash40_sql(normalize_url_expr_sql(url_case))}"
+        f" % {rate} = 0"
+    )
+
+    # ── minhash_pairs: closure = the LSH band bucket ────────────────
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, a, b in perm_params(8)
+    )
+    bucket_sql = stable_hash40_sql(
+        "CAST(band AS VARCHAR) || '|' || band_sig"
+    )
+
+    def bands_ctes(src: str) -> str:
+        return f"""filtered AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS f
+  FROM {src}),
+indexed AS (
+  SELECT doc_id, f,
+         unnest(generate_series(1, greatest(len(f) - 2, 0))) AS i
+  FROM filtered),
+shingles AS (
+  SELECT DISTINCT doc_id, f[i] || ' ' || f[i+1] || ' ' || f[i+2] AS shingle
+  FROM indexed),
+hashed AS (
+  SELECT doc_id, {stable_hash40_sql('shingle')} AS h FROM shingles),
+perms(perm_id, a, b) AS (VALUES {perm_values}),
+sigs AS (
+  SELECT doc_id, perm_id, MIN((a * h + b) % {PERM_MODULUS}) AS minhash
+  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm_id AS band, CAST(minhash AS VARCHAR) AS band_sig
+  FROM sigs)"""
+
+    def mh_fn(d):
+        sigs = minhash_signatures_mapside(
+            d, "doc_id", "text", num_perm=8
+        )
+        bands = band_signatures(sigs, "doc_id", 1)
+        bucket_h = stable_hash40(
+            F.concat(
+                F.col("band").cast("string"),
+                F.lit("|"),
+                F.col("band_sig"),
+            )
+        )
+        samp = bands.where(bucket_h % rate == 0)
+        a = samp.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+        b = samp.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+        return (
+            a.join(b, ["band", "band_sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("band", "band_sig", "id_a", "id_b")
+        )
+
+    mh_sql = f"""WITH {bands_ctes('documents')},
+samp AS (SELECT * FROM bands WHERE {bucket_sql} % {rate} = 0)
+SELECT a.band, a.band_sig, a.doc_id AS id_a, b.doc_id AS id_b
+FROM samp a
+JOIN samp b ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id"""
+    mh_pred = f"""doc_id IN (
+WITH {bands_ctes(f"'{docs_path}'")}
+SELECT DISTINCT doc_id FROM bands WHERE {bucket_sql} % {rate} = 0)"""
+
+    # ── containment: closure = the candidate-pair anchor ────────────
+    def cont_fn(d):
+        frame, pairs = C._containment_frames(d)
+        out = containment_verify_pairs(
+            frame, pairs, "doc_id", "text", shingle_n=3
+        )
+        return out.where(
+            stable_hash40(F.col("id_a").cast("string")) % rate == 0
+        )
+
+    anchor = stable_hash40_sql("CAST(id_a AS VARCHAR)")
+    cont_sql = (
+        f"SELECT * FROM ({C._CONTAINMENT_SQL}) AS __c"
+        f" WHERE {anchor} % {rate} = 0"
+    )
+    cont_pred = (
+        f"{stable_hash40_sql('CAST(doc_id AS VARCHAR)')} % {rate} = 0"
+        f" OR {stable_hash40_sql('CAST(doc_id - 1 AS VARCHAR)')}"
+        f" % {rate} = 0"
+    )
+
+    return {
+        "url_dedup": (url_fn, C._url_dedup_sql(), url_pred),
+        "minhash_pairs": (mh_fn, mh_sql, mh_pred),
+        "containment": (cont_fn, cont_sql, cont_pred),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=100)
@@ -238,31 +379,54 @@ def main() -> int:
         f"WHERE {src_pred_sql}"
     )
 
+    # group-closure sections build their OWN sampled temp table (the
+    # predicate is section-specific); the connection is lazy because
+    # the minhash bucket predicate is itself a corpus scan
+    def group_con(table_pred: str):
+        def make():
+            c = duckdb.connect()
+            c.execute(
+                f"CREATE TEMP TABLE documents AS SELECT * FROM "
+                f"'{docs_path}' WHERE {table_pred}"
+            )
+            return c
+
+        return make
+
     plans = [
-        (name, fn, sql, fcol, con_doc, pred_for(fcol))
+        (name, (lambda fn=fn, fc=fcol: fn(docs).where(pred_for(fc))),
+         sql, "doc", (lambda c=con_doc: c))
         for name, (fn, sql, fcol) in _doc_sections().items()
     ] + [
-        (name, fn, sql, fcol, con_src, pred_for(fcol))
+        (name, (lambda fn=fn, fc=fcol: fn(docs).where(pred_for(fc))),
+         sql, "source", (lambda c=con_src: c))
         for name, (fn, sql, fcol) in _source_sections().items()
+    ] + [
+        (name, (lambda fn=fn: fn(docs)), sql, "group",
+         group_con(table_pred))
+        for name, (fn, sql, table_pred)
+        in _group_sections(args.rate, docs_path).items()
     ]
     wanted = None if args.keys == "all" else set(args.keys.split(","))
 
     results = []
-    for name, fn, sql, fcol, con, pred in plans:
+    closures = {}
+    for name, make_frame, sql, closure, make_con in plans:
         if wanted is not None and name not in wanted:
             continue
+        closures[name] = closure
         t0 = time.time()
         print(f"[{time.strftime('%H:%M:%S')}] {name}: spark(full) + "
               f"filter...", file=sys.stderr, flush=True)
         try:
-            frame = fn(docs).where(pred)
+            frame = make_frame()
             cols = frame.columns
             s_n, s_names, s_hash = frame_facts(
                 cols, [tuple(r) for r in frame.collect()]
             )
             print(f"[{time.strftime('%H:%M:%S')}] {name}: "
                   f"oracle(sampled)...", file=sys.stderr, flush=True)
-            rel = con.execute(sql)
+            rel = make_con().execute(sql)
             o_cols = [d[0] for d in rel.description]
             o_n, o_names, o_hash = frame_facts(o_cols, rel.fetchall())
             ok = (s_n == o_n and s_names == o_names and s_hash == o_hash)
@@ -278,11 +442,10 @@ def main() -> int:
         print("| section | closure | rows (spark=oracle) | schema | "
               "values | wall (s) |")
         print("|---|---|---|---|---|---|")
-    doc_names = set(_doc_sections())
     for name, s_n, o_n, sch, hsh, ok, wall, err in results:
         if not ok:
             fail += 1
-        closure = "doc" if name in doc_names else "source"
+        closure = closures[name]
         if args.markdown:
             rows = f"{s_n}={o_n}" if s_n == o_n else f"**{s_n}≠{o_n}**"
             print(f"| {name} | {closure} | {rows} | {'✓' if sch else '✗'}"

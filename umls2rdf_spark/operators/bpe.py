@@ -507,6 +507,17 @@ GROUP BY {id_col}"""
     )
 
 
+#: replaces fused into one projection by :func:`segment_words`.
+#: Each F.replace nests one level deeper in the Column tree, and both
+#: the Python→JVM column conversion and Catalyst's tree recursion
+#: overflow the JVM stack somewhere past ~400 levels (observed:
+#: StackOverflowError at 512). Production merge tables are ~32k rows,
+#: so application is CHUNKED: `_SEGMENT_CHUNK` replaces per select,
+#: with a lazy localCheckpoint barrier between chunks so
+#: CollapseProject cannot re-fuse them into one over-deep expression.
+_SEGMENT_CHUNK = 128
+
+
 def segment_words(
     df: DataFrame,
     merges: DataFrame,
@@ -516,25 +527,34 @@ def segment_words(
     segmentation + subword token count. ``merges`` is collected —
     it is the MODEL (k rows by construction), the one frame of the
     family that is driver-sized at any corpus scale — and applied
-    as k chained column-level replaces (no UDF, scan-speed).
+    as chained column-level replaces (no UDF, scan-speed), chunked
+    ``_SEGMENT_CHUNK`` per projection with lazy checkpoint barriers
+    so a 32k-merge model stays within JVM expression-depth limits.
     """
     rows = sorted(
         merges.select("round", "pair_a", "pair_b", "merged").collect(),
         key=lambda x: x["round"],
     )
-    seg: Column = F.expr(_SEG_SPARK.format(w="word"))
-    for m in rows:
-        seg = F.replace(
-            seg,
-            F.lit(f"{m['pair_a']} {m['pair_b']}"),
-            F.lit(m["merged"]),
-        )
     wf = word_freqs(df, text_col)
-    return wf.select(
+    out = wf.select(
         "word",
         "freq",
-        seg.alias("seg"),
-    ).withColumn("n_subwords", F.size(F.split("seg", " ")))
+        F.expr(_SEG_SPARK.format(w="word")).alias("seg"),
+    )
+    for i in range(0, len(rows), _SEGMENT_CHUNK):
+        seg: Column = F.col("seg")
+        for m in rows[i:i + _SEGMENT_CHUNK]:
+            seg = F.replace(
+                seg,
+                F.lit(f"{m['pair_a']} {m['pair_b']}"),
+                F.lit(m["merged"]),
+            )
+        out = out.select("word", "freq", seg.alias("seg"))
+        if i + _SEGMENT_CHUNK < len(rows):
+            # lazy barrier: materializes once at the first action,
+            # keeps every compiled plan ≤ _SEGMENT_CHUNK replaces deep
+            out = out.localCheckpoint(eager=False)
+    return out.withColumn("n_subwords", F.size(F.split("seg", " ")))
 
 
 # ---------------------------------------------------------------
