@@ -39,23 +39,26 @@ QUERY_RATE = 4096  # 1M / 4096 ≈ 244 sampled queries
 K = 10
 
 
-def make_vectors(spark, n: int, out_path: str):
+def make_vectors(spark, n: int, out_path: str,
+                 clusters: int = CLUSTERS):
     """Deterministic clustered corpus: center[c] from a hash grid,
     member = center + per-(id, component) hash noise. float arrays
-    (the ANN ops quantize ×1000 themselves)."""
+    (the ANN ops quantize ×1000 themselves). ``clusters`` scales the
+    members-per-cluster density (recall@10 is only meaningful when
+    clusters hold >= ~K members)."""
     import numpy as np
     import pandas as pd
 
     centers = (
         np.random.default_rng(42)
-        .normal(0.0, 1.0, size=(CLUSTERS, DIM))
+        .normal(0.0, 1.0, size=(clusters, DIM))
         .astype(np.float64)
     )
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].values
-            cl = (ids % CLUSTERS).astype(np.int64)
+            cl = (ids % clusters).astype(np.int64)
             # deterministic per-(id, j) noise in [-0.05, 0.05):
             # integer hash, no RNG state
             i = ids[:, None].astype(np.uint64)
