@@ -133,8 +133,15 @@ FULL_SCAN_OK = {
     # reads); unigram_doc_tokens (52) adds its word-occurrence
     # explode + the application walk's word_freqs/candidate pair
     # (model reused from the eager-checkpointed training run):
-    # observed 46 at the 52-section surface.
-    "text_scoring": {"documents.parquet": 46, "embeddings.parquet": 4},
+    # observed 46 at the 52-section surface. The round-8 WordPiece
+    # quartet (53-56) adds 3: training's word_freqs scan sits behind
+    # its eager checkpoint (invisible) and wordpiece_tokens reuses
+    # the checkpointed vocab (zero reads), but wordpiece_doc_tokens
+    # adds its word-occurrence explode and wordpiece_segment its
+    # word_freqs + byte-aligned candidate pair (all semantically
+    # full-table: tokenizer application maps every row by
+    # definition): observed 49 at the 56-section surface.
+    "text_scoring": {"documents.parquet": 49, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -675,6 +675,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_UNI_ROUNDS,
         seed_size=_UNI_SEED,
     )
+    # ONE WordPiece training run feeds model + tokens + doc_tokens +
+    # the longest-match inference section (C59, round 8)
+    from umls2rdf_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_doc_tokens,
+        wordpiece_pieces,
+        wordpiece_segment,
+        wordpiece_vocab_after,
+    )
+
+    wp_merges_df, wp_vocab = train_wordpiece(
+        docs, "text", rounds=_WP_ROUNDS
+    )
     from umls2rdf_spark.operators.webcurate import registered_domain_psl
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
     # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
@@ -1129,6 +1142,33 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "unigram_doc_tokens",
         ),
+        # SURVEY C59 (round 8): WordPiece — the THIRD mainstream
+        # tokenizer family (BERT-style likelihood-scored merges,
+        # operators/wordpiece.py): same vocab-bounded round shape as
+        # BPE, winner ranked by the engine-exact quantized score
+        # cnt(ab)*2^40 div (cnt(a)*cnt(b)); ONE training run feeds
+        # model + both application halves
+        fingerprint_section(wp_merges_df, "wordpiece_model"),
+        fingerprint_section(
+            wordpiece_vocab_after(docs, "text", vocab=wp_vocab),
+            "wordpiece_tokens",
+        ),
+        fingerprint_section(
+            wordpiece_doc_tokens(
+                docs, "doc_id", "text", vocab=wp_vocab
+            ),
+            "wordpiece_doc_tokens",
+        ),
+        # C59's inference half: greedy LONGEST-MATCH-FIRST walk (the
+        # real WordPiece apply algorithm — deliberately NOT the
+        # training segmentation; the train/inference asymmetry is the
+        # family's defining trait) under the trained piece inventory
+        fingerprint_section(
+            wordpiece_segment(
+                docs, wordpiece_pieces(wp_vocab), "text"
+            ),
+            "wordpiece_segment",
+        ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
         # zero-Exchange K-join plan (webcurate.py
@@ -1146,6 +1186,9 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_ROUNDS = 4
+# C59 WordPiece demo scale: same 4-round unroll as BPE (one extra
+# symbol-count CTE per round in the oracle)
+_WP_ROUNDS = 4
 # C58 unigram-LM demo scale: 2 EM rounds unroll compactly in the
 # oracle; 32-piece target over a 256-piece substring seed
 _UNI_VOCAB = 32
@@ -2242,6 +2285,26 @@ def _text_scoring_sql() -> str:
             ["doc_id", "n_words", "n_unigram_tokens"],
         ),
         fingerprint_sql(
+            "wordpiece_model",
+            _wordpiece_model_sql(),
+            ["round", "pair_a", "pair_b", "merged", "cnt", "score_q"],
+        ),
+        fingerprint_sql(
+            "wordpiece_tokens",
+            _wordpiece_tokens_sql(),
+            ["word", "freq", "n_subwords"],
+        ),
+        fingerprint_sql(
+            "wordpiece_doc_tokens",
+            _wordpiece_doc_tokens_sql(),
+            ["doc_id", "n_words", "n_wp_tokens"],
+        ),
+        fingerprint_sql(
+            "wordpiece_segment",
+            _wordpiece_segment_sql(),
+            ["word", "freq", "n_subwords"],
+        ),
+        fingerprint_sql(
             "psl_domains",
             _psl_domains_sql(),
             ["doc_id", "host", "reg_domain"],
@@ -2267,6 +2330,47 @@ def _unigram_model_sql() -> str:
         vocab_size=_UNI_VOCAB,
         rounds=_UNI_ROUNDS,
         seed_size=_UNI_SEED,
+    )
+
+
+def _wordpiece_model_sql() -> str:
+    from umls2rdf_spark.operators.wordpiece import (
+        train_wordpiece_merges_sql,
+    )
+
+    return train_wordpiece_merges_sql(
+        "SELECT * FROM documents", "text", rounds=_WP_ROUNDS
+    )
+
+
+def _wordpiece_tokens_sql() -> str:
+    from umls2rdf_spark.operators.wordpiece import (
+        wordpiece_vocab_after_sql,
+    )
+
+    return wordpiece_vocab_after_sql(
+        "SELECT * FROM documents", "text", rounds=_WP_ROUNDS
+    )
+
+
+def _wordpiece_doc_tokens_sql() -> str:
+    from umls2rdf_spark.operators.wordpiece import (
+        wordpiece_doc_tokens_sql,
+    )
+
+    return wordpiece_doc_tokens_sql(
+        "SELECT * FROM documents", "doc_id", "text", rounds=_WP_ROUNDS
+    )
+
+
+def _wordpiece_segment_sql() -> str:
+    from umls2rdf_spark.operators.wordpiece import (
+        wordpiece_segment_sql,
+    )
+
+    return wordpiece_segment_sql(
+        "SELECT * FROM documents", "__pieces", "text",
+        rounds=_WP_ROUNDS,
     )
 
 
