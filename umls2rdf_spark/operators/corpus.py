@@ -106,6 +106,244 @@ def decontaminate(
     return shared
 
 
+def _distinct_shingle_arr(n: int) -> str:
+    """SQL fragment: the DISTINCT word ``n``-gram shingle array over
+    a pre-projected token array column ``__t``, built map-side
+    (transform → array_distinct) so both the per-doc shingle size
+    and the explode need NO pre-shuffle. Single-space tokenization
+    (the shingle_rows convention)."""
+    parts = ", ".join(f"__t[i+{j}]" for j in range(n))
+    return (
+        f"array_distinct(CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(0, size(__t)-{n}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END)"
+    )
+
+
+def decontaminate_lexical(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    min_bench_containment: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY lexical benchmark decontamination — the near-duplicate
+    complement of :func:`decontaminate`'s exact n-gram hit count:
+    a corpus document is contaminated when its word-shingle JACCARD
+    against any benchmark document reaches ``min_jaccard``, OR when
+    it CONTAINS a benchmark document (``inter / |bench shingles| >=
+    min_bench_containment`` — the Broder-asymmetric signal: a doc
+    quoting a whole benchmark item verbatim has Jaccard ≈
+    |bench|/|doc| ≈ 0 but bench-containment ≈ 1, so a Jaccard-only
+    threshold ships the leak). Completes the decontamination matrix:
+    exact n-gram (decontaminate), constant-size index
+    (decontaminate_bloom), semantic (decontaminate_embeddings),
+    fuzzy-lexical (this).
+
+    Returns one row per corpus document: (id, max_jaccard,
+    max_bench_containment, keep) — NULL maxes for documents sharing
+    no shingle with any benchmark doc (kept; empty benchmark = keep
+    everything, the fail-open-vs-vanish convention of
+    decontaminate_embeddings).
+
+    100 TB shape: benchmark suites are bounded by nature, so the
+    bench shingles broadcast; the corpus side is ONE scan whose
+    per-row shingling AND per-doc distinct-shingle size are computed
+    map-side (array_distinct before the explode — no corpus-wide
+    distinct() shuffle), and the only shuffles carry the MATCHED
+    candidate rows plus one row per corpus doc. If the benchmark
+    outgrows broadcast, pass ``candidates`` from
+    :func:`lexical_decontam_candidates` (minhash-band join, neither
+    side broadcast) — this exact form stays the recall baseline and
+    the verify stage, restricted to those pairs.
+    """
+    def shingled(df, idc, txt, out_id):
+        return (
+            df.select(
+                F.col(idc).alias(out_id),
+                F.filter(
+                    F.split(F.col(txt), " "), lambda t: t != ""
+                ).alias("__t"),
+            )
+            .select(
+                out_id,
+                F.expr(_distinct_shingle_arr(shingle_n)).alias("__sh"),
+            )
+        )
+
+    cs = shingled(corpus, id_col, text_col, id_col).select(
+        F.col(id_col),
+        F.size("__sh").alias("sz_a"),
+        F.explode("__sh").alias("shingle"),
+    )
+    bs = shingled(
+        benchmark, bench_id_col, bench_text_col, "__bid"
+    ).select(
+        "__bid",
+        F.size("__sh").alias("sz_b"),
+        F.explode("__sh").alias("shingle"),
+    )
+    pair_src = cs.join(F.broadcast(bs), "shingle")
+    if candidates is not None:
+        pair_src = pair_src.join(
+            candidates.select(
+                F.col("id_a").alias(id_col), F.col("id_b").alias("__bid")
+            ),
+            [id_col, "__bid"],
+        )
+    inter = pair_src.groupBy(id_col, "__bid", "sz_a", "sz_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("inter")
+    )
+    scored = inter.select(
+        F.col(id_col),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                "double"
+            )
+        ).alias("__j"),
+        (
+            F.col("inter").cast("double") / F.col("sz_b").cast("double")
+        ).alias("__bc"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.max("__j").alias("max_jaccard"),
+        F.max("__bc").alias("max_bench_containment"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "max_jaccard",
+            "max_bench_containment",
+            (
+                (
+                    F.col("max_jaccard").isNull()
+                    | (F.col("max_jaccard") < F.lit(min_jaccard))
+                )
+                & (
+                    F.col("max_bench_containment").isNull()
+                    | (
+                        F.col("max_bench_containment")
+                        < F.lit(min_bench_containment)
+                    )
+                )
+            ).alias("keep"),
+        )
+    )
+
+
+def lexical_decontam_candidates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Scale path for :func:`decontaminate_lexical` when the
+    benchmark side outgrows broadcast (decontaminating shard against
+    shard, not corpus against eval suite): minhash-band signatures
+    on BOTH sides, bucket-joined on (band signature) — neither side
+    broadcast, never all-pairs — yielding candidate (id_a=corpus,
+    id_b=bench) pairs for the exact verify. Fail-open only: a missed
+    band collision can only UNDER-flag (the LSH-decontam contract);
+    every returned pair is still exactly verified."""
+    from umls2rdf_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+    )
+
+    cs = minhash_signatures(
+        corpus, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    bs = minhash_signatures(
+        benchmark,
+        bench_id_col,
+        bench_text_col,
+        num_perm=num_perm,
+        shingle_n=shingle_n,
+    )
+    ca = band_signatures(cs, id_col, rows_per_band=1).select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    cb = band_signatures(bs, bench_id_col, rows_per_band=1).select(
+        F.col(bench_id_col).alias("id_b"), "band", "band_sig"
+    )
+    return ca.join(cb, ["band", "band_sig"]).select(
+        "id_a", "id_b"
+    ).distinct()
+
+
+def decontaminate_lexical_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    min_bench_containment: float = 0.8,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_lexical` (broadcast-exact
+    form): the same map-side distinct-shingle arrays, the same
+    int64 intersection counts and double ratios."""
+
+    def shingle_cte(src_sql, idc, txt, alias):
+        parts = " || ' ' || ".join(
+            f"f[i+{j}]" for j in range(shingle_n)
+        )
+        return f"""{alias} AS (
+  SELECT {idc} AS id, list_distinct(
+    CASE WHEN len(f) >= {shingle_n} THEN
+      list_transform(generate_series(1, len(f) - {shingle_n - 1}),
+                     i -> {parts})
+    ELSE [] END) AS sh
+  FROM (SELECT {idc},
+               list_filter(string_split({txt}, ' '),
+                           t -> t <> '') AS f
+        FROM ({src_sql}) AS __src_{alias}))"""
+
+    return f"""
+WITH {shingle_cte(corpus_sql, id_col, text_col, '__ca')},
+{shingle_cte(bench_sql, bench_id_col, bench_text_col, '__ba')},
+__cs AS (
+  SELECT id, len(sh) AS sz_a, unnest(sh) AS shingle FROM __ca),
+__bs AS (
+  SELECT id AS bid, len(sh) AS sz_b, unnest(sh) AS shingle FROM __ba),
+__inter AS (
+  SELECT c.id, b.bid, c.sz_a, b.sz_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM __cs c JOIN __bs b USING (shingle)
+  GROUP BY 1, 2, 3, 4),
+__agg AS (
+  SELECT id,
+         MAX(CAST(inter AS DOUBLE)
+             / CAST(sz_a + sz_b - inter AS DOUBLE)) AS max_jaccard,
+         MAX(CAST(inter AS DOUBLE)
+             / CAST(sz_b AS DOUBLE)) AS max_bench_containment
+  FROM __inter GROUP BY id)
+SELECT c.{id_col} AS {id_col}, a.max_jaccard,
+       a.max_bench_containment,
+       ((a.max_jaccard IS NULL OR a.max_jaccard < {min_jaccard})
+        AND (a.max_bench_containment IS NULL
+             OR a.max_bench_containment
+               < {min_bench_containment})) AS keep
+FROM ({corpus_sql}) AS c
+LEFT JOIN __agg a ON a.id = c.{id_col}
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

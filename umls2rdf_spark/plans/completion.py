@@ -688,6 +688,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp_merges_df, wp_vocab = train_wordpiece(
         docs, "text", rounds=_WP_ROUNDS
     )
+    from umls2rdf_spark.operators.corpus import decontaminate_lexical
     from umls2rdf_spark.operators.webcurate import registered_domain_psl
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
     # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
@@ -1169,6 +1170,26 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "wordpiece_segment",
         ),
+        # SURVEY C60 (round 8): FUZZY lexical benchmark
+        # decontamination — completes the decontamination matrix
+        # (exact n-gram C18 / bloom C33 / semantic C43 /
+        # fuzzy-lexical): jaccard OR bench-containment vs a seeded
+        # benchmark (every 17th doc's 3/5-word prefix — containment
+        # 1.0 for the source doc, partial jaccard for near-dups);
+        # map-side distinct-shingle arrays, broadcast bench, one
+        # corpus scan (operators/corpus.py decontaminate_lexical)
+        fingerprint_section(
+            decontaminate_lexical(
+                docs,
+                _lexical_bench_frame(docs),
+                "doc_id",
+                "text",
+                "bench_id",
+                "text",
+            ),
+            "lexical_decontam",
+            ("max_jaccard", "max_bench_containment"),
+        ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
         # zero-Exchange K-join plan (webcurate.py
@@ -1198,6 +1219,54 @@ _UNI_SEED = 256
 #: exact, wildcard, exception) — the publicsuffix.org kobe.jp block
 _PSL_RULES = ("com", "co.uk", "jp", "*.kobe.jp", "!city.kobe.jp")
 _DECON_MIN_COS = 0.35
+
+
+def _lexical_bench_frame(docs: DataFrame) -> DataFrame:
+    """Seeded benchmark for the C60 lexical_decontam section: every
+    17th doc's 3/5-word prefix — bench-containment exactly 1.0 for
+    the source doc (prefix shingles ⊂ doc shingles), partial jaccard
+    for its near-duplicates; integer `div` arithmetic so both
+    engines slice identically."""
+    return docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.col("text"), " "),
+                1,
+                F.greatest(
+                    F.lit(3),
+                    F.expr(
+                        "CAST((size(split(text, ' ')) * 3) div 5"
+                        " AS INT)"
+                    ),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+_LEXICAL_BENCH_SQL = """
+SELECT doc_id AS bench_id,
+       array_to_string(list_slice(string_split(text, ' '), 1,
+         greatest(3, CAST((len(string_split(text, ' ')) * 3) // 5
+                          AS INT))), ' ') AS text
+FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _lexical_decontam_sql() -> str:
+    from umls2rdf_spark.operators.corpus import (
+        decontaminate_lexical_sql,
+    )
+
+    return decontaminate_lexical_sql(
+        "SELECT * FROM documents",
+        _LEXICAL_BENCH_SQL,
+        "doc_id",
+        "text",
+        "bench_id",
+        "text",
+    )
 
 
 def _psl_hosts_frame(docs: DataFrame) -> DataFrame:
@@ -2303,6 +2372,12 @@ def _text_scoring_sql() -> str:
             "wordpiece_segment",
             _wordpiece_segment_sql(),
             ["word", "freq", "n_subwords"],
+        ),
+        fingerprint_sql(
+            "lexical_decontam",
+            _lexical_decontam_sql(),
+            ["doc_id", "max_jaccard", "max_bench_containment", "keep"],
+            ("max_jaccard", "max_bench_containment"),
         ),
         fingerprint_sql(
             "psl_domains",
