@@ -433,3 +433,130 @@ def test_hard_negative_topk_excludes_same_label(spark):
             cands.append((-cos, nid))
         expected = [nid for _, nid in sorted(cands)[:k]]
         assert [n for _, n in sorted(got[q])] == expected, q
+
+
+def test_ivf_pq_rerank_full_probe_equals_exact_cosine(spark):
+    """rerank = everything + nprobe = all cells: candidates are every
+    (query, corpus) pair and the exact re-score IS cosine_topk — the
+    IVFPQR stack degrades gracefully to the exact operator. Disjoint
+    query ids so no self-pair asymmetry."""
+    from umls2rdf_spark.operators.pq import ivf_pq_topk, train_pq_codebooks
+    from umls2rdf_spark.operators.similarity import (
+        cosine_topk,
+        train_ivf_centroids,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=4, k=8, iters=1
+    )
+    cent = train_ivf_centroids(
+        emb, "vec_id", "embedding", cells=8, iters=1
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, "vec_id", "embedding", books, cent,
+                k=3, nprobe=8, rerank=10 ** 9,
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            cosine_topk(
+                emb, queries, "vec_id", "embedding", k=3
+            ).collect(),
+        )
+    )
+    assert got == exact and len(got) == 20 * 3
+
+
+def test_ivf_pq_rerank_fixes_adc_code_collapse(spark):
+    """The SCALE.md 1M finding in miniature: tight clusters make all
+    members share PQ codes, ADC ties, and byte-level top-k is
+    arbitrary — the exact re-rank stage recovers the true neighbors
+    from the candidate set."""
+    from umls2rdf_spark.operators.pq import ivf_pq_topk, train_pq_codebooks
+    from umls2rdf_spark.operators.similarity import (
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    # 4 tight clusters of 12 members, dim 8: member j of cluster c is
+    # center[c] + tiny per-(c, j) deterministic offset
+    centers = [
+        [1.0, 0, 0, 0, 0.5, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0.5, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0.5, 0],
+        [0, 0, 0, 1.0, 0, 0, 0, 0.5],
+    ]
+    rows = []
+    for c in range(4):
+        for j in range(12):
+            v = [
+                float(x) + ((c * 12 + j) * (d + 1) % 7) * 0.002
+                for d, x in enumerate(centers[c])
+            ]
+            rows.append((c * 12 + j, v))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.where(F.col("vec_id") % 12 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    books = train_pq_codebooks(
+        corpus, "vec_id", "embedding", m=4, k=4, iters=2, dim=8,
+        train_mod=1,
+    )
+    cent = train_ivf_centroids(
+        corpus, "vec_id", "embedding", cells=4, iters=2, dim=8,
+        train_mod=1,
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            corpus, queries, "vec_id", "embedding", k=5, dim=8
+        ).collect()
+    }
+    reranked = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            corpus, queries, "vec_id", "embedding", books, cent,
+            k=5, dim=8, nprobe=4, rerank=48,
+        ).collect()
+    }
+    assert reranked == exact
+    # and the re-rank is never WORSE than pure ADC (which, with all
+    # cluster members sharing codes, picks arbitrarily among ties)
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            corpus, queries, "vec_id", "embedding", books, cent,
+            k=5, dim=8, nprobe=4,
+        ).collect()
+    }
+    assert len(adc & exact) <= len(reranked & exact)
+
+
+def test_ivf_pq_rerank_validates_k(spark):
+    import pytest as _pytest
+
+    from umls2rdf_spark.operators.pq import ivf_pq_topk, train_pq_codebooks
+    from umls2rdf_spark.operators.similarity import train_ivf_centroids
+    from umls2rdf_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=4, k=8, iters=1)
+    cent = train_ivf_centroids(emb, "vec_id", "embedding", cells=4, iters=1)
+    with _pytest.raises(ValueError, match="rerank"):
+        ivf_pq_topk(
+            emb, queries, "vec_id", "embedding", books, cent,
+            k=5, nprobe=1, rerank=3,
+        )

@@ -93,6 +93,16 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--path", default="/tmp/ann_recall_vec.parquet")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--clusters",
+        type=int,
+        default=CLUSTERS,
+        help="cluster count; n/clusters members each — at 1M/2000 "
+        "(default) every exact top-10 is same-cluster and recall "
+        "saturates once the right cluster is probed; 1M/100k (10 "
+        "members) makes the 10th neighbor cross-cluster, the "
+        "non-saturated operating point",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -118,7 +128,9 @@ def main() -> int:
     if args.skip_build and os.path.exists(args.path):
         vectors = spark.read.parquet(args.path)
     else:
-        vectors = make_vectors(spark, args.n, args.path)
+        vectors = make_vectors(
+            spark, args.n, args.path, clusters=args.clusters
+        )
     vectors = vectors.persist()
     n = vectors.count()
 
@@ -219,6 +231,17 @@ def main() -> int:
             ),
             corpus_vs_corpus=False,
         )
+    # the IVFPQR answer to ADC code collapse: exact re-rank of the
+    # top-`rerank` ADC candidates (operators/pq.py ivf_pq_topk)
+    for nprobe, rr in ((4, 64), (16, 256)):
+        run(
+            f"ivf_pq nprobe={nprobe} rerank={rr}",
+            lambda np_=nprobe, rr_=rr: ivf_pq_topk(
+                vectors, queries, "id", "vec", books, cent,
+                k=K + 1, dim=DIM, nprobe=np_, rerank=rr_,
+            ),
+            corpus_vs_corpus=False,
+        )
 
     print("| method | recall@10 | wall (s) |", file=sys.stderr)
     print("|---|---|---|", file=sys.stderr)
@@ -226,7 +249,7 @@ def main() -> int:
         print(f"| {r['method']} | {r['recall_at_10']} | "
               f"{r['wall_s']} |", file=sys.stderr)
     print(json.dumps({
-        "n": n, "queries": nq, "dim": DIM, "clusters": CLUSTERS,
+        "n": n, "queries": nq, "dim": DIM, "clusters": args.clusters,
         "exact_wall_s": round(t_exact, 1), "results": results,
     }))
     return 0

@@ -241,9 +241,26 @@ def ivf_pq_topk(
     k: int = 3,
     dim: int = 64,
     nprobe: int = 1,
+    rerank: int = 0,
 ) -> DataFrame:
     """The full IVF-PQ stack: coarse cells bound WHO gets scored,
     PQ codes bound what scoring COSTS.
+
+    ``rerank > 0`` adds the exact re-rank stage (the FAISS IVFPQR
+    shape): the top-``rerank`` ADC candidates per query are re-scored
+    with the EXACT quantized cosine and the final top-``k`` is taken
+    from those — output (query_id, neighbor_id, rank, cos_sim), the
+    cosine_topk schema. This is the production answer to ADC code
+    collapse: when true neighbors sit within quantization noise of
+    each other (tight clusters), every cluster member encodes to the
+    same m bytes, ADC distances tie, and the byte-level top-k is
+    arbitrary-but-deterministic among them — measured at 1M clustered
+    vectors as recall@10 ≈ 0.04 FLAT in nprobe (SCALE.md). Re-ranking
+    restores exactness for whatever the candidate set contains while
+    keeping the scan cost byte-bounded. Scale shape: the candidate
+    list is |queries| x rerank rows (bounded — queries are bounded by
+    nature here), broadcast against ONE corpus scan, so the corpus is
+    never shuffled for the re-score.
 
     Corpus pass (map-only): assign each vector to its nearest
     centroid (exact int64 L2, ties to the lowest cell) and encode its
@@ -346,12 +363,54 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
+    if rerank <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank",
+                F.col("adc").alias("adc_score"),
+            )
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    from umls2rdf_spark.operators.similarity import (
+        _dot_expr,
+        _with_qvec,
+    )
+
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = _with_qvec(vectors, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nvec"),
+        F.col("norm2").alias("nn2"),
+    )
+    qvec = _with_qvec(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qv"),
+        F.col("norm2").alias("qn2"),
+    )
+    cos = _dot_expr("qv", "nvec", dim).cast("double") / F.sqrt(
+        (F.col("qn2") * F.col("nn2")).cast("double")
+    )
+    rescored = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",
-            F.col("adc").alias("adc_score"),
+            F.col("cos").alias("cos_sim"),
         )
     )
 
