@@ -1,7 +1,8 @@
 """The hash-sampled scale-verification tool itself, exercised end to
 end at tiny scale (2 copies, rate 4) so the 100×/SCALE.md evidence
 rests on a tested harness: one per-doc section, one per-source
-section, and two of the round-8 group-closure sections."""
+section, two of the round-8 group-closure sections, and the
+doc+bounded-global-bench section (lexical_decontam)."""
 
 from __future__ import annotations
 
@@ -23,11 +24,11 @@ def test_sampled_oracle_tool_end_to_end(tmp_path):
                 "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
             ),
             "--keys", "char_profile,score_calibration,"
-                      "url_dedup,containment",
+                      "url_dedup,containment,lexical_decontam",
         ],
         capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     ok = [line for line in out.stdout.splitlines() if " OK " in line]
-    assert len(ok) == 4, out.stdout
-    assert "4/4 green" in out.stderr, out.stderr
+    assert len(ok) == 5, out.stdout
+    assert "5/5 green" in out.stderr, out.stderr

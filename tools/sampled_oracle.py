@@ -318,6 +318,49 @@ SELECT DISTINCT doc_id FROM bands WHERE {bucket_sql} % {rate} = 0)"""
     }
 
 
+def _bench_sections(rate: int, docs_path: str):
+    """name -> (spark_fn(docs) -> FILTERED full-replica frame,
+    oracle_sql, extra CREATE statements): the round-8 closure class
+    "per-doc closure + bounded global side". lexical_decontam's
+    per-doc output depends on the doc's own shingles plus the WHOLE
+    benchmark set — so the oracle's ``documents`` holds only the
+    doc-hash sample while a second temp table carries the benchmark
+    derived from the FULL replica (bounded by nature: 1/17 of the
+    corpus, and the corpus×bench join is what sampling shrinks).
+    Exactly closed, not statistical."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.functions.hashing import stable_hash40
+    from umls2rdf_spark.operators.corpus import (
+        decontaminate_lexical,
+        decontaminate_lexical_sql,
+    )
+    from umls2rdf_spark.plans import completion as C
+
+    def lex_fn(d):
+        out = decontaminate_lexical(
+            d, C._lexical_bench_frame(d), "doc_id", "text",
+            "bench_id", "text",
+        )
+        return out.where(
+            stable_hash40(F.col("doc_id").cast("string")) % rate == 0
+        )
+
+    bench_full_sql = C._LEXICAL_BENCH_SQL.replace(
+        "FROM documents", f"FROM '{docs_path}'"
+    )
+    lex_sql = decontaminate_lexical_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM __bench_full",
+        "doc_id",
+        "text",
+        "bench_id",
+        "text",
+    )
+    extra = [f"CREATE TEMP TABLE __bench_full AS {bench_full_sql}"]
+    return {"lexical_decontam": (lex_fn, lex_sql, extra)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=100)
@@ -382,13 +425,15 @@ def main() -> int:
     # group-closure sections build their OWN sampled temp table (the
     # predicate is section-specific); the connection is lazy because
     # the minhash bucket predicate is itself a corpus scan
-    def group_con(table_pred: str):
+    def group_con(table_pred: str, extra: list[str] | None = None):
         def make():
             c = duckdb.connect()
             c.execute(
                 f"CREATE TEMP TABLE documents AS SELECT * FROM "
                 f"'{docs_path}' WHERE {table_pred}"
             )
+            for stmt in extra or ():
+                c.execute(stmt)
             return c
 
         return make
@@ -406,6 +451,11 @@ def main() -> int:
          group_con(table_pred))
         for name, (fn, sql, table_pred)
         in _group_sections(args.rate, docs_path).items()
+    ] + [
+        (name, (lambda fn=fn: fn(docs)), sql, "doc+bench",
+         group_con(doc_pred_sql, extra))
+        for name, (fn, sql, extra)
+        in _bench_sections(args.rate, docs_path).items()
     ]
     wanted = None if args.keys == "all" else set(args.keys.split(","))
 
