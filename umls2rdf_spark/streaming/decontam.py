@@ -1,0 +1,181 @@
+"""Continuous lexical decontamination: flag arriving crawl epochs
+against a standing benchmark index — the intake form of
+operators/corpus.py decontaminate_lexical (C60), for the
+continuous-crawl case where documents arrive spread over many
+fetches but the benchmark suite is fixed at setup.
+
+Architecture (the intake-loop family: streaming/events.py near-dup,
+streaming/webcurate.py cap/URL-dedup, streaming/selection.py
+calibration): the standing state is the benchmark's DISTINCT-shingle
+index — ``(bench_id, sz_b, shingle)`` rows, written ONCE by
+:func:`stage_benchmark` and bounded by nature (an eval suite, not a
+corpus) — and each micro-batch runs the identical jaccard +
+bench-containment scoring against it, writing its verdicts to a
+batch_id-partitioned parquet index.
+
+The contract is STRONGER than the stateful loops': per-doc verdicts
+depend only on the doc's own shingles plus the fixed benchmark, so
+
+- a single epoch equals batch decontaminate_lexical on that epoch
+  EXACTLY (pinned),
+- the multi-epoch UNION of verdicts equals batch
+  decontaminate_lexical on the union of epochs EXACTLY — arrival
+  order is irrelevant, decontamination commutes with epoch
+  boundaries (pinned; the cap/URL loops can only promise
+  arrival-order semantics),
+- an at-least-once replay overwrites its own partition with
+  identical rows (no-op, pinned).
+
+100 TB: per-batch cost is the batch's own shingle explode joined to
+the broadcast bench index; standing state never grows with the
+corpus (verdict partitions are the pipeline's OUTPUT, not loop
+state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.operators.corpus import _distinct_shingle_arr
+
+
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, out_id: str
+) -> DataFrame:
+    """(out_id, sz, shingle) rows with the map-side distinct-shingle
+    array — the decontaminate_lexical plan shape."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: t != ""
+            ).alias("__t"),
+        )
+        .select(
+            out_id,
+            F.expr(_distinct_shingle_arr(shingle_n)).alias("__sh"),
+        )
+        .select(
+            out_id,
+            F.size("__sh").alias("sz"),
+            F.explode("__sh").alias("shingle"),
+        )
+    )
+
+
+def stage_benchmark(
+    benchmark: DataFrame,
+    state_dir: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 3,
+) -> None:
+    """Write the standing benchmark shingle index (ONE overwrite —
+    the setup step; bounded by nature)."""
+    _shingled(
+        benchmark, bench_id_col, bench_text_col, shingle_n, "bench_id"
+    ).withColumnRenamed("sz", "sz_b").write.mode("overwrite").parquet(
+        f"{state_dir}/benchidx"
+    )
+
+
+def decontam_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    min_bench_containment: float = 0.8,
+) -> DataFrame:
+    """ONE epoch's verdicts against the staged benchmark index:
+    (id, max_jaccard, max_bench_containment, keep) — the exact
+    decontaminate_lexical output for the batch — overwritten into the
+    epoch's ``{state_dir}/verdicts`` partition (replay-idempotent)
+    and returned. A missing benchmark index FAILS the batch (a
+    decontamination stage that silently checks against nothing is
+    the fail-open corruption read_standing_state guards the other
+    loops against; here the index is setup state, so absence is a
+    setup bug, not a first-batch condition)."""
+    spark = batch_df.sparkSession
+    bench = spark.read.parquet(f"{state_dir}/benchidx")
+    cs = _shingled(batch_df, id_col, text_col, shingle_n, id_col)
+    inter = (
+        cs.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col, "bench_id", "sz", "sz_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    agg = inter.select(
+        F.col(id_col),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz") + F.col("sz_b") - F.col("inter")).cast(
+                "double"
+            )
+        ).alias("__j"),
+        (
+            F.col("inter").cast("double") / F.col("sz_b").cast("double")
+        ).alias("__bc"),
+    ).groupBy(id_col).agg(
+        F.max("__j").alias("max_jaccard"),
+        F.max("__bc").alias("max_bench_containment"),
+    )
+    verdicts = (
+        batch_df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "max_jaccard",
+            "max_bench_containment",
+            (
+                (
+                    F.col("max_jaccard").isNull()
+                    | (F.col("max_jaccard") < F.lit(min_jaccard))
+                )
+                & (
+                    F.col("max_bench_containment").isNull()
+                    | (
+                        F.col("max_bench_containment")
+                        < F.lit(min_bench_containment)
+                    )
+                )
+            ).alias("keep"),
+        )
+    )
+    verdicts.write.mode("overwrite").parquet(
+        f"{state_dir}/verdicts/batch_id={batch_id}"
+    )
+    return spark.read.parquet(
+        f"{state_dir}/verdicts/batch_id={batch_id}"
+    )
+
+
+def run_decontam_intake(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    min_bench_containment: float = 0.8,
+) -> None:
+    """Drive the stream to completion (availableNow), maintaining the
+    ``{state_dir}/verdicts`` index. :func:`stage_benchmark` must have
+    run first."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        decontam_epoch(
+            batch_df, batch_id, state_dir, id_col, text_col,
+            shingle_n, min_jaccard, min_bench_containment,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
