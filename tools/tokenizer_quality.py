@@ -254,6 +254,52 @@ def unigram_comparison(
     }
 
 
+def wordpiece_comparison(spark, rounds: int) -> dict:
+    """The third family at the same merge budget (round 8):
+    tokens/word under the TRAINING segmentation (merge replay) vs
+    under the real greedy longest-match-first INFERENCE over the
+    final piece inventory — the train/inference asymmetry that
+    defines WordPiece, as a number — plus greedy-inference coverage
+    (% of corpus words the longest-match walk can cover at all;
+    real WordPiece emits [UNK] for the rest, this engine drops them
+    fail-closed)."""
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_pieces,
+        wordpiece_segment,
+    )
+
+    df = spark.createDataFrame([(t,) for t in PROSE], ["text"])
+    merges, vocab = train_wordpiece(df, "text", rounds=rounds)
+    n_merges = merges.count()
+    train = vocab.select(
+        "freq", F.size(F.split("seg", " ")).alias("ns")
+    ).agg(
+        F.sum(F.col("freq") * F.col("ns")).alias("tok"),
+        F.sum("freq").alias("w"),
+    ).collect()[0]
+    train_tpw = train["tok"] / train["w"]
+    seg = wordpiece_segment(df, wordpiece_pieces(vocab))
+    inf = seg.agg(
+        F.sum(F.col("freq") * F.col("n_subwords")).alias("tok"),
+        F.sum("freq").alias("w"),
+    ).collect()[0]
+    total_w = train["w"]
+    covered_w = inf["w"] or 0
+    infer_tpw = (inf["tok"] / covered_w) if covered_w else None
+    return {
+        "rounds": rounds,
+        "merges_done": int(n_merges),
+        "train_tokens_per_word": round(train_tpw, 4),
+        "infer_tokens_per_word": (
+            round(infer_tpw, 4) if infer_tpw is not None else None
+        ),
+        "infer_coverage_pct": round(100.0 * covered_w / total_w, 2),
+    }
+
+
 def main() -> int:
     from umls2rdf_spark.session import get_spark
 
@@ -264,6 +310,9 @@ def main() -> int:
     out = {
         "bpe": [bpe_comparison(spark, r) for r in (128, 512)],
         "unigram": unigram_comparison(spark),
+        "wordpiece": [
+            wordpiece_comparison(spark, r) for r in (128, 512)
+        ],
     }
     for b in out["bpe"]:
         print(
@@ -279,6 +328,14 @@ def main() -> int:
         f"{u['token_delta_pct']}% vs Viterbi",
         file=sys.stderr,
     )
+    for w in out["wordpiece"]:
+        print(
+            f"wordpiece rounds={w['rounds']}: train "
+            f"{w['train_tokens_per_word']} tok/word, infer "
+            f"{w['infer_tokens_per_word']} tok/word at "
+            f"{w['infer_coverage_pct']}% greedy coverage",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     return 0
 
