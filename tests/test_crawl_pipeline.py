@@ -247,3 +247,40 @@ def test_checkpoint_mode_same_results_and_no_warc_reread(
     assert "FileScan text" not in final
     for f in frames_p.values():
         f.unpersist()
+
+
+def test_decontam_stage_drops_benchmark_leak(spark, tmp_path):
+    """With a benchmark supplied, the optional decontam stage drops
+    exactly the admitted doc that duplicates a benchmark item, its
+    funnel row matches the direct count, and the packed output no
+    longer contains the leak."""
+    path, base_text = _fixture(tmp_path)
+    base = spark.createDataFrame(
+        [(10**15, base_text)], "doc_id long, text string"
+    )
+    # bare run harvests an admitted doc's text to use as the bench
+    _p0, counts0, frames0 = curate_crawl(
+        spark, path, base, _PSL, cap=2, seq_len=32
+    )
+    delta_text = [
+        r["text"]
+        for r in frames0["near_dup"].collect()
+        if "delta.com" in r["url"]
+    ][0]
+    for f in frames0.values():
+        f.unpersist()
+    bench = spark.createDataFrame(
+        [(1, delta_text)], "bench_id long, text string"
+    )
+    packed, counts, frames = curate_crawl(
+        spark, path, base, _PSL, cap=2, seq_len=32, benchmark=bench
+    )
+    assert counts["decontam"]["observed"] == counts["decontam"]["direct"]
+    assert (
+        counts["decontam"]["direct"]
+        == counts["near_dup"]["direct"] - 1
+    )
+    urls = {r["url"] for r in frames["decontam"].collect()}
+    assert urls and not any("delta.com" in u for u in urls)
+    for f in frames.values():
+        f.unpersist()

@@ -189,3 +189,49 @@ def test_stream_driver_end_to_end(spark, tmp_path):
     fun = read_epoch_table(spark, state, "funnel")
     assert fun.groupBy("batch_id").count().count() == 2
     assert fun.count() == 14
+
+
+def test_decontam_stage_single_epoch_equals_batch(spark, tmp_path):
+    """The composed intake with the decontamination stage: cold-state
+    epoch 0 against a staged benchmark equals batch curate_crawl with
+    the same benchmark — funnel counts (incl. the decontam row) and
+    packed spans."""
+    from umls2rdf_spark.streaming.decontam import stage_benchmark
+
+    path, _ = _fixture(tmp_path)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _p0, _c0, frames0 = curate_crawl(
+        spark, path, empty, _PSL, cap=2, seq_len=32
+    )
+    delta_text = [
+        r["text"]
+        for r in frames0["near_dup"].collect()
+        if "delta.com" in r["url"]
+    ][0]
+    for f in frames0.values():
+        f.unpersist()
+    bench = spark.createDataFrame(
+        [(1, delta_text)], "bench_id long, text string"
+    )
+    packed_b, counts_b, frames_b = curate_crawl(
+        spark, path, empty, _PSL, cap=2, seq_len=32, benchmark=bench
+    )
+    state = str(tmp_path / "state")
+    stage_benchmark(bench, state, "bench_id", "text")
+    counts_s = crawl_epoch(
+        _raw_frame(spark, path), 0, state, _PSL, cap=2, seq_len=32,
+        decontaminate=True,
+    )
+    assert counts_s == {k: v["direct"] for k, v in counts_b.items()}
+    assert "decontam" in counts_s
+    packed_s = read_epoch_table(spark, state, "packed").drop("batch_id")
+    assert sorted(map(tuple, packed_s.collect())) == sorted(
+        map(tuple, packed_b.select(*packed_s.columns).collect())
+    )
+    fun = {
+        r["stage"]: r["n_rows"]
+        for r in read_epoch_table(spark, state, "funnel").collect()
+    }
+    assert fun == counts_s
+    for f in frames_b.values():
+        f.unpersist()

@@ -94,6 +94,12 @@ def main() -> int:
     ap.add_argument("--path", default="/tmp/ann_recall_vec.parquet")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
+        "--methods", default="",
+        help="comma-separated substring filter on method labels "
+        "(empty = run all); training for a filtered-out family "
+        "still runs (cheap next to the scoring legs)",
+    )
+    ap.add_argument(
         "--clusters",
         type=int,
         default=CLUSTERS,
@@ -151,6 +157,10 @@ def main() -> int:
     results = []
 
     def run(label, fn, corpus_vs_corpus=True):
+        if args.methods and not any(
+            m in label for m in args.methods.split(",")
+        ):
+            return
         t = time.time()
         out = fn()
         if corpus_vs_corpus:

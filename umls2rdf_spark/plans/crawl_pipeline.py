@@ -45,11 +45,20 @@ def curate_crawl(
     num_perm: int = 8,
     shingle_n: int = 3,
     checkpoint_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_min_jaccard: float = 0.5,
+    decontam_min_containment: float = 0.8,
 ) -> tuple[DataFrame, dict[str, dict[str, int]], dict[str, DataFrame]]:
     """Run the full curation chain over ``warc_path``.
 
     ``base_docs`` is the standing corpus (doc_id, text) the new crawl
     near-dedups against (pass an empty frame for a cold start).
+
+    ``benchmark`` (optional; columns ``bench_id``, ``text``) adds the
+    fuzzy lexical decontamination gate (C60) as stage ``decontam``
+    between near-dup and packing — admitted docs whose Jaccard or
+    bench-containment vs any benchmark item clears the thresholds
+    are dropped before any sequence is packed.
 
     ``checkpoint_dir`` picks the stage-boundary materialization:
     None (default) persists each boundary in executor memory — right
@@ -186,6 +195,30 @@ def curate_crawl(
         ),
         "near_dup",
     )
+
+    # 7b — benchmark decontamination (optional): the C60 fuzzy
+    # lexical gate over the admitted set, computed from the
+    # materialized near_dup boundary (no file re-read; bench
+    # broadcasts)
+    if benchmark is not None:
+        from umls2rdf_spark.operators.corpus import (
+            decontaminate_lexical,
+        )
+
+        clean = (
+            decontaminate_lexical(
+                admitted, benchmark, "doc_id", "text",
+                "bench_id", "text",
+                shingle_n=shingle_n,
+                min_jaccard=decontam_min_jaccard,
+                min_bench_containment=decontam_min_containment,
+            )
+            .where("keep")
+            .select("doc_id")
+        )
+        admitted = boundary(
+            admitted.join(clean, "doc_id", "left_semi"), "decontam"
+        )
 
     # 8 — token counts + GPT-style packing
     toks = token_count(admitted, "doc_id", "text").select(

@@ -18,6 +18,9 @@ state under one ``state_dir``:
     {state_dir}/capidx   — admitted (domain, id), arrival-order cap
     {state_dir}/corpus   — admitted documents (near-dup base)
     {state_dir}/index    — their band-signature index
+    {state_dir}/benchidx — staged benchmark shingles (decontam gate,
+                           optional — streaming/decontam.py)
+    {state_dir}/verdicts — per-epoch decontamination verdicts
     {state_dir}/packed   — per-epoch packed sequences
     {state_dir}/funnel   — per-epoch per-stage surviving-row counts
 
@@ -76,12 +79,22 @@ def crawl_epoch(
     num_perm: int = 8,
     shingle_n: int = 3,
     min_jaccard: float | None = None,
+    decontaminate: bool = False,
+    decontam_min_jaccard: float = 0.5,
+    decontam_min_containment: float = 0.8,
 ) -> dict[str, int]:
     """Run ONE crawl epoch. ``batch_df`` is the raw lineSep-framed
     WARC text frame (column ``value`` — what read_warc_stream's
     source emits per micro-batch, pre-parse). Returns the epoch's
     funnel counts and writes packed sequences + funnel rows under
-    the epoch's partitions."""
+    the epoch's partitions.
+
+    ``decontaminate=True`` appends the C60 lexical-decontamination
+    stage via streaming/decontam.py's per-epoch function (LITERALLY
+    the composition discipline: the standalone intake's epoch logic,
+    same standing state) — requires ``stage_benchmark`` to have
+    staged ``{state_dir}/benchidx`` first; verdicts land under
+    ``{state_dir}/verdicts`` per epoch."""
     from umls2rdf_spark.operators.corpus import pack_sequences
     from umls2rdf_spark.operators.htmlextract import html_to_text
     from umls2rdf_spark.operators.pii import pii_count_columns
@@ -171,6 +184,21 @@ def crawl_epoch(
         "near_dup",
     )
 
+    stages = list(STAGES)
+    if decontaminate:
+        from umls2rdf_spark.streaming.decontam import decontam_epoch
+
+        clean = decontam_epoch(
+            admitted, batch_id, state_dir, "doc_id", "text",
+            shingle_n=shingle_n,
+            min_jaccard=decontam_min_jaccard,
+            min_bench_containment=decontam_min_containment,
+        ).where("keep").select("doc_id")
+        admitted = boundary(
+            admitted.join(clean, "doc_id", "left_semi"), "decontam"
+        )
+        stages.append("decontam")
+
     # per-epoch packing + funnel persistence (partition overwrites —
     # replay-idempotent like the state writes)
     toks = token_count(admitted, "doc_id", "text").select(
@@ -182,7 +210,7 @@ def crawl_epoch(
         f"{state_dir}/packed/batch_id={batch_id}"
     )
     spark.createDataFrame(
-        [(i, s, counts[s]) for i, s in enumerate(STAGES)],
+        [(i, s, counts[s]) for i, s in enumerate(stages)],
         "stage_idx int, stage string, n_rows bigint",
     ).write.mode("overwrite").parquet(
         f"{state_dir}/funnel/batch_id={batch_id}"
@@ -203,6 +231,9 @@ def run_crawl_intake(
     num_perm: int = 8,
     shingle_n: int = 3,
     min_jaccard: float | None = None,
+    decontaminate: bool = False,
+    decontam_min_jaccard: float = 0.5,
+    decontam_min_containment: float = 0.8,
 ) -> None:
     """Drive the continuous crawl intake to completion over the WARC
     files currently in ``warc_dir`` (availableNow — each invocation
@@ -218,6 +249,9 @@ def run_crawl_intake(
             cap=cap, seq_len=seq_len,
             num_perm=num_perm, shingle_n=shingle_n,
             min_jaccard=min_jaccard,
+            decontaminate=decontaminate,
+            decontam_min_jaccard=decontam_min_jaccard,
+            decontam_min_containment=decontam_min_containment,
         )
 
     q = (
