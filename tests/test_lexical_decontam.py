@@ -182,3 +182,50 @@ FROM documents WHERE doc_id % 17 = 0"""
             "text",
         ),
     )
+
+
+def test_bench_max_df_is_fail_open_only(spark):
+    """The hot-shingle valve can only LOWER scores (drop flags),
+    never raise them: with an aggressive cap every flag that
+    survives was already a flag without the cap, and verbatim
+    duplicates (whose overlap includes rare shingles) stay caught."""
+    c, b = _frames(spark)
+    # duplicate bench rows so every shingle of bench 10 has df >= 2
+    b2 = b.union(
+        b.select((F.col("bench_id") + 100).alias("bench_id"), "text")
+    )
+    uncapped = {
+        r["doc_id"]: r
+        for r in decontaminate_lexical(
+            c, b2, "doc_id", "text", "bench_id", "text"
+        ).collect()
+    }
+    capped = {
+        r["doc_id"]: r
+        for r in decontaminate_lexical(
+            c, b2, "doc_id", "text", "bench_id", "text",
+            bench_max_df=1,
+        ).collect()
+    }
+    for did, row in capped.items():
+        if row["keep"] is False:
+            assert uncapped[did]["keep"] is False
+        got = row["max_jaccard"] or 0.0
+        ref = uncapped[did]["max_jaccard"] or 0.0
+        assert got <= ref + 1e-12
+    # cap high enough to be a no-op -> identical output
+    nocap = {
+        r["doc_id"]: (
+            r["max_jaccard"], r["max_bench_containment"], r["keep"]
+        )
+        for r in decontaminate_lexical(
+            c, b2, "doc_id", "text", "bench_id", "text",
+            bench_max_df=10**6,
+        ).collect()
+    }
+    assert nocap == {
+        k: (
+            v["max_jaccard"], v["max_bench_containment"], v["keep"]
+        )
+        for k, v in uncapped.items()
+    }

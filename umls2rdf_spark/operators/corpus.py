@@ -106,18 +106,29 @@ def decontaminate(
     return shared
 
 
-def _distinct_shingle_arr(n: int) -> str:
-    """SQL fragment: the DISTINCT word ``n``-gram shingle array over
-    a pre-projected token array column ``__t``, built map-side
-    (transform → array_distinct) so both the per-doc shingle size
-    and the explode need NO pre-shuffle. Single-space tokenization
-    (the shingle_rows convention)."""
-    parts = ", ".join(f"__t[i+{j}]" for j in range(n))
+def _distinct_shingle_arr(text_col: str, n: int) -> str:
+    """SQL fragment: the DISTINCT word ``n``-gram shingle array of
+    ``text_col``, built map-side (one expression — no pre-shuffle for
+    either the per-doc shingle size or the explode).
+
+    The token array is bound as a LAMBDA VARIABLE of a 1-element
+    outer ``transform`` rather than a projected alias column: an
+    alias is fair game for CollapseProject/filter-pushdown inlining,
+    and in a large composed plan that inlining re-evaluates
+    ``filter(split(text))`` PER SHINGLE SUBSCRIPT — caught by thread
+    dump at 100x as a single task grinding interpreted StringSplit
+    for 15+ minutes (the hazard shingle_rows' docstring documents).
+    A lambda variable cannot be substituted, so the tokenization
+    runs exactly once per row in every plan context. Single-space
+    tokenization (the shingle_rows convention)."""
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
     return (
-        f"array_distinct(CASE WHEN size(__t) >= {n} THEN "
-        f"transform(sequence(0, size(__t)-{n}), "
+        "array_distinct(flatten(transform("
+        f"array(filter(split({text_col}, ' '), t -> t != '')), "
+        f"w -> CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w)-{n}), "
         f"i -> concat_ws(' ', {parts})) "
-        f"ELSE array() END)"
+        "ELSE array() END)))"
     )
 
 
@@ -132,6 +143,7 @@ def decontaminate_lexical(
     min_jaccard: float = 0.5,
     min_bench_containment: float = 0.8,
     candidates: DataFrame | None = None,
+    bench_max_df: int | None = None,
 ) -> DataFrame:
     """FUZZY lexical benchmark decontamination — the near-duplicate
     complement of :func:`decontaminate`'s exact n-gram hit count:
@@ -162,21 +174,31 @@ def decontaminate_lexical(
     :func:`lexical_decontam_candidates` (minhash-band join, neither
     side broadcast) — this exact form stays the recall baseline and
     the verify stage, restricted to those pairs.
+
+    **Hot-shingle fanout valve** (measured: a 100x replica drives
+    the shingle join to 1.08e9 rows at 500k docs because ubiquitous
+    stop-word trigrams multiply on BOTH sides): ``bench_max_df``
+    drops shingles whose benchmark document frequency exceeds the
+    cap from the JOIN ONLY — per-doc sizes (the jaccard/containment
+    denominators) are unchanged, so scores can only DECREASE and the
+    valve is strictly fail-open (never a false flag; a leak detected
+    only through ubiquitous shingles can be missed — those shingles
+    carry no discriminative signal, which is also why exact
+    decontamination uses 8-13-gram shingles; prefer raising
+    ``shingle_n`` when the corpus allows it).
     """
     def shingled(df, idc, txt, out_id):
-        return (
-            df.select(
-                F.col(idc).alias(out_id),
-                F.filter(
-                    F.split(F.col(txt), " "), lambda t: t != ""
-                ).alias("__t"),
-            )
-            .select(
-                out_id,
-                F.expr(_distinct_shingle_arr(shingle_n)).alias("__sh"),
-            )
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.expr(_distinct_shingle_arr(txt, shingle_n)).alias("__sh"),
         )
 
+    # the corpus side carries the heavy per-row work (shingle
+    # explode + bench join) — spread a too-few-splits local read
+    # before it, or one task chews the whole corpus x bench join
+    # (measured: a single-file 500k-doc replica put a 1.08e9-row
+    # join on one core; the shingle_rows/minhash discipline)
+    corpus = spread_small_input(corpus, id_col)
     cs = shingled(corpus, id_col, text_col, id_col).select(
         F.col(id_col),
         F.size("__sh").alias("sz_a"),
@@ -189,6 +211,14 @@ def decontaminate_lexical(
         F.size("__sh").alias("sz_b"),
         F.explode("__sh").alias("shingle"),
     )
+    if bench_max_df is not None:
+        hot = (
+            bs.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > bench_max_df)
+            .select("shingle")
+        )
+        bs = bs.join(F.broadcast(hot), "shingle", "left_anti")
     pair_src = cs.join(F.broadcast(bs), "shingle")
     if candidates is not None:
         pair_src = pair_src.join(

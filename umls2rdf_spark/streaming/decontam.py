@@ -45,22 +45,15 @@ def _shingled(
 ) -> DataFrame:
     """(out_id, sz, shingle) rows with the map-side distinct-shingle
     array — the decontaminate_lexical plan shape."""
-    return (
-        df.select(
-            F.col(id_col).alias(out_id),
-            F.filter(
-                F.split(F.col(text_col), " "), lambda t: t != ""
-            ).alias("__t"),
-        )
-        .select(
-            out_id,
-            F.expr(_distinct_shingle_arr(shingle_n)).alias("__sh"),
-        )
-        .select(
-            out_id,
-            F.size("__sh").alias("sz"),
-            F.explode("__sh").alias("shingle"),
-        )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.expr(_distinct_shingle_arr(text_col, shingle_n)).alias(
+            "__sh"
+        ),
+    ).select(
+        out_id,
+        F.size("__sh").alias("sz"),
+        F.explode("__sh").alias("shingle"),
     )
 
 
