@@ -180,7 +180,7 @@ def test_segment_matches_oracle(spark, duck):
         wordpiece_segment(docs, pieces, "text"),
         duck,
         wordpiece_segment_sql(
-            "SELECT * FROM documents", "__pieces", "text", rounds=3
+            "SELECT * FROM documents", "text", rounds=3
         ),
     )
 
@@ -292,3 +292,21 @@ def test_min_word_freq_parity_with_oracle(spark, duck):
             "SELECT * FROM documents", "text", rounds=3, min_word_freq=3
         ),
     )
+
+
+def test_segment_covers_long_fully_merged_pieces(spark):
+    """Production-budget hazard pinned: a word fully merged into a
+    single piece LONGER than any fixed candidate cap must still be
+    covered by the default walk (the cap now derives from the
+    inventory's own longest piece)."""
+    df = spark.createDataFrame(
+        [(0, "internationalization internationalization")],
+        "doc_id int, text string",
+    )
+    # 20 bytes -> fully merged after 19 rounds; ask for more and let
+    # the walk's default cap follow the 20-byte piece
+    _, vocab = train_wordpiece(df, "text", rounds=19)
+    out = wordpiece_segment(df, wordpiece_pieces(vocab)).collect()
+    assert len(out) == 1
+    assert out[0]["word"] == "internationalization"
+    assert out[0]["n_subwords"] == 1

@@ -259,7 +259,10 @@ def main() -> int:
         print(f"| {r['method']} | {r['recall_at_10']} | "
               f"{r['wall_s']} |", file=sys.stderr)
     print(json.dumps({
-        "n": n, "queries": nq, "dim": DIM, "clusters": args.clusters,
+        "n": n, "queries": nq, "dim": DIM,
+        # with --skip-build the on-disk corpus's geometry is
+        # whatever it was built with — don't mislabel the evidence
+        "clusters": None if args.skip_build else args.clusters,
         "exact_wall_s": round(t_exact, 1), "results": results,
     }))
     return 0

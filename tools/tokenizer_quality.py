@@ -280,6 +280,17 @@ def wordpiece_comparison(spark, rounds: int) -> dict:
         F.sum(F.col("freq") * F.col("ns")).alias("tok"),
         F.sum("freq").alias("w"),
     ).collect()[0]
+    if train["w"] is None:
+        # pair exhaustion before `rounds` empties the vocab (the
+        # pinned parity contract) — report it instead of dividing None
+        return {
+            "rounds": rounds,
+            "merges_done": int(n_merges),
+            "exhausted": True,
+            "train_tokens_per_word": None,
+            "infer_tokens_per_word": None,
+            "infer_coverage_pct": None,
+        }
     train_tpw = train["tok"] / train["w"]
     seg = wordpiece_segment(df, wordpiece_pieces(vocab))
     inf = seg.agg(

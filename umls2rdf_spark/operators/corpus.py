@@ -219,14 +219,26 @@ def decontaminate_lexical(
             .select("shingle")
         )
         bs = bs.join(F.broadcast(hot), "shingle", "left_anti")
-    pair_src = cs.join(F.broadcast(bs), "shingle")
     if candidates is not None:
-        pair_src = pair_src.join(
-            candidates.select(
-                F.col("id_a").alias(id_col), F.col("id_b").alias("__bid")
-            ),
-            [id_col, "__bid"],
+        # the scale path's whole point is that the bench side does
+        # NOT broadcast: semi-join BOTH sides down to the candidate
+        # ids first (bounding the shingle join to candidate docs),
+        # then join plain (shuffle on the shingle key) and restrict
+        # to the candidate PAIRS
+        cand = candidates.select(
+            F.col("id_a").alias(id_col), F.col("id_b").alias("__bid")
         )
+        cs = cs.join(
+            cand.select(id_col).distinct(), id_col, "left_semi"
+        )
+        bs = bs.join(
+            cand.select("__bid").distinct(), "__bid", "left_semi"
+        )
+        pair_src = cs.join(bs, "shingle").join(
+            cand, [id_col, "__bid"], "left_semi"
+        )
+    else:
+        pair_src = cs.join(F.broadcast(bs), "shingle")
     inter = pair_src.groupBy(id_col, "__bid", "sz_a", "sz_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("inter")
     )

@@ -483,7 +483,7 @@ def wordpiece_segment(
     df: DataFrame,
     pieces: DataFrame,
     text_col: str = "text",
-    max_piece_bytes: int = 16,
+    max_piece_bytes: int | None = None,
 ) -> DataFrame:
     """Greedy longest-match-first segmentation (the BERT WordPiece
     inference algorithm) of a corpus's distinct words under a
@@ -499,7 +499,23 @@ def wordpiece_segment(
     offsets up to ``max_piece_bytes`` — the vocab-bounded distinct-
     word frame times O(n * max_len) — semi-joined to the broadcast
     piece table, per-position longest winner via row_number, then
-    the unigram fold walk (one aggregate expression, no UDF)."""
+    the unigram fold walk (one aggregate expression, no UDF).
+
+    ``max_piece_bytes`` defaults to the inventory's OWN longest
+    piece (a 1-row agg over the vocab-bounded model frame): a fixed
+    cap below that silently excludes long fully-merged pieces from
+    candidate generation, stalling the walk and dropping words the
+    vocab covers — at production merge budgets whole words become
+    single 15-25-byte pieces, so a hardcoded cap is a correctness
+    trap, not a tuning knob. Pass an explicit value only to bound
+    candidate fanout when the inventory is known to be short."""
+    if max_piece_bytes is None:
+        row = pieces.agg(
+            F.max(F.length("piece")).alias("__m")
+        ).collect()[0]
+        # empty inventory -> any positive cap; the join yields no
+        # candidates and every word drops fail-closed regardless
+        max_piece_bytes = max(1, int((row["__m"] or 2) // 2))
     wf = word_freqs(df, text_col)
     hexed = wf.select(
         "word",
@@ -711,18 +727,25 @@ GROUP BY {id_col}"""
 
 def wordpiece_segment_sql(
     docs_sql: str,
-    pieces_cte: str,
     text_col: str = "text",
     rounds: int = 4,
-    max_piece_bytes: int = 16,
+    max_piece_bytes: int | None = None,
     min_word_freq: int = 1,
 ) -> str:
     """DuckDB twin of :func:`wordpiece_segment` fed by the training
-    chain's own final vocab (``pieces_cte`` names a CTE with a
-    ``piece`` column of hex strings; pass "__pieces" to use the
-    built-in derivation from __v{rounds}): byte-aligned candidates,
-    longest winner per offset, recursive walk, fail-closed final
-    filter."""
+    chain's own final vocab (the __pieces CTE derived from
+    __v{rounds} — the statement is self-contained, so an external
+    piece table cannot be injected here; this twin exists to
+    value-verify the trained model's own inference): byte-aligned
+    candidates, longest winner per offset, recursive walk,
+    fail-closed final filter. ``max_piece_bytes`` defaults to the
+    inventory's own longest piece via a scalar subquery (the Spark
+    side's 1-row agg)."""
+    cap = (
+        str(int(max_piece_bytes))
+        if max_piece_bytes is not None
+        else "(SELECT MAX(length(piece)) // 2 FROM __pieces)"
+    )
     ctes = _wp_round_ctes(docs_sql, text_col, rounds, min_word_freq)
     ctes.append(
         f"""__pieces AS (
@@ -740,10 +763,10 @@ def wordpiece_segment_sql(
   SELECT h.word, s.s AS s, l.l AS l
   FROM __hx h,
        UNNEST(range(1, h.n + 1)) AS s(s),
-       UNNEST(range(1, least({max_piece_bytes},
+       UNNEST(range(1, least({cap},
                              h.n - s.s + 1) + 1)) AS l(l)
   WHERE substring(h.hx, 2*s.s - 1, 2*l.l) IN
-        (SELECT piece FROM {pieces_cte}))"""
+        (SELECT piece FROM __pieces))"""
     )
     ctes.append(
         """__wbest AS MATERIALIZED (

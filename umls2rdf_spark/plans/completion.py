@@ -2444,8 +2444,7 @@ def _wordpiece_segment_sql() -> str:
     )
 
     return wordpiece_segment_sql(
-        "SELECT * FROM documents", "__pieces", "text",
-        rounds=_WP_ROUNDS,
+        "SELECT * FROM documents", "text", rounds=_WP_ROUNDS
     )
 
 
