@@ -310,3 +310,35 @@ def test_segment_covers_long_fully_merged_pieces(spark):
     assert len(out) == 1
     assert out[0]["word"] == "internationalization"
     assert out[0]["n_subwords"] == 1
+
+
+def test_local_finish_production_round_count(spark):
+    """The production path at a real merge budget: rounds=1000 on a
+    prose-scale fixture completes in one collect + driver loop (the
+    bpe.py rounds=1000 wall pin for the third family), merge rounds
+    are sequential from 1, and every final segmentation symbol is a
+    byte-aligned piece."""
+    texts = [
+        " ".join(
+            f"w{(i * 7 + j) % 97}x{(i + j * 13) % 53}"
+            for j in range(40)
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges, vocab = train_wordpiece(
+        df, "text", rounds=1000, local_finish=True
+    )
+    rows = sorted(merges.collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    assert len(rows) > 100  # a real budget actually trains
+    segs = vocab.collect()
+    if segs:  # not exhausted
+        for r in segs[:50]:
+            for sym in r["seg"].split(" "):
+                assert sym.startswith("|") and sym.endswith("|")
+                assert len(sym.replace("|", "")) % 2 == 0
