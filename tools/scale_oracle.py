@@ -242,6 +242,13 @@ def main() -> int:
 
     spark = get_spark(app_name="scale-oracle", shuffle_partitions=32)
     con = duckdb.connect()
+    # give the oracle a disk spill path and a hard ceiling below the
+    # box's RAM: the 57-section text_scoring union at 10x otherwise
+    # grows past 100 GB RSS and dies on a bad allocation (the
+    # round-6 30x finding, reached earlier by the larger surface);
+    # with a temp_directory DuckDB can spill its hash joins/aggs
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='90GB'")
     for t in TABLES:
         # materialized, not views: DuckDB inlines a parquet view per
         # reference, and some oracle shapes (e.g. a window CTE joined
