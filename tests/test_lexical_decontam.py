@@ -229,3 +229,29 @@ def test_bench_max_df_is_fail_open_only(spark):
         )
         for k, v in uncapped.items()
     }
+
+
+def test_bench_max_df_matches_oracle(spark, duck):
+    """The valve's DuckDB twin: identical flags and scores under an
+    aggressive cap at sf0.01."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    assert_matches_oracle(
+        decontaminate_lexical(
+            docs, bench, "doc_id", "text", "bench_id", "text",
+            bench_max_df=2,
+        ),
+        duck,
+        decontaminate_lexical_sql(
+            "SELECT * FROM documents",
+            "SELECT doc_id AS bench_id, text FROM documents"
+            " WHERE doc_id % 17 = 0",
+            "doc_id",
+            "text",
+            "bench_id",
+            "text",
+            bench_max_df=2,
+        ),
+    )

@@ -336,10 +336,12 @@ def decontaminate_lexical_sql(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     min_bench_containment: float = 0.8,
+    bench_max_df: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`decontaminate_lexical` (broadcast-exact
     form): the same map-side distinct-shingle arrays, the same
-    int64 intersection counts and double ratios."""
+    int64 intersection counts and double ratios, and the same
+    ``bench_max_df`` hot-shingle join valve (sizes untouched)."""
 
     def shingle_cte(src_sql, idc, txt, alias):
         parts = " || ' ' || ".join(
@@ -361,8 +363,14 @@ WITH {shingle_cte(corpus_sql, id_col, text_col, '__ca')},
 {shingle_cte(bench_sql, bench_id_col, bench_text_col, '__ba')},
 __cs AS (
   SELECT id, len(sh) AS sz_a, unnest(sh) AS shingle FROM __ca),
-__bs AS (
+__bs0 AS (
   SELECT id AS bid, len(sh) AS sz_b, unnest(sh) AS shingle FROM __ba),
+__bs AS (
+  SELECT * FROM __bs0{f'''
+  WHERE shingle NOT IN (
+    SELECT shingle FROM __bs0 GROUP BY shingle
+    HAVING COUNT(*) > {int(bench_max_df)})'''
+   if bench_max_df is not None else ''}),
 __inter AS (
   SELECT c.id, b.bid, c.sz_a, b.sz_b,
          CAST(COUNT(*) AS BIGINT) AS inter
