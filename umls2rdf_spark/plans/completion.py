@@ -373,6 +373,8 @@ _IMH_JACCARD = 0.5
 _TFIDF_K = 3
 _BM25_K = 15
 _FREQ_K = 20
+_PMI_MIN_COUNT = 5  # prunes hapax bigrams before the margin joins
+_PMI_K = 30
 _SURPRISAL_SCALE = 1 << 20
 # semantic dedup (SemDeDup): same cells/iters as the IVF demo; the
 # synthetic embeddings top out near cos 0.42, so 0.3 is the
@@ -641,6 +643,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         kn_surprisal,
         bm25_topk,
         frequent_tokens,
+        pmi_collocations,
         score_log_odds,
         tfidf_topk,
         token_log_odds,
@@ -1189,6 +1192,23 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "lexical_decontam",
             ("max_jaccard", "max_bench_containment"),
+        ),
+        # SURVEY C61 (round 8): top-k PMI collocations — phrase
+        # mining over the SHARED bigram-occurrence stream (the same
+        # persisted scan both LM scorers read); lift_q is the
+        # WordPiece-style DECIMAL/HUGEINT integral-division
+        # quantization, so the PMI ranking uses no libm in either
+        # engine (operators/textstats.py pmi_collocations)
+        fingerprint_section(
+            pmi_collocations(
+                docs,
+                "doc_id",
+                "text",
+                min_count=_PMI_MIN_COUNT,
+                k=_PMI_K,
+                occ=shared_occ,
+            ),
+            "pmi_collocations",
         ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
@@ -2029,6 +2049,7 @@ def _text_scoring_sql() -> str:
         char_profile_sql,
         gopher_quality_sql,
         kn_surprisal_sql,
+        pmi_collocations_sql,
     )
     from umls2rdf_spark.operators.selection import (
         epoch_shuffle_sql,
@@ -2378,6 +2399,16 @@ def _text_scoring_sql() -> str:
             _lexical_decontam_sql(),
             ["doc_id", "max_jaccard", "max_bench_containment", "keep"],
             ("max_jaccard", "max_bench_containment"),
+        ),
+        fingerprint_sql(
+            "pmi_collocations",
+            pmi_collocations_sql(
+                min_count=_PMI_MIN_COUNT, k=_PMI_K
+            ),
+            [
+                "w1", "w2", "pair_n", "left_n", "right_n",
+                "lift_q", "rank",
+            ],
         ),
         fingerprint_sql(
             "psl_domains",
