@@ -1219,3 +1219,27 @@ def test_pmi_collocations_min_count_prunes_before_joins(spark):
     # optimizedPlan prints top-down, so the LAST Filter mentioning
     # pair_n should be deeper than the deepest Join over it
     assert "pair_n" in plan
+
+
+def test_ccnet_buckets_matches_oracle_and_thirds(spark, duck):
+    """C62: the DuckDB twin value-matches, and each source splits
+    into near-equal thirds with head = lowest perplexity."""
+    from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+    from umls2rdf_spark.operators.textstats import (
+        ccnet_buckets,
+        ccnet_buckets_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = ccnet_buckets(docs, "doc_id", "text", "source")
+    assert_matches_oracle(got, duck, ccnet_buckets_sql())
+
+    pdf = got.toPandas()
+    sizes = pdf.groupby(["source", "bucket"]).size().unstack()
+    # near-equal thirds per source (value ties can skew by the tie
+    # class size; this corpus has distinct scores almost everywhere)
+    assert (abs(sizes["head"] - sizes["tail"]) <= 2).all()
+    # head really is the fluent (low bits-per-bigram) end
+    by_bucket = pdf.groupby("bucket")["bpb_q"].mean()
+    assert by_bucket["head"] < by_bucket["middle"] < by_bucket["tail"]

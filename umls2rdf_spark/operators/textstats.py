@@ -1326,3 +1326,109 @@ FROM (
   FROM scored)
 WHERE rnk <= {k}
 """
+
+
+# ── CCNet perplexity buckets ─────────────────────────────────────────
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    discount4: int = 3,
+    quant_bits: int = 20,
+    cache=None,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style per-source perplexity partition (Wenzek et al.
+    2020): score every document with the corpus-trained Kneser-Ney
+    bigram LM (:func:`kn_surprisal` — the module's CCNet-shaped
+    scorer), then split EACH source into equal thirds by perplexity —
+    ``head`` (most fluent third, the pretraining keep), ``middle``,
+    ``tail``. The per-source cut is the point: a uniform global
+    threshold would keep all of an easy source and none of a hard
+    one; CCNet calibrates within each source first.
+
+    Pure composition of two existing engine ops, inheriting both
+    scale arguments: the KN scorer's bounded weight dims + int64 doc
+    sums, and :func:`score_percentile`'s bounded (source, score) CDF
+    frame (operators/selection.py:653 — the corpus is never sorted
+    or windowed; one map-side groupBy + one broadcast join back).
+    The only corpus-scale op this adds is the id-equi-join attaching
+    ``group_col`` to the per-doc scores — two per-doc frames on the
+    natural key.
+
+    Bucket thresholds are VALUE-based like CCNet's: the score is the
+    int64 ``kn_q·1000 div n_bigrams`` (quantized bits-per-bigram)
+    and ties share a percentile (strictly-below ppm), so equal-scored
+    docs always land in the same bucket and the cut is engine-exact
+    — ``head`` is ppm < 1/3, i.e. ``pct_ppm·3 < 1_000_000`` in
+    integers.
+
+    Output: (id, group, bpb_q, pct_ppm, bucket); documents with
+    fewer than two tokens have no perplexity and produce no row
+    (the kn_surprisal contract — gate them with gopher_quality's
+    min_words upstream).
+
+    Reference parity: no LM anywhere in the reference; SURVEY §2 C62.
+    """
+    from umls2rdf_spark.operators.selection import score_percentile
+
+    kn = kn_surprisal(
+        df, id_col, text_col, discount4, quant_bits, cache=cache, occ=occ
+    )
+    scored = kn.join(df.select(id_col, group_col), id_col).select(
+        id_col,
+        group_col,
+        F.expr("CAST(kn_q * 1000 div n_bigrams AS BIGINT)").alias(
+            "bpb_q"
+        ),
+    )
+    pct = score_percentile(scored, id_col, "bpb_q", group_col)
+    bucket = (
+        F.when(F.col("pct_ppm") * 3 < 1_000_000, "head")
+        .when(F.col("pct_ppm") * 3 < 2_000_000, "middle")
+        .otherwise("tail")
+    )
+    return pct.select(
+        id_col, group_col, "bpb_q", "pct_ppm", bucket.alias("bucket")
+    )
+
+
+def ccnet_buckets_sql(
+    docs_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    discount4: int = 3,
+    quant_bits: int = 20,
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` — kn_surprisal_sql's
+    scores, score_percentile's strictly-below CDF, the same integer
+    third-cut."""
+    kn = kn_surprisal_sql(
+        docs_sql, id_col, text_col, discount4, quant_bits
+    )
+    return f"""
+WITH __scored AS (
+  SELECT k.{id_col}, d.{group_col},
+         CAST(k.kn_q * 1000 // k.n_bigrams AS BIGINT) AS bpb_q
+  FROM ({kn}) k JOIN {docs_sql} d USING ({id_col})),
+__cdf AS (
+  SELECT {group_col}, bpb_q,
+         COALESCE(SUM(__cnt) OVER (
+           PARTITION BY {group_col} ORDER BY bpb_q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS __below,
+         SUM(__cnt) OVER (PARTITION BY {group_col}) AS __n
+  FROM (SELECT {group_col}, bpb_q, COUNT(*) AS __cnt
+        FROM __scored GROUP BY 1, 2)),
+__pct AS (
+  SELECT t.{id_col}, t.{group_col}, t.bpb_q,
+         CAST(__below * 1000000 // __n AS BIGINT) AS pct_ppm
+  FROM __scored t JOIN __cdf USING ({group_col}, bpb_q))
+SELECT {id_col}, {group_col}, bpb_q, pct_ppm,
+       CASE WHEN pct_ppm * 3 < 1000000 THEN 'head'
+            WHEN pct_ppm * 3 < 2000000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM __pct
+"""

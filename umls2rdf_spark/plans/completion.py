@@ -642,6 +642,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_quality,
         kn_surprisal,
         bm25_topk,
+        ccnet_buckets,
         frequent_tokens,
         pmi_collocations,
         score_log_odds,
@@ -1209,6 +1210,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 occ=shared_occ,
             ),
             "pmi_collocations",
+        ),
+        # SURVEY C62 (round 8): CCNet per-source perplexity
+        # partition — kn_surprisal scores (same shared occurrence
+        # stream) cut into head/middle/tail thirds within each
+        # source by the score_percentile bounded-CDF machinery
+        # (textstats.py ccnet_buckets)
+        fingerprint_section(
+            ccnet_buckets(
+                docs, "doc_id", "text", "source", occ=shared_occ
+            ),
+            "ccnet_buckets",
         ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
@@ -2046,6 +2058,7 @@ def _text_scoring_sql() -> str:
     )
     from umls2rdf_spark.operators.reporting import diversity_report_sql
     from umls2rdf_spark.operators.textstats import (
+        ccnet_buckets_sql,
         char_profile_sql,
         gopher_quality_sql,
         kn_surprisal_sql,
@@ -2409,6 +2422,11 @@ def _text_scoring_sql() -> str:
                 "w1", "w2", "pair_n", "left_n", "right_n",
                 "lift_q", "rank",
             ],
+        ),
+        fingerprint_sql(
+            "ccnet_buckets",
+            ccnet_buckets_sql(),
+            ["doc_id", "source", "bpb_q", "pct_ppm", "bucket"],
         ),
         fingerprint_sql(
             "psl_domains",
