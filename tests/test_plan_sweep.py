@@ -76,8 +76,11 @@ FULL_SCAN_OK = {
     # event_id) and stateful final-state counts (every event) consume
     # the full events table by definition; the interval-join twin's
     # event_type predicates and the redelivery union's modulo filter
-    # DO push, leaving one unfiltered scan node
-    "event_windows": {"events.parquet": 1},
+    # DO push, leaving one unfiltered scan node. The round-8
+    # range_join section adds one: its points side treats EVERY
+    # event as an overlap candidate by definition (the incidents
+    # side's event_type = 'error' predicate DOES push)
+    "event_windows": {"events.parquet": 2},
     # every section consumes the whole corpus: scoring/dedup over all
     # documents — 26 scans at the 26-section round-6 surface: the 21
     # audited earlier-round scans (ingest_quarantine's parse and
@@ -150,7 +153,7 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 10,     # tfidf/bm25 1-row totals, mixture's
+    "text_scoring": 14,     # tfidf/bm25 1-row totals, mixture's
                             # 1-row feasibility-min, the classifier's
                             # 1-row class-totals attach,
                             # hard_negatives' broadcast(query set) x
@@ -165,7 +168,15 @@ ALLOWED_BNLJ = {
                             # |domains|-row counts frame, round 6),
                             # and kn_surprisal's 1-row B (total
                             # bigram types) attach to the
-                            # vocabulary-scale type frame (round 6)
+                            # vocabulary-scale type frame (round 6).
+                            # Round 8: pmi_collocations' 1-row
+                            # bigram-total attach to the min_count-
+                            # pruned candidate frame (+1) and
+                            # ccnet_buckets' own kn_surprisal run —
+                            # the same 1-row type/total attaches
+                            # counted again in its separate subtree
+                            # (+3); every addition is a 1-row global
+                            # scalar broadcast, audited 14 total
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

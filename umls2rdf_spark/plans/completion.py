@@ -3130,7 +3130,79 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cohort_retention_frame(spark, sf_dir),
                 "cohort_retention",
             ),
+            # B44 (round 8): generic interval overlap join (range
+            # join) — incident windows × event points via the
+            # epoch-binned equi-join with anchor-bin dedup
+            # (operators/intervals.py); the oracle is the direct
+            # theta join, so the binned plan's exactness is
+            # value-verified
+            fingerprint_section(
+                _range_join_frame(spark, sf_dir), "range_join"
+            ),
         ]
+    )
+
+
+_RJ_MOD = 37  # every 37th error event opens an incident window
+_RJ_WIN = 900_000_000  # 15-minute incident window (micros)
+_RJ_BIN = 300_000_000  # 5-minute bins: <= 4 bins per interval
+
+
+def _range_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 demo: 15-minute incident windows (opened by every 37th
+    error event) overlap-joined to ALL events as points — keyless
+    (cross-user) by design, the shape the equi-key stream join
+    (interval_join section) cannot express."""
+    from umls2rdf_spark.operators.intervals import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    incidents = (
+        ev.where(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % _RJ_MOD == 0)
+        )
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("w_start"),
+            (F.unix_micros("ts") + F.lit(_RJ_WIN)).alias("w_end"),
+        )
+    )
+    points = ev.select(
+        F.col("event_id").alias("hit_id"),
+        F.unix_micros("ts").alias("p_ts"),
+    )
+    return interval_overlap_join(
+        incidents,
+        points,
+        "incident_id",
+        "w_start",
+        "w_end",
+        "hit_id",
+        "p_ts",
+        "p_ts",
+        bin_width=_RJ_BIN,
+    )
+
+
+def _range_join_sql() -> str:
+    from umls2rdf_spark.operators.intervals import (
+        interval_overlap_join_sql,
+    )
+
+    left = f"""
+SELECT event_id AS incident_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS w_start,
+       epoch_us(CAST(ts AS TIMESTAMP)) + {_RJ_WIN} AS w_end
+FROM events
+WHERE event_type = 'error' AND event_id % {_RJ_MOD} = 0"""
+    right = """
+SELECT event_id AS hit_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+FROM events"""
+    return interval_overlap_join_sql(
+        left, right,
+        "incident_id", "w_start", "w_end",
+        "hit_id", "p_ts", "p_ts",
     )
 
 
@@ -3335,6 +3407,11 @@ def _event_windows_sql() -> str:
             "rolling",
             _ROLLING_WINDOW_SQL,
             ["event_id", "user_id", "ts", "n_1h", "sum_1h_q"],
+        ),
+        fingerprint_sql(
+            "range_join",
+            _range_join_sql(),
+            ["incident_id", "hit_id", "ov_start", "ov_end"],
         ),
         fingerprint_sql(
             "pagerank",
