@@ -153,7 +153,7 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 14,     # tfidf/bm25 1-row totals, mixture's
+    "text_scoring": 16,     # tfidf/bm25 1-row totals, mixture's
                             # 1-row feasibility-min, the classifier's
                             # 1-row class-totals attach,
                             # hard_negatives' broadcast(query set) x
@@ -175,8 +175,13 @@ ALLOWED_BNLJ = {
                             # ccnet_buckets' own kn_surprisal run —
                             # the same 1-row type/total attaches
                             # counted again in its separate subtree
-                            # (+3); every addition is a 1-row global
-                            # scalar broadcast, audited 14 total
+                            # (+3), and qdigest_quantiles' 1-row
+                            # digest-mass attach + the broadcast
+                            # query-frame x bounded-digest non-equi
+                            # rank join (+2; the build's own 1-row
+                            # attach sits behind its eager
+                            # localCheckpoint) — every addition is a
+                            # bounded-frame broadcast, audited 16
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

@@ -195,3 +195,187 @@ def test_cms_cells_py_agrees_with_plan(spark):
     got = sorted((r.row_i, r.col) for r in sk)
     assert got == sorted(cms_cells_py("only-key", _CMS_D, _CMS_W))
     assert all(r.cnt == 1 for r in sk)
+
+
+# ── q-digest ─────────────────────────────────────────────────────────
+_QD_L = 10  # test universe 1024
+_QD_K = 16
+
+
+def _qd_replica(values, levels, k):
+    """Independent Python replica of the level-by-level compression
+    (third implementation alongside Spark and the DuckDB twin)."""
+    from collections import Counter
+
+    n = len(values)
+    T = n // k
+    cur = Counter(values)
+    frozen = []
+    for lvl in range(levels, 0, -1):
+        groups = {}
+        for idx, cnt in cur.items():
+            groups.setdefault(idx // 2, []).append((idx, cnt))
+        nxt = Counter()
+        for p, kids in groups.items():
+            s = sum(c for _, c in kids)
+            if s <= T:
+                nxt[p] += s
+            else:
+                frozen.extend(
+                    (lvl, idx, c) for idx, c in kids if c > 0
+                )
+                nxt[p] += 0
+        cur = nxt
+    frozen.extend((0, idx, c) for idx, c in cur.items() if c > 0)
+    return sorted(frozen)
+
+
+def _qd_rank_est(digest, levels, q_ppm, n):
+    order = sorted(
+        ((idx + 1) * (1 << (levels - lvl)) - 1, -lvl, cnt)
+        for lvl, idx, cnt in digest
+    )
+    r = (q_ppm * n + 999_999) // 1_000_000
+    cum = 0
+    for ub, _, cnt in order:
+        cum += cnt
+        if cum >= r:
+            return ub, r
+    return None, r
+
+
+def test_qdigest_matches_replica_and_mass(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [
+        min(int(rng.expovariate(1 / 60)), (1 << _QD_L) - 1)
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    from umls2rdf_spark.operators.sketch import qdigest_build
+
+    dig = sorted(
+        (r.level, r.idx, r.cnt)
+        for r in qdigest_build(df, "v", levels=_QD_L, k=_QD_K).collect()
+    )
+    assert dig == _qd_replica(vals, _QD_L, _QD_K)
+    assert sum(c for _, _, c in dig) == len(vals)
+    # size bound: <= 2k nodes frozen per level + root
+    assert len(dig) <= 2 * _QD_K * _QD_L + 1
+
+
+def test_qdigest_rank_error_bound(spark):
+    """The classic q-digest guarantee: the estimate's true rank
+    bracket — count(x <= est) >= target rank, and est is not more
+    than levels·(n div k) ranks too far right."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        vals = [
+            min(int(rng.expovariate(1 / (30 * (trial + 1)))),
+                (1 << _QD_L) - 1)
+            for _ in range(1500)
+        ]
+        dig = _qd_replica(vals, _QD_L, _QD_K)
+        n = len(vals)
+        bound = _QD_L * (n // _QD_K)
+        sv = sorted(vals)
+        for q in (100_000, 500_000, 900_000):
+            est, r = _qd_rank_est(dig, _QD_L, q, n)
+            le = sum(1 for v in sv if v <= est)
+            lt = sum(1 for v in sv if v < est)
+            assert le >= r, (trial, q, le, r)
+            assert lt <= r - 1 + bound, (trial, q, lt, r, bound)
+
+
+def test_qdigest_merge_is_compress_of_union(spark):
+    """Mergeability: compress(union of shard digests) has the same
+    total mass and stays within the doubled rank-error bound."""
+    import random
+
+    from umls2rdf_spark.operators.sketch import (
+        qdigest_build,
+        qdigest_compress,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(99)
+    a = [min(int(rng.expovariate(1 / 50)), 1023) for _ in range(900)]
+    b = [min(int(rng.expovariate(1 / 200)), 1023) for _ in range(900)]
+    da = qdigest_build(
+        spark.createDataFrame([(v,) for v in a], "v bigint"),
+        "v", levels=_QD_L, k=_QD_K,
+    )
+    db = qdigest_build(
+        spark.createDataFrame([(v,) for v in b], "v bigint"),
+        "v", levels=_QD_L, k=_QD_K,
+    )
+    merged = qdigest_compress(
+        da.unionByName(db), levels=_QD_L, k=_QD_K
+    )
+    rows = merged.collect()
+    n = len(a) + len(b)
+    assert sum(r.cnt for r in rows) == n
+    qs = qdigest_quantiles(merged, [500_000], levels=_QD_L).collect()
+    est, r = qs[0].est, qs[0].rank_target
+    sv = sorted(a + b)
+    bound = 2 * _QD_L * (n // _QD_K) + _QD_L  # shard Ts + merge T
+    le = sum(1 for v in sv if v <= est)
+    lt = sum(1 for v in sv if v < est)
+    assert le >= r
+    assert lt <= r - 1 + bound
+
+
+def test_qdigest_valve_and_empty(spark):
+    import pytest
+
+    from umls2rdf_spark.operators.sketch import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    bad = spark.createDataFrame([(1 << _QD_L,)], "v bigint")
+    with pytest.raises(Exception, match="qdigest_build"):
+        qdigest_build(bad, "v", levels=_QD_L, k=_QD_K).collect()
+    empty = spark.createDataFrame([], "v bigint")
+    dig = qdigest_build(empty, "v", levels=_QD_L, k=_QD_K)
+    assert dig.count() == 0
+    assert qdigest_quantiles(dig, [500_000], levels=_QD_L).count() == 0
+
+
+def test_qdigest_matches_duckdb_twin(spark, duck):
+    from tests.conftest import assert_matches_oracle
+    from umls2rdf_spark.plans.completion import (
+        _QD_LEVELS,
+        _QD_K as _DEMO_K,
+        _QD_QS,
+        _qdigest_nodes_sql,
+    )
+    from umls2rdf_spark.operators.sketch import (
+        qdigest_build,
+        qdigest_quantiles,
+        qdigest_quantiles_sql,
+    )
+    from umls2rdf_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR_ORACLE
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    dig = qdigest_build(
+        docs.select(
+            F.least(
+                F.col("n_chars"), F.lit((1 << _QD_LEVELS) - 1)
+            ).alias("len_clamped")
+        ),
+        "len_clamped", levels=_QD_LEVELS, k=_DEMO_K,
+    )
+    assert_matches_oracle(dig, duck, _qdigest_nodes_sql())
+    assert_matches_oracle(
+        qdigest_quantiles(dig, list(_QD_QS), levels=_QD_LEVELS),
+        duck,
+        qdigest_quantiles_sql(
+            _qdigest_nodes_sql(), list(_QD_QS), levels=_QD_LEVELS
+        ),
+    )

@@ -275,3 +275,262 @@ SELECT CAST({m} AS BIGINT) AS m,
             / SUM(pow(2.0, -reg))) AS BIGINT) AS est_floor
 FROM ({registers_sql}) AS __regs
 """
+
+
+# ── q-digest ─────────────────────────────────────────────────────────
+def qdigest_build(
+    df, value_col: str, levels: int = 13, k: int = 32
+) -> DataFrame:
+    """(level, idx, cnt): a q-digest (Shrivastava et al. 2004) over an
+    integer column in ``[0, 2^levels)`` — the DETERMINISTIC mergeable
+    quantile sketch completing the module's family (CMS = frequencies,
+    HLL = cardinality, q-digest = quantiles). Unlike KLL/t-digest
+    (randomized / centroid-heuristic), the q-digest build is a pure
+    function of the value histogram, so the sketch STATE is
+    oracle-checkable node-for-node in DuckDB like the others.
+
+    Why at 100 TB: an exact quantile needs the full value multiset
+    (the histogram key's exact counting-quantile does one corpus
+    shuffle per query batch); the q-digest aggregation state is
+    bounded by construction — the only corpus-scale op is ONE
+    map-side-combined groupBy onto ≤ 2^levels leaf cells (the CMS
+    argument), after which ``levels`` rounds of compression run on
+    frames that START ≤ 2^levels rows and halve each round,
+    independent of data size. Rank queries answer within
+    ``levels · floor(n/k)`` of the true rank (the classic q-digest
+    guarantee for its ≲ 2k·levels nodes; pinned by property test).
+
+    Build = :func:`qdigest_compress` on the leaf histogram (level =
+    ``levels``). Values outside the universe fail closed in-plan
+    (raise_error, the intervals.py valve discipline) — callers with
+    open-ended domains clamp into a top overflow bucket explicitly.
+    """
+    top = 1 << levels
+    v = F.col(value_col).cast("bigint")
+    guarded = F.when(
+        (v < 0) | (v >= top),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"qdigest_build: value outside [0, {top}) — "
+                    "clamp or rescale upstream: "
+                ),
+                v.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(v)
+    leaves = (
+        df.select(guarded.alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nodes = leaves.select(
+        F.lit(levels).cast("int").alias("level"), "idx", "cnt"
+    )
+    return qdigest_compress(nodes, levels, k)
+
+
+def qdigest_compress(
+    nodes: DataFrame, levels: int, k: int
+) -> DataFrame:
+    """Bottom-up q-digest compression of a node frame (level, idx,
+    cnt) — ALSO the merge operation: union two digests' node frames
+    and compress (counts at equal nodes add; the threshold uses the
+    union's total mass). Per level, sibling groups whose combined
+    mass fits under ``T = n div k`` push up; groups over T freeze
+    their members into the digest and forward a zero-mass path
+    holder. Every decision is int64 arithmetic on bounded frames —
+    engine-exact by construction.
+
+    The input and each level's carry frame are eagerly
+    localCheckpoint-ed (the pagerank/BPE per-round pattern): the
+    frames are bounded (<= 2^level rows), so the cost is ``levels``
+    tiny jobs, and without the barrier the level-on-level
+    self-referential plan sends Catalyst analysis superlinear — a
+    compress-of-union-of-digests (the merge path) stacks 3x the
+    depth and stalls at plan build."""
+    from functools import reduce as _reduce
+
+    tot = nodes.agg(
+        F.expr(
+            f"CAST(coalesce(sum(cnt), 0) div {k} AS BIGINT)"
+        ).alias("__T")
+    )
+    nt = nodes.crossJoin(F.broadcast(tot)).localCheckpoint()
+    frozen = []
+    cur = nt.where(F.col("level") == levels).select(
+        "idx", "cnt", "__T"
+    )
+    for lvl in range(levels, 0, -1):
+        par = cur.groupBy(
+            F.expr("idx div 2").alias("p")
+        ).agg(
+            F.sum("cnt").cast("bigint").alias("__s"),
+            F.max("__T").alias("__T"),
+        )
+        frozen.append(
+            cur.join(
+                par.select("p", "__s"),
+                F.expr("idx div 2") == F.col("p"),
+            )
+            .where(
+                (F.col("__s") > F.col("__T")) & (F.col("cnt") > 0)
+            )
+            .select(
+                F.lit(lvl).cast("int").alias("level"), "idx", "cnt"
+            )
+        )
+        nxt = par.select(
+            F.col("p").alias("idx"),
+            F.when(F.col("__s") <= F.col("__T"), F.col("__s"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cnt"),
+            "__T",
+        )
+        inc = nt.where(F.col("level") == lvl - 1).select(
+            "idx", "cnt", "__T"
+        )
+        cur = (
+            nxt.unionByName(inc)
+            .groupBy("idx")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("cnt"),
+                F.max("__T").alias("__T"),
+            )
+            .localCheckpoint()
+        )
+    root = cur.where(F.col("cnt") > 0).select(
+        F.lit(0).cast("int").alias("level"), "idx", "cnt"
+    )
+    return _reduce(lambda a, b: a.unionByName(b), frozen + [root])
+
+
+def qdigest_quantiles(
+    digest: DataFrame, q_ppms: list[int], levels: int = 13
+) -> DataFrame:
+    """(q_ppm, rank_target, est): rank queries against a digest.
+    Nodes are walked in the canonical post-order (upper bound asc,
+    deeper nodes first at ties); the estimate for quantile q is the
+    first node upper bound whose cumulative mass reaches
+    ``rank_target = ceil(q·n)`` (int64 ppm arithmetic — engine-exact).
+    The digest is ≲ 2k·levels rows, so the unpartitioned window and
+    the non-equi query join are bounded-frame ops by construction
+    (the score_percentile stance). An empty digest yields no rows."""
+    from pyspark.sql import Window
+
+    spark = digest.sparkSession
+    d = digest.select(
+        "level",
+        "cnt",
+        F.expr(
+            f"(idx + 1) * CAST(shiftleft(1, {levels} - level) AS BIGINT) - 1"
+        ).alias("ub"),
+    )
+    w = Window.orderBy(
+        F.col("ub").asc(), F.col("level").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    dc = d.select(
+        "ub", F.sum("cnt").over(w).cast("bigint").alias("cum")
+    )
+    n_row = digest.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("__n")
+    )
+    qf = (
+        spark.createDataFrame(
+            [(int(q),) for q in q_ppms], "q_ppm bigint"
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "q_ppm",
+            F.expr(
+                "CAST((q_ppm * __n + 999999) div 1000000 AS BIGINT)"
+            ).alias("rank_target"),
+        )
+    )
+    return (
+        F.broadcast(qf)
+        .join(dc, F.col("cum") >= F.col("rank_target"))
+        .groupBy("q_ppm", "rank_target")
+        .agg(F.min("ub").cast("bigint").alias("est"))
+    )
+
+
+def qdigest_sql(
+    src_sql: str, value_expr: str, levels: int = 13, k: int = 32
+) -> str:
+    """DuckDB twin of :func:`qdigest_build` — the same unrolled
+    level-by-level compression (the BPE unrolled-CTE discipline), so
+    the digest STATE is value-verified node-for-node."""
+    parts = [
+        f"""__leaf AS (
+  SELECT CAST({value_expr} AS BIGINT) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({src_sql}) AS __src GROUP BY 1)""",
+        f"""__tot AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) // {k} AS BIGINT) AS T
+  FROM __leaf)""",
+        f"""__cur{levels} AS (
+  SELECT idx, cnt, (SELECT T FROM __tot) AS T FROM __leaf)""",
+    ]
+    frz = []
+    for lvl in range(levels, 0, -1):
+        parts.append(
+            f"""__par{lvl} AS (
+  SELECT idx // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS s, MAX(T) AS T
+  FROM __cur{lvl} GROUP BY 1)"""
+        )
+        parts.append(
+            f"""__frz{lvl} AS (
+  SELECT {lvl} AS level, c.idx, c.cnt
+  FROM __cur{lvl} c JOIN __par{lvl} p ON c.idx // 2 = p.p
+  WHERE p.s > p.T AND c.cnt > 0)"""
+        )
+        parts.append(
+            f"""__cur{lvl - 1} AS (
+  SELECT p AS idx,
+         CAST(CASE WHEN s <= T THEN s ELSE 0 END AS BIGINT) AS cnt,
+         T
+  FROM __par{lvl})"""
+        )
+        frz.append(f"SELECT level, idx, cnt FROM __frz{lvl}")
+    frz.append(
+        "SELECT 0 AS level, idx, cnt FROM __cur0 WHERE cnt > 0"
+    )
+    union = "\nUNION ALL\n".join(frz)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(level AS INT) AS level, idx, cnt FROM ({union}) AS __d"
+    )
+
+
+def qdigest_quantiles_sql(
+    digest_sql: str, q_ppms: list[int], levels: int = 13
+) -> str:
+    """DuckDB twin of :func:`qdigest_quantiles` over a digest SQL."""
+    qvals = ", ".join(f"({int(q)})" for q in q_ppms)
+    return f"""
+WITH __dig AS ({digest_sql}),
+__d AS (
+  SELECT cnt,
+         (idx + 1) * CAST(1 << ({levels} - level) AS BIGINT) - 1 AS ub,
+         level
+  FROM __dig),
+__dc AS (
+  SELECT ub,
+         CAST(SUM(cnt) OVER (ORDER BY ub, level DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM __d),
+__n AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM __dig),
+__q(q_ppm) AS (VALUES {qvals}),
+__r AS (
+  SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+         CAST((q_ppm * n + 999999) // 1000000 AS BIGINT)
+           AS rank_target
+  FROM __q CROSS JOIN __n)
+SELECT r.q_ppm, r.rank_target, CAST(MIN(dc.ub) AS BIGINT) AS est
+FROM __r r JOIN __dc dc ON dc.cum >= r.rank_target
+GROUP BY 1, 2
+"""

@@ -375,6 +375,9 @@ _BM25_K = 15
 _FREQ_K = 20
 _PMI_MIN_COUNT = 5  # prunes hapax bigrams before the margin joins
 _PMI_K = 30
+_QD_LEVELS = 13  # q-digest universe 2^13; doc lengths clamp at 8191
+_QD_K = 256  # rank error <= levels·(n div k) ~ 5% of n
+_QD_QS = (10_000, 250_000, 500_000, 750_000, 990_000)
 _SURPRISAL_SCALE = 1 << 20
 # semantic dedup (SemDeDup): same cells/iters as the IVF demo; the
 # synthetic embeddings top out near cos 0.42, so 0.3 is the
@@ -703,6 +706,27 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ_scope = op_scope(spark, "ts_bigram_occ")
     shared_occ = occ_scope.persist(
         bigram_occurrences(docs, "doc_id", "text")
+    )
+    # ONE q-digest build feeds the node-state AND rank-query
+    # sections (the digest is <= 2k·levels rows — persisting it
+    # costs nothing and halves the corpus histogram scans)
+    from umls2rdf_spark.operators.sketch import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    qd_scope = op_scope(spark, "ts_qdigest")
+    shared_qdigest = qd_scope.persist(
+        qdigest_build(
+            docs.select(
+                F.least(
+                    F.col("n_chars"), F.lit((1 << _QD_LEVELS) - 1)
+                ).alias("len_clamped")
+            ),
+            "len_clamped",
+            levels=_QD_LEVELS,
+            k=_QD_K,
+        )
     )
     sections = [
         fingerprint_section(
@@ -1222,6 +1246,18 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ccnet_buckets",
         ),
+        # SURVEY C63 (round 8): q-digest — the deterministic
+        # mergeable quantile sketch completing the sketch family
+        # (CMS/HLL/q-digest); ONE persisted build over the doc-length
+        # histogram feeds both the node-state and the rank-query
+        # sections (operators/sketch.py)
+        fingerprint_section(shared_qdigest, "qdigest_nodes"),
+        fingerprint_section(
+            qdigest_quantiles(
+                shared_qdigest, _QD_QS, levels=_QD_LEVELS
+            ),
+            "qdigest_quantiles",
+        ),
         # SURVEY C37's production half (round 7): FULL-PSL registered
         # domains — wildcard + exception rules resolved by the
         # zero-Exchange K-join plan (webcurate.py
@@ -1284,6 +1320,18 @@ SELECT doc_id AS bench_id,
          greatest(3, CAST((len(string_split(text, ' ')) * 3) // 5
                           AS INT))), ' ') AS text
 FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _qdigest_nodes_sql() -> str:
+    from umls2rdf_spark.operators.sketch import qdigest_sql
+
+    top = (1 << _QD_LEVELS) - 1
+    return qdigest_sql(
+        f"SELECT least(n_chars, {top}) AS len_clamped FROM documents",
+        "len_clamped",
+        levels=_QD_LEVELS,
+        k=_QD_K,
+    )
 
 
 def _lexical_decontam_sql() -> str:
@@ -2057,6 +2105,7 @@ def _text_scoring_sql() -> str:
         hamming_near_dup_pairs_sql,
     )
     from umls2rdf_spark.operators.reporting import diversity_report_sql
+    from umls2rdf_spark.operators.sketch import qdigest_quantiles_sql
     from umls2rdf_spark.operators.textstats import (
         ccnet_buckets_sql,
         char_profile_sql,
@@ -2427,6 +2476,18 @@ def _text_scoring_sql() -> str:
             "ccnet_buckets",
             ccnet_buckets_sql(),
             ["doc_id", "source", "bpb_q", "pct_ppm", "bucket"],
+        ),
+        fingerprint_sql(
+            "qdigest_nodes",
+            _qdigest_nodes_sql(),
+            ["level", "idx", "cnt"],
+        ),
+        fingerprint_sql(
+            "qdigest_quantiles",
+            qdigest_quantiles_sql(
+                _qdigest_nodes_sql(), list(_QD_QS), levels=_QD_LEVELS
+            ),
+            ["q_ppm", "rank_target", "est"],
         ),
         fingerprint_sql(
             "psl_domains",
