@@ -225,3 +225,71 @@ def test_quality_report_partial_merges_exactly(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streamed_qdigest_equals_batch_digest(spark, tmp_path):
+    """The q-digest intake: multi-epoch leaf partials compressed on
+    read must equal the single-shot batch digest EXACTLY, replay is
+    a no-op, and out-of-universe values clamp into edge buckets."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from umls2rdf_spark.operators.sketch import qdigest_build
+    from umls2rdf_spark.streaming.sketches import (
+        read_qdigest,
+        run_qdigest_maintenance,
+    )
+
+    L, K = 10, 16
+    top = (1 << L) - 1
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    )
+    src = tmp_path / "qsrc"
+    os.makedirs(src, exist_ok=True)
+    for p in range(3):
+        pdf = docs.where(F.col("doc_id") % 3 == p).toPandas()
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"part{p}.parquet"),
+        )
+    state = str(tmp_path / "qstate")
+    ckpt = str(tmp_path / "qckpt")
+    run_qdigest_maintenance(
+        _stream(spark, str(src)), state, ckpt, "n_chars", levels=L
+    )
+    epochs = spark.read.parquet(f"{state}/qd_leaf").select(
+        "batch_id"
+    ).distinct().count()
+    assert epochs >= 2
+
+    got = sorted(
+        map(tuple, read_qdigest(spark, state, levels=L, k=K).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            qdigest_build(
+                docs.select(
+                    F.least(F.col("n_chars"), F.lit(top)).alias("v")
+                ),
+                "v", levels=L, k=K,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # replay: rerun against the same checkpoint — no new epochs,
+    # standing digest unchanged
+    run_qdigest_maintenance(
+        _stream(spark, str(src)), state, ckpt, "n_chars", levels=L
+    )
+    again = sorted(
+        map(tuple, read_qdigest(spark, state, levels=L, k=K).collect())
+    )
+    assert again == got
+
+    # empty state dir reads as None
+    assert read_qdigest(spark, str(tmp_path / "nope"), L, K) is None

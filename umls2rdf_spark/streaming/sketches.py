@@ -131,3 +131,75 @@ def compact_sketch_state(
         shutil.rmtree(out)
         os.makedirs(out)
         shutil.move(tmp, f"{out}/batch_id={into_batch_id}")
+
+
+# ── q-digest ─────────────────────────────────────────────────────────
+def run_qdigest_maintenance(
+    values_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    levels: int = 13,
+) -> None:
+    """Continuous quantile-sketch maintenance — the q-digest face of
+    the module. The standing state is the LEAF HISTOGRAM partials
+    (``{state_dir}/qd_leaf``, one ``batch_id=N`` partition per
+    epoch), not per-epoch digests: leaf counts merge by plain ADD, so
+    compress-on-read (:func:`read_qdigest`) is EXACTLY the
+    single-shot batch digest of everything ingested — no error
+    accumulation across epochs (per-epoch digests would merge with
+    bounded but GROWING rank error; the leaf frame is already bounded
+    at ≤ 2^levels rows per epoch, so exactness is free). Same
+    idempotent-overwrite replay discipline as the CMS/HLL loops.
+
+    Out-of-universe values CLAMP into the edge buckets (an in-plan
+    raise would kill the standing query mid-epoch; clamping keeps
+    every arrival counted and matches the batch demo's explicit
+    clamp — so streamed == batch still holds exactly when the batch
+    side clamps the same way, which the pin test does)."""
+    top = (1 << levels) - 1
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        leaves = (
+            batch_df.select(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col(value_col).cast("bigint"), F.lit(top)
+                    ),
+                ).alias("idx")
+            )
+            .groupBy("idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        leaves.write.mode("overwrite").parquet(
+            f"{state_dir}/qd_leaf/batch_id={batch_id}"
+        )
+
+    q = (
+        values_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_qdigest(
+    spark: SparkSession, state_dir: str, levels: int = 13, k: int = 256
+) -> DataFrame | None:
+    """The standing digest: leaf partials summed across epochs, then
+    one compression — byte-equal to the batch digest of the union
+    (pinned by test). None before the first epoch lands."""
+    from umls2rdf_spark.operators.sketch import qdigest_compress
+
+    raw = read_standing_state(spark, f"{state_dir}/qd_leaf")
+    if raw is None:
+        return None
+    leaves = raw.groupBy("idx").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    nodes = leaves.select(
+        F.lit(levels).cast("int").alias("level"), "idx", "cnt"
+    )
+    return qdigest_compress(nodes, levels, k)
