@@ -379,3 +379,52 @@ def test_qdigest_matches_duckdb_twin(spark, duck):
             _qdigest_nodes_sql(), list(_QD_QS), levels=_QD_LEVELS
         ),
     )
+
+
+def test_qdigest_per_group_equals_filtered_builds(spark):
+    """group_cols: per-group digests and quantiles from one frame
+    must be byte-equal to filtering first and building per group."""
+    import random
+
+    from umls2rdf_spark.operators.sketch import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (["a", "b", "c"][i % 3],
+         min(int(rng.expovariate(1 / (40 * (i % 3 + 1)))), 1023))
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "src string, v bigint")
+    grouped = qdigest_build(
+        df, "v", levels=_QD_L, k=_QD_K, group_cols=("src",)
+    )
+    got = sorted(map(tuple, grouped.collect()))
+    want = []
+    for s in ("a", "b", "c"):
+        sub = qdigest_build(
+            df.where(F.col("src") == s), "v", levels=_QD_L, k=_QD_K
+        )
+        want.extend((s, *t) for t in map(tuple, sub.collect()))
+    assert got == sorted(want)
+
+    gq = sorted(
+        map(
+            tuple,
+            qdigest_quantiles(
+                grouped, [500_000], levels=_QD_L, group_cols=("src",)
+            ).collect(),
+        )
+    )
+    wq = []
+    for s in ("a", "b", "c"):
+        sub = qdigest_build(
+            df.where(F.col("src") == s), "v", levels=_QD_L, k=_QD_K
+        )
+        for t in qdigest_quantiles(
+            sub, [500_000], levels=_QD_L
+        ).collect():
+            wq.append((s, *tuple(t)))
+    assert gq == sorted(wq)

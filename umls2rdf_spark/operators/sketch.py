@@ -279,7 +279,11 @@ FROM ({registers_sql}) AS __regs
 
 # ── q-digest ─────────────────────────────────────────────────────────
 def qdigest_build(
-    df, value_col: str, levels: int = 13, k: int = 32
+    df,
+    value_col: str,
+    levels: int = 13,
+    k: int = 32,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(level, idx, cnt): a q-digest (Shrivastava et al. 2004) over an
     integer column in ``[0, 2^levels)`` — the DETERMINISTIC mergeable
@@ -304,6 +308,12 @@ def qdigest_build(
     ``levels``). Values outside the universe fail closed in-plan
     (raise_error, the intervals.py valve discipline) — callers with
     open-ended domains clamp into a top overflow bucket explicitly.
+
+    ``group_cols`` builds one INDEPENDENT digest per group (per-source
+    length quantiles for dataset cards): every threshold uses the
+    group's OWN mass, the leaf frame is ≤ |groups|·2^levels rows, and
+    the compression rounds stay bounded — the per-group digests are
+    byte-equal to filtering first and building per group (pinned).
     """
     top = 1 << levels
     v = F.col(value_col).cast("bigint")
@@ -319,19 +329,23 @@ def qdigest_build(
             )
         ).cast("bigint"),
     ).otherwise(v)
+    g = list(group_cols)
     leaves = (
-        df.select(guarded.alias("idx"))
-        .groupBy("idx")
+        df.select(*g, guarded.alias("idx"))
+        .groupBy(*g, "idx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     nodes = leaves.select(
-        F.lit(levels).cast("int").alias("level"), "idx", "cnt"
+        *g, F.lit(levels).cast("int").alias("level"), "idx", "cnt"
     )
-    return qdigest_compress(nodes, levels, k)
+    return qdigest_compress(nodes, levels, k, group_cols=group_cols)
 
 
 def qdigest_compress(
-    nodes: DataFrame, levels: int, k: int
+    nodes: DataFrame,
+    levels: int,
+    k: int,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bottom-up q-digest compression of a node frame (level, idx,
     cnt) — ALSO the merge operation: union two digests' node frames
@@ -348,39 +362,61 @@ def qdigest_compress(
     tiny jobs, and without the barrier the level-on-level
     self-referential plan sends Catalyst analysis superlinear — a
     compress-of-union-of-digests (the merge path) stacks 3x the
-    depth and stalls at plan build."""
+    depth and stalls at plan build.
+
+    With ``group_cols`` every decision is per group: the threshold is
+    the group's own ``n div k`` (attached by a broadcast equi-join on
+    the bounded per-group totals frame instead of the 1-row
+    crossJoin), sibling grouping keys on (group, parent), and the
+    output carries the group columns."""
     from functools import reduce as _reduce
 
-    tot = nodes.agg(
-        F.expr(
-            f"CAST(coalesce(sum(cnt), 0) div {k} AS BIGINT)"
-        ).alias("__T")
-    )
-    nt = nodes.crossJoin(F.broadcast(tot)).localCheckpoint()
+    g = list(group_cols)
+    if g:
+        tot = nodes.groupBy(*g).agg(
+            F.expr(
+                f"CAST(coalesce(sum(cnt), 0) div {k} AS BIGINT)"
+            ).alias("__T")
+        )
+        nt = nodes.join(F.broadcast(tot), g).localCheckpoint()
+    else:
+        tot = nodes.agg(
+            F.expr(
+                f"CAST(coalesce(sum(cnt), 0) div {k} AS BIGINT)"
+            ).alias("__T")
+        )
+        nt = nodes.crossJoin(F.broadcast(tot)).localCheckpoint()
     frozen = []
     cur = nt.where(F.col("level") == levels).select(
-        "idx", "cnt", "__T"
+        *g, "idx", "cnt", "__T"
     )
     for lvl in range(levels, 0, -1):
         par = cur.groupBy(
-            F.expr("idx div 2").alias("p")
+            *g, F.expr("idx div 2").alias("p")
         ).agg(
             F.sum("cnt").cast("bigint").alias("__s"),
             F.max("__T").alias("__T"),
         )
+        ps = par.select(
+            *[F.col(c).alias(f"__g_{c}") for c in g], "p", "__s"
+        )
+        cond = F.expr("idx div 2") == F.col("p")
+        for c in g:
+            cond = cond & (F.col(c) == F.col(f"__g_{c}"))
         frozen.append(
-            cur.join(
-                par.select("p", "__s"),
-                F.expr("idx div 2") == F.col("p"),
-            )
+            cur.join(ps, cond)
             .where(
                 (F.col("__s") > F.col("__T")) & (F.col("cnt") > 0)
             )
             .select(
-                F.lit(lvl).cast("int").alias("level"), "idx", "cnt"
+                *g,
+                F.lit(lvl).cast("int").alias("level"),
+                "idx",
+                "cnt",
             )
         )
         nxt = par.select(
+            *g,
             F.col("p").alias("idx"),
             F.when(F.col("__s") <= F.col("__T"), F.col("__s"))
             .otherwise(F.lit(0))
@@ -389,11 +425,11 @@ def qdigest_compress(
             "__T",
         )
         inc = nt.where(F.col("level") == lvl - 1).select(
-            "idx", "cnt", "__T"
+            *g, "idx", "cnt", "__T"
         )
         cur = (
             nxt.unionByName(inc)
-            .groupBy("idx")
+            .groupBy(*g, "idx")
             .agg(
                 F.sum("cnt").cast("bigint").alias("cnt"),
                 F.max("__T").alias("__T"),
@@ -401,13 +437,16 @@ def qdigest_compress(
             .localCheckpoint()
         )
     root = cur.where(F.col("cnt") > 0).select(
-        F.lit(0).cast("int").alias("level"), "idx", "cnt"
+        *g, F.lit(0).cast("int").alias("level"), "idx", "cnt"
     )
     return _reduce(lambda a, b: a.unionByName(b), frozen + [root])
 
 
 def qdigest_quantiles(
-    digest: DataFrame, q_ppms: list[int], levels: int = 13
+    digest: DataFrame,
+    q_ppms: list[int],
+    levels: int = 13,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(q_ppm, rank_target, est): rank queries against a digest.
     Nodes are walked in the canonical post-order (upper bound asc,
@@ -416,42 +455,70 @@ def qdigest_quantiles(
     ``rank_target = ceil(q·n)`` (int64 ppm arithmetic — engine-exact).
     The digest is ≲ 2k·levels rows, so the unpartitioned window and
     the non-equi query join are bounded-frame ops by construction
-    (the score_percentile stance). An empty digest yields no rows."""
+    (the score_percentile stance). An empty digest yields no rows.
+
+    With ``group_cols`` (a per-group digest from
+    :func:`qdigest_build`): the walk partitions by group, each
+    group's rank target uses its OWN mass, and the output carries the
+    group columns — per-source quantiles from one frame."""
     from pyspark.sql import Window
 
+    g = list(group_cols)
     spark = digest.sparkSession
     d = digest.select(
+        *g,
         "level",
         "cnt",
         F.expr(
             f"(idx + 1) * CAST(shiftleft(1, {levels} - level) AS BIGINT) - 1"
         ).alias("ub"),
     )
-    w = Window.orderBy(
+    w = (
+        Window.partitionBy(*g) if g else Window
+    ).orderBy(
         F.col("ub").asc(), F.col("level").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     dc = d.select(
-        "ub", F.sum("cnt").over(w).cast("bigint").alias("cum")
+        *g, "ub", F.sum("cnt").over(w).cast("bigint").alias("cum")
     )
-    n_row = digest.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("__n")
-    )
+    if g:
+        n_row = digest.groupBy(*g).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("__n")
+        )
+    else:
+        n_row = digest.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("__n")
+        )
     qf = (
         spark.createDataFrame(
             [(int(q),) for q in q_ppms], "q_ppm bigint"
         )
         .crossJoin(F.broadcast(n_row))
         .select(
+            *[F.col(c).alias(f"__g_{c}") for c in g],
             "q_ppm",
             F.expr(
                 "CAST((q_ppm * __n + 999999) div 1000000 AS BIGINT)"
             ).alias("rank_target"),
         )
     )
+    cond = F.col("cum") >= F.col("rank_target")
+    for c in g:
+        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
     return (
         F.broadcast(qf)
-        .join(dc, F.col("cum") >= F.col("rank_target"))
-        .groupBy("q_ppm", "rank_target")
+        .join(dc, cond)
+        .groupBy(
+            *[
+                F.col(f"__g_{c}").alias(c) for c in g
+            ],
+            "q_ppm",
+            "rank_target",
+        )
         .agg(F.min("ub").cast("bigint").alias("est"))
     )
 
