@@ -375,6 +375,8 @@ _BM25_K = 15
 _FREQ_K = 20
 _PMI_MIN_COUNT = 5  # prunes hapax bigrams before the margin joins
 _PMI_K = 30
+_PARA_BOILER = "COOKIE BANNER ACCEPT ALL"  # seeded repeated paragraph
+_PARA_MIN_CHARS = 5  # drop tiny ' the '-split fragments
 _QD_LEVELS = 13  # q-digest universe 2^13; doc lengths clamp at 8191
 _QD_K = 256  # rank error <= levels·(n div k) ~ 5% of n
 _QD_QS = (10_000, 250_000, 500_000, 750_000, 990_000)
@@ -696,6 +698,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", rounds=_WP_ROUNDS
     )
     from umls2rdf_spark.operators.corpus import decontaminate_lexical
+    from umls2rdf_spark.operators.paragraphs import dedup_paragraphs
     from umls2rdf_spark.operators.webcurate import registered_domain_psl
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
     # raw-MLE + Kneser-Ney): one scan+explode, one cached copy —
@@ -1246,6 +1249,20 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ccnet_buckets",
         ),
+        # SURVEY C64 (round 8): cross-document paragraph dedup
+        # (keep-first, MassiveText/RefinedWeb line dedup) over the
+        # boilerplate-seeded corpus: every third doc carries the same
+        # cookie-banner paragraph, natural ' the '-split segments
+        # provide organic repeats (operators/paragraphs.py)
+        fingerprint_section(
+            dedup_paragraphs(
+                _para_seeded_frame(docs),
+                "doc_id",
+                "ptext",
+                min_chars=_PARA_MIN_CHARS,
+            ),
+            "paragraph_dedup",
+        ),
         # SURVEY C63 (round 8): q-digest — the deterministic
         # mergeable quantile sketch completing the sketch family
         # (CMS/HLL/q-digest); ONE persisted build over the doc-length
@@ -1320,6 +1337,35 @@ SELECT doc_id AS bench_id,
          greatest(3, CAST((len(string_split(text, ' ')) * 3) // 5
                           AS INT))), ' ') AS text
 FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _para_seeded_frame(docs: DataFrame) -> DataFrame:
+    """C64 seed: every third doc opens with the same boilerplate
+    paragraph; ' the ' occurrences become paragraph breaks so natural
+    segments repeat organically across docs."""
+    boiler = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(_PARA_BOILER + "\n")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            boiler,
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+        ).alias("ptext"),
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    from umls2rdf_spark.operators.paragraphs import dedup_paragraphs_sql
+
+    seeded = f"""(SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0
+             THEN '{_PARA_BOILER}' || chr(10) ELSE '' END)
+       || replace(text, ' the ', chr(10)) AS ptext
+FROM documents)"""
+    return dedup_paragraphs_sql(
+        seeded, "doc_id", "ptext", min_chars=_PARA_MIN_CHARS
+    )
 
 
 def _qdigest_nodes_sql() -> str:
@@ -2476,6 +2522,11 @@ def _text_scoring_sql() -> str:
             "ccnet_buckets",
             ccnet_buckets_sql(),
             ["doc_id", "source", "bpb_q", "pct_ppm", "bucket"],
+        ),
+        fingerprint_sql(
+            "paragraph_dedup",
+            _paragraph_dedup_sql(),
+            ["doc_id", "text_clean", "n_paras", "n_kept"],
         ),
         fingerprint_sql(
             "qdigest_nodes",
