@@ -375,6 +375,34 @@ _BM25_K = 15
 _FREQ_K = 20
 _PMI_MIN_COUNT = 5  # prunes hapax bigrams before the margin joins
 _PMI_K = 30
+#: C65 seed prefix injected into every 5th doc — one artifact per
+#: normalizer stage: mojibake é + curly quotes (incl. the U+009D
+#: remainder), a zero-width space, an NBSP, a double space.
+_NORM_SEED = (
+    "Caf\u00c3\u00a9 \u00e2\u20ac\u0153q\u00e2\u20ac\u009d"
+    "\u200b \u00a0 x  "
+)
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, emitting
+    non-ASCII / control code points via chr() so the generated SQL
+    stays ASCII-clean and byte-unambiguous."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127:
+            run += ch.replace("'", "''")
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
 _PARA_BOILER = "COOKIE BANNER ACCEPT ALL"  # seeded repeated paragraph
 _PARA_MIN_CHARS = 5  # drop tiny ' the '-split fragments
 _QD_LEVELS = 13  # q-digest universe 2^13; doc lengths clamp at 8191
@@ -698,6 +726,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", rounds=_WP_ROUNDS
     )
     from umls2rdf_spark.operators.corpus import decontaminate_lexical
+    from umls2rdf_spark.operators.normalize import normalize_text
     from umls2rdf_spark.operators.paragraphs import dedup_paragraphs
     from umls2rdf_spark.operators.webcurate import registered_domain_psl
     # ONE bigram-occurrence stream feeds both LM scorers (bigram
@@ -1249,6 +1278,28 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ccnet_buckets",
         ),
+        # SURVEY C65 (round 8): auditable text normalization —
+        # mojibake pairs + ctrl/zero-width/NBSP/whitespace stages
+        # with sequential per-stage counts, one zero-shuffle select
+        # over the seeded corpus (operators/normalize.py); oracle
+        # generated from the same pair/stage constants
+        fingerprint_section(
+            normalize_text(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.when(
+                            F.col("doc_id") % 5 == 0,
+                            F.lit(_NORM_SEED),
+                        ).otherwise(F.lit("")),
+                        F.col("text"),
+                    ).alias("ntext"),
+                ),
+                "doc_id",
+                "ntext",
+            ),
+            "normalize",
+        ),
         # SURVEY C64 (round 8): cross-document paragraph dedup
         # (keep-first, MassiveText/RefinedWeb line dedup) over the
         # boilerplate-seeded corpus: every third doc carries the same
@@ -1337,6 +1388,16 @@ SELECT doc_id AS bench_id,
          greatest(3, CAST((len(string_split(text, ' ')) * 3) // 5
                           AS INT))), ' ') AS text
 FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _normalize_sql() -> str:
+    from umls2rdf_spark.operators.normalize import normalize_text_sql
+
+    seeded = f"""(SELECT doc_id,
+       (CASE WHEN doc_id % 5 = 0 THEN {_sql_str(_NORM_SEED)}
+             ELSE '' END) || text AS ntext
+FROM documents)"""
+    return normalize_text_sql(seeded, "doc_id", "ntext")
 
 
 def _para_seeded_frame(docs: DataFrame) -> DataFrame:
@@ -2522,6 +2583,15 @@ def _text_scoring_sql() -> str:
             "ccnet_buckets",
             ccnet_buckets_sql(),
             ["doc_id", "source", "bpb_q", "pct_ppm", "bucket"],
+        ),
+        fingerprint_sql(
+            "normalize",
+            _normalize_sql(),
+            [
+                "doc_id", "text_norm", "n_moji", "n_ctrl",
+                "n_zerowidth", "n_nbsp", "n_multispace",
+                "n_multinewline",
+            ],
         ),
         fingerprint_sql(
             "paragraph_dedup",
