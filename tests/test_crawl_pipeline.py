@@ -284,3 +284,69 @@ def test_decontam_stage_drops_benchmark_leak(spark, tmp_path):
     assert urls and not any("delta.com" in u for u in urls)
     for f in frames.values():
         f.unpersist()
+
+
+def test_normalize_and_para_dedup_stages(spark, tmp_path):
+    """Opt-in round-8 stages: normalize fixes mojibake before the
+    gates; para_dedup strips the cross-document shared sentence from
+    all but its first-occurrence doc."""
+    shared = (
+        "every page on this site carries this exact legal footer "
+        "sentence about cookies and consent"
+    )
+    uniq_a = (
+        "the first article talks at length about rivers and canals "
+        "and the slow trade of grain between the towns of the plain "
+        "in the dry years of the old calendar"
+    )
+    uniq_b = (
+        "the second article describes a mountain observatory and "
+        "the careful work of keeping its clocks aligned with the "
+        "stars through the long and windy winter nights"
+    )
+    moji = (
+        "they said donâ€™t worry about the harvest because the "
+        "barns were full and the weather held for another month of "
+        "long clear days across the whole of the southern valley"
+    )
+    records = [
+        {"type": "response", "uri": "http://a.com/one",
+         "payload": _page(f"{shared}. {uniq_a}")},
+        {"type": "response", "uri": "http://b.com/two",
+         "payload": _page(f"{shared}. {uniq_b}")},
+        {"type": "response", "uri": "http://c.com/three",
+         "payload": _page(moji)},
+    ]
+    path = str(tmp_path / "np.warc")
+    with open(path, "wb") as f:
+        f.write(make_warc_bytes(records))
+    base = spark.createDataFrame([], "doc_id long, text string")
+    packed, counts, frames = curate_crawl(
+        spark, path, base, _PSL, cap=5, seq_len=64,
+        normalize=True, paragraph_dedup=True, paragraph_sep=". ",
+        # verify LSH candidates at exact jaccard: a/b share one long
+        # footer (real jaccard ~0.2) and would otherwise drop on the
+        # band collision alone — the para stage, not doc dedup, is
+        # the right tool for shared boilerplate
+        near_dup_min_jaccard=0.5,
+    )
+    assert counts["normalize"]["direct"] == 3
+    assert counts["normalize"]["observed"] == 3
+    assert counts["near_dup"]["direct"] == 3
+    # all three docs keep at least one unique paragraph
+    assert counts["para_dedup"]["direct"] == 3
+    texts = {r["url"]: r["text"] for r in frames["para_dedup"].collect()}
+    # mojibake fixed before the gates and in the final text
+    c_text = texts["http://c.com/three"]
+    assert "don't" in c_text and "â€" not in c_text
+    # the shared footer survives in exactly one of a/b
+    n_shared = sum(
+        1 for u in ("http://a.com/one", "http://b.com/two")
+        if shared in texts[u]
+    )
+    assert n_shared == 1
+    # both keep their unique article text
+    assert uniq_a in texts["http://a.com/one"]
+    assert uniq_b in texts["http://b.com/two"]
+    for f in frames.values():
+        f.unpersist()

@@ -48,6 +48,10 @@ def curate_crawl(
     benchmark: DataFrame | None = None,
     decontam_min_jaccard: float = 0.5,
     decontam_min_containment: float = 0.8,
+    normalize: bool = False,
+    paragraph_dedup: bool = False,
+    paragraph_sep: str = "\n",
+    near_dup_min_jaccard: float | None = None,
 ) -> tuple[DataFrame, dict[str, dict[str, int]], dict[str, DataFrame]]:
     """Run the full curation chain over ``warc_path``.
 
@@ -59,6 +63,26 @@ def curate_crawl(
     between near-dup and packing — admitted docs whose Jaccard or
     bench-containment vs any benchmark item clears the thresholds
     are dropped before any sequence is packed.
+
+    ``normalize=True`` adds the C65 auditable text normalization
+    (mojibake/ctrl/zero-width/whitespace) as stage ``normalize``
+    right after extraction, so the PII patterns and quality gates
+    see clean bytes. ``paragraph_dedup=True`` adds the C64
+    cross-document keep-first paragraph dedup as stage ``para_dedup``
+    after near-dup admission (the RefinedWeb placement), dropping
+    docs whose every paragraph was a duplicate; ``paragraph_sep``
+    picks the split token — html_to_text collapses newlines, so
+    sentence-ish separators like ``". "`` are the natural choice
+    post-extraction. Both default OFF so existing funnel pins stay
+    byte-stable; the integration test runs them on.
+
+    ``near_dup_min_jaccard`` enables the exact-Jaccard verify stage
+    of the near-dup intake: without it, an LSH band collision alone
+    drops the doc (conservative — docs sharing one long boilerplate
+    sentence can collide at real jaccard well under 0.5); with it,
+    banded candidates are verified at exact shingle Jaccard ≥ the
+    threshold before dropping. Combine with ``paragraph_dedup`` to
+    strip the shared boilerplate WITHOUT losing the documents.
 
     ``checkpoint_dir`` picks the stage-boundary materialization:
     None (default) persists each boundary in executor memory — right
@@ -135,6 +159,20 @@ def curate_crawl(
         "extract",
     )
 
+    # 2b — optional C65 normalization: PII patterns and quality
+    # gates downstream see clean bytes (zero-shuffle select over the
+    # extract boundary)
+    if normalize:
+        from umls2rdf_spark.operators.normalize import normalize_columns
+
+        _n_counts, norm_text = normalize_columns("text")
+        extracted = boundary(
+            extracted.select(
+                "doc_id", "url", norm_text.alias("text")
+            ),
+            "normalize",
+        )
+
     # 3 — PII scrub, fused into the select (the expr-level builder,
     # same machinery quality_report fuses)
     _pii_counts, scrubbed_text = pii_count_columns("text")
@@ -192,6 +230,7 @@ def curate_crawl(
             "text",
             num_perm=num_perm,
             shingle_n=shingle_n,
+            min_jaccard=near_dup_min_jaccard,
         ),
         "near_dup",
     )
@@ -218,6 +257,27 @@ def curate_crawl(
         )
         admitted = boundary(
             admitted.join(clean, "doc_id", "left_semi"), "decontam"
+        )
+
+    # 7c — optional C64 paragraph dedup (RefinedWeb placement:
+    # after doc-level near-dup): strip cross-document repeated
+    # paragraphs from the admitted text, drop empty shells
+    if paragraph_dedup:
+        from umls2rdf_spark.operators.paragraphs import (
+            dedup_paragraphs,
+        )
+
+        deduped = dedup_paragraphs(
+            admitted, "doc_id", "text", sep=paragraph_sep
+        ).where(F.col("n_kept") > 0)
+        admitted = boundary(
+            admitted.drop("text").join(
+                deduped.select(
+                    "doc_id", F.col("text_clean").alias("text")
+                ),
+                "doc_id",
+            ),
+            "para_dedup",
         )
 
     # 8 — token counts + GPT-style packing
