@@ -143,8 +143,17 @@ FULL_SCAN_OK = {
     # adds its word-occurrence explode and wordpiece_segment its
     # word_freqs + byte-aligned candidate pair (all semantically
     # full-table: tokenizer application maps every row by
-    # definition): observed 49 at the 56-section surface.
-    "text_scoring": {"documents.parquet": 49, "embeddings.parquet": 4},
+    # definition): observed 49 at the 56-section surface. Round-8
+    # session 2 (sections 58-64) adds 2 net: normalize (+1 — the
+    # cleanup maps every row) and paragraph_dedup (+2 — the seeded
+    # occurrence explode and the every-input-doc totals side; no
+    # predicate exists for either), ccnet_buckets' source attach
+    # (+1) offset by sharing: pmi rides the persisted occ stream
+    # (0), qdigest's leaf groupBy collapses into the driver-side
+    # local finish (0), and the shared KN run dropped ccnet's own
+    # occurrence re-scan (-2 vs its standalone plan): observed 51
+    # at the 64-section surface.
+    "text_scoring": {"documents.parquet": 51, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -428,3 +428,35 @@ def test_qdigest_per_group_equals_filtered_builds(spark):
         ).collect():
             wq.append((s, *tuple(t)))
     assert gq == sorted(wq)
+
+
+def test_qdigest_local_finish_equals_distributed(spark):
+    """The ungrouped build's driver-side compression must be
+    byte-equal to the distributed level sweep."""
+    import random
+
+    from umls2rdf_spark.operators.sketch import qdigest_build
+
+    rng = random.Random(21)
+    vals = [
+        min(int(rng.expovariate(1 / 90)), (1 << _QD_L) - 1)
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    loc = sorted(
+        map(
+            tuple,
+            qdigest_build(
+                df, "v", levels=_QD_L, k=_QD_K, local_finish=True
+            ).collect(),
+        )
+    )
+    dist = sorted(
+        map(
+            tuple,
+            qdigest_build(
+                df, "v", levels=_QD_L, k=_QD_K, local_finish=False
+            ).collect(),
+        )
+    )
+    assert loc == dist

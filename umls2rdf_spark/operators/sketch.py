@@ -284,6 +284,7 @@ def qdigest_build(
     levels: int = 13,
     k: int = 32,
     group_cols: tuple[str, ...] = (),
+    local_finish: bool | None = None,
 ) -> DataFrame:
     """(level, idx, cnt): a q-digest (Shrivastava et al. 2004) over an
     integer column in ``[0, 2^levels)`` — the DETERMINISTIC mergeable
@@ -314,6 +315,17 @@ def qdigest_build(
     group's OWN mass, the leaf frame is ≤ |groups|·2^levels rows, and
     the compression rounds stay bounded — the per-group digests are
     byte-equal to filtering first and building per group (pinned).
+
+    ``local_finish`` (auto: on for ungrouped builds with levels ≤ 16)
+    collects the leaf histogram — which is ≤ 2^levels rows BY
+    CONSTRUCTION, a hard bound no data distribution can break (unlike
+    the BPE word-frequency frame, which needed a valve) — and runs
+    the identical compression in driver Python, replacing ``levels``
+    sequential tiny Spark jobs with one collect (~10× faster at any
+    SF; byte-equality to the distributed path is pinned by test).
+    The distributed path remains for per-group builds (the leaf bound
+    is |groups|·2^levels — not driver-safe when groups are unbounded)
+    and for universes past 2^16.
     """
     top = 1 << levels
     v = F.col(value_col).cast("bigint")
@@ -335,10 +347,53 @@ def qdigest_build(
         .groupBy(*g, "idx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    if local_finish is None:
+        local_finish = not g and levels <= 16
+    if local_finish and not g:
+        rows = leaves.collect()  # <= 2^levels rows by construction
+        digest = qdigest_compress_py(
+            [(r["idx"], r["cnt"]) for r in rows], levels, k
+        )
+        return df.sparkSession.createDataFrame(
+            digest or [], "level int, idx bigint, cnt bigint"
+        )
     nodes = leaves.select(
         *g, F.lit(levels).cast("int").alias("level"), "idx", "cnt"
     )
     return qdigest_compress(nodes, levels, k, group_cols=group_cols)
+
+
+def qdigest_compress_py(
+    leaf_counts: list[tuple[int, int]], levels: int, k: int
+) -> list[tuple[int, int, int]]:
+    """Driver-side twin of :func:`qdigest_compress` over a leaf
+    histogram — the same per-level sweep, same int arithmetic, byte-
+    equal output (pinned by test). Used by the ungrouped
+    ``local_finish`` build path and by tests as the independent
+    replica."""
+    n = sum(c for _, c in leaf_counts)
+    t = n // k
+    cur: dict[int, int] = {}
+    for idx, c in leaf_counts:
+        cur[idx] = cur.get(idx, 0) + c
+    frozen: list[tuple[int, int, int]] = []
+    for lvl in range(levels, 0, -1):
+        groups: dict[int, list[tuple[int, int]]] = {}
+        for idx, c in cur.items():
+            groups.setdefault(idx // 2, []).append((idx, c))
+        nxt: dict[int, int] = {}
+        for p, kids in groups.items():
+            s = sum(c for _, c in kids)
+            if s <= t:
+                nxt[p] = s
+            else:
+                frozen.extend(
+                    (lvl, idx, c) for idx, c in kids if c > 0
+                )
+                nxt[p] = 0
+        cur = nxt
+    frozen.extend((0, idx, c) for idx, c in cur.items() if c > 0)
+    return sorted(frozen)
 
 
 def qdigest_compress(

@@ -1200,6 +1200,7 @@ def pmi_collocations(
     k: int = 30,
     score_bits: int = 20,
     occ: DataFrame | None = None,
+    cache=None,
 ) -> DataFrame:
     """Corpus-wide top-k collocations by pointwise mutual information
     — the phrase-mining / boilerplate-phrase-discovery primitive
@@ -1222,15 +1223,18 @@ def pmi_collocations(
     one over the SAME N — no end-of-text fudge terms.
 
     100 TB shape: one scan+tokenize into the (id, w1, w2) occurrence
-    stream (pass the shared ``occ`` to reuse a persisted copy), one
-    pair groupBy (full-pair key — spreads fine), margins re-aggregated
-    from the PAIR frame (bounded by distinct pairs, never a second
-    corpus pass), and the ``min_count`` floor prunes the candidate
-    frame BEFORE the margin joins — the long tail of hapax bigrams
-    (the vast majority at web scale, by Zipf) never shuffles again.
-    The only single-partition stage is the TakeOrdered top-k + a
-    window over the already-limited k rows (the frequent_tokens
-    discipline, textstats.py:474).
+    stream (pass the shared ``occ`` to reuse a persisted copy), ONE
+    pair groupBy (full-pair key — spreads fine) whose result is
+    PERSISTED (via ``cache`` or an own scope): margins, the total and
+    the candidate filter are all re-aggregations of that one
+    distinct-pair frame — without the persist each consumer would
+    replay the corpus tokenize+explode (measured 4× the scan cost at
+    sf0.1). The ``min_count`` floor prunes the candidate frame BEFORE
+    the margin joins — the long tail of hapax bigrams (the vast
+    majority at web scale, by Zipf) never shuffles again. The only
+    single-partition stage is the TakeOrdered top-k + a window over
+    the already-limited k rows (the frequent_tokens discipline,
+    textstats.py:474).
 
     Output: (w1, w2, pair_n, left_n, right_n, lift_q, rank); ties
     break (lift_q desc, w1 asc, w2 asc) — a total order, so the k-cut
@@ -1243,10 +1247,17 @@ def pmi_collocations(
     """
     from pyspark.sql import Window
 
+    from umls2rdf_spark.operators.caching import op_scope
+
     if occ is None:
         occ = bigram_occurrences(df, id_col, text_col)
-    big = occ.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    scope = cache if cache is not None else op_scope(
+        df.sparkSession, "pmi_collocations"
+    )
+    big = scope.persist(
+        occ.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pair_n")
+        )
     )
     lef = big.groupBy("w1").agg(
         F.sum("pair_n").cast("bigint").alias("left_n")
@@ -1338,6 +1349,7 @@ def ccnet_buckets(
     quant_bits: int = 20,
     cache=None,
     occ: DataFrame | None = None,
+    kn: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style per-source perplexity partition (Wenzek et al.
     2020): score every document with the corpus-trained Kneser-Ney
@@ -1369,13 +1381,20 @@ def ccnet_buckets(
     (the kn_surprisal contract — gate them with gopher_quality's
     min_words upstream).
 
+    Pass ``kn`` (a kn_surprisal result frame, ideally persisted) to
+    reuse a scoring run another consumer already paid for — the
+    composed demo shares one run between its kn_surprisal section
+    and this one.
+
     Reference parity: no LM anywhere in the reference; SURVEY §2 C62.
     """
     from umls2rdf_spark.operators.selection import score_percentile
 
-    kn = kn_surprisal(
-        df, id_col, text_col, discount4, quant_bits, cache=cache, occ=occ
-    )
+    if kn is None:
+        kn = kn_surprisal(
+            df, id_col, text_col, discount4, quant_bits,
+            cache=cache, occ=occ,
+        )
     scored = kn.join(df.select(id_col, group_col), id_col).select(
         id_col,
         group_col,

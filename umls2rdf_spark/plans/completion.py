@@ -747,6 +747,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdigest_quantiles,
     )
 
+    # ONE Kneser-Ney scoring run feeds its own section AND the CCNet
+    # bucket partition (per-doc frame, persisted — recomputing KN is
+    # the weight-collect jobs twice)
+    kn_scope = op_scope(spark, "ts_kn")
+    shared_kn = kn_scope.persist(
+        kn_surprisal(docs, "doc_id", "text", occ=shared_occ)
+    )
     qd_scope = op_scope(spark, "ts_qdigest")
     shared_qdigest = qd_scope.persist(
         qdigest_build(
@@ -884,7 +891,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (cast-before-multiply exact-int log2 args, same expression
         # tree in the twin), per-doc sums pure int64
         fingerprint_section(
-            kn_surprisal(docs, "doc_id", "text", occ=shared_occ),
+            shared_kn,
             "kn_surprisal",
             ("kn_bits_per_bigram",),
         ),
@@ -1264,6 +1271,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 min_count=_PMI_MIN_COUNT,
                 k=_PMI_K,
                 occ=shared_occ,
+                cache=occ_scope,
             ),
             "pmi_collocations",
         ),
@@ -1274,7 +1282,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (textstats.py ccnet_buckets)
         fingerprint_section(
             ccnet_buckets(
-                docs, "doc_id", "text", "source", occ=shared_occ
+                docs, "doc_id", "text", "source", kn=shared_kn
             ),
             "ccnet_buckets",
         ),

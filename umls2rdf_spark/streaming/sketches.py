@@ -191,7 +191,7 @@ def read_qdigest(
     """The standing digest: leaf partials summed across epochs, then
     one compression — byte-equal to the batch digest of the union
     (pinned by test). None before the first epoch lands."""
-    from umls2rdf_spark.operators.sketch import qdigest_compress
+    from umls2rdf_spark.operators.sketch import qdigest_compress_py
 
     raw = read_standing_state(spark, f"{state_dir}/qd_leaf")
     if raw is None:
@@ -199,7 +199,12 @@ def read_qdigest(
     leaves = raw.groupBy("idx").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
-    nodes = leaves.select(
-        F.lit(levels).cast("int").alias("level"), "idx", "cnt"
+    # merged leaves are <= 2^levels rows by construction — the
+    # driver-side compression (byte-equal to the distributed form,
+    # pinned) beats `levels` sequential tiny jobs on every read
+    digest = qdigest_compress_py(
+        [(r["idx"], r["cnt"]) for r in leaves.collect()], levels, k
     )
-    return qdigest_compress(nodes, levels, k)
+    return spark.createDataFrame(
+        digest or [], "level int, idx bigint, cnt bigint"
+    )
