@@ -171,7 +171,7 @@ WITH __arr AS (
          list_filter(string_split({text_col}, {sep_e}),
                      p -> length(p) >= {min_chars}) AS ps
   FROM {docs_sql}),
-__occ AS (
+__occ AS MATERIALIZED (
   SELECT {id_col}, i - 1 AS pos, ps[i] AS para
   FROM (SELECT {id_col}, ps,
                unnest(generate_series(1, len(ps))) AS i

@@ -585,20 +585,20 @@ def qdigest_sql(
     level-by-level compression (the BPE unrolled-CTE discipline), so
     the digest STATE is value-verified node-for-node."""
     parts = [
-        f"""__leaf AS (
+        f"""__leaf AS MATERIALIZED (
   SELECT CAST({value_expr} AS BIGINT) AS idx,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM ({src_sql}) AS __src GROUP BY 1)""",
-        f"""__tot AS (
+        f"""__tot AS MATERIALIZED (
   SELECT CAST(COALESCE(SUM(cnt), 0) // {k} AS BIGINT) AS T
   FROM __leaf)""",
-        f"""__cur{levels} AS (
+        f"""__cur{levels} AS MATERIALIZED (
   SELECT idx, cnt, (SELECT T FROM __tot) AS T FROM __leaf)""",
     ]
     frz = []
     for lvl in range(levels, 0, -1):
         parts.append(
-            f"""__par{lvl} AS (
+            f"""__par{lvl} AS MATERIALIZED (
   SELECT idx // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS s, MAX(T) AS T
   FROM __cur{lvl} GROUP BY 1)"""
         )
@@ -609,7 +609,7 @@ def qdigest_sql(
   WHERE p.s > p.T AND c.cnt > 0)"""
         )
         parts.append(
-            f"""__cur{lvl - 1} AS (
+            f"""__cur{lvl - 1} AS MATERIALIZED (
   SELECT p AS idx,
          CAST(CASE WHEN s <= T THEN s ELSE 0 END AS BIGINT) AS cnt,
          T
@@ -633,13 +633,13 @@ def qdigest_quantiles_sql(
     """DuckDB twin of :func:`qdigest_quantiles` over a digest SQL."""
     qvals = ", ".join(f"({int(q)})" for q in q_ppms)
     return f"""
-WITH __dig AS ({digest_sql}),
+WITH __dig AS MATERIALIZED ({digest_sql}),
 __d AS (
   SELECT cnt,
          (idx + 1) * CAST(1 << ({levels} - level) AS BIGINT) - 1 AS ub,
          level
   FROM __dig),
-__dc AS (
+__dc AS MATERIALIZED (
   SELECT ub,
          CAST(SUM(cnt) OVER (ORDER BY ub, level DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -1314,7 +1314,7 @@ idx AS (
          unnest(generate_series(1, greatest(len(f) - 1, 0))) AS i
   FROM f),
 occ AS (SELECT {id_col}, f[i] AS w1, f[i+1] AS w2 FROM idx),
-big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+big AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
         FROM occ GROUP BY 1, 2),
 lef AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS left_n
         FROM big GROUP BY 1),
@@ -1428,7 +1428,7 @@ def ccnet_buckets_sql(
         docs_sql, id_col, text_col, discount4, quant_bits
     )
     return f"""
-WITH __scored AS (
+WITH __scored AS MATERIALIZED (
   SELECT k.{id_col}, d.{group_col},
          CAST(k.kn_q * 1000 // k.n_bigrams AS BIGINT) AS bpb_q
   FROM ({kn}) k JOIN {docs_sql} d USING ({id_col})),
