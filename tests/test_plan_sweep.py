@@ -152,8 +152,16 @@ FULL_SCAN_OK = {
     # (0), qdigest's leaf groupBy collapses into the driver-side
     # local finish (0), and the shared KN run dropped ccnet's own
     # occurrence re-scan (-2 vs its standalone plan): observed 51
-    # at the 64-section surface.
-    "text_scoring": {"documents.parquet": 51, "embeddings.parquet": 4},
+    # at the 64-section surface. Round-8 session 3 (sections 65-67)
+    # adds 3 net, all semantically full-table (every document must
+    # be read — no predicate exists): cdc_dedup (+1 net — chunk
+    # occurrences feed winners + occurrences + the all-docs totals
+    # side, partially deduplicated by exchange reuse), keep_k_dedup
+    # (+1 — the fingerprint frame feeds the group-limit window and
+    # the group-size count), winsorize (+1 — the shared-cum bounds
+    # chain and the per-row clip pass): observed 54 at the
+    # 67-section surface.
+    "text_scoring": {"documents.parquet": 54, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -719,3 +719,73 @@ def incremental_minhash_dedupe(
         .distinct()
     )
     return new_docs.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_k(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(id, dup_rank, group_n): frequency-CAPPED exact dedup — keep
+    up to ``k`` copies of each distinct text, in corpus order
+    (``dup_rank`` is the 1-based occurrence rank, winners are the
+    lowest ids). Full dedup (k=1) is a special case, but the point
+    of k>1 is FineWeb's finding that some natural repetition is
+    signal: a hard keep-one policy over-prunes templated-but-useful
+    pages, so production pipelines cap copies instead of banning
+    them.
+
+    Plan shape: ``row_number() <= k`` over the 128-bit content
+    fingerprint compiles to WindowGroupLimit(Partial) → Exchange →
+    WindowGroupLimit(Final) (the cap_per_domain discipline,
+    webcurate.py:73) — every map task prunes each text group to its
+    k best candidates BEFORE the shuffle, so a pathological hot
+    document (billions of mirror copies) ships O(k · partitions)
+    rows, not its copy count. ``group_n`` (total copies, for the
+    audit trail) is a separate map-side-combined count on the same
+    fingerprint — also hot-key safe.
+
+    Fingerprints are two independent xxhash64 values (the
+    paragraphs.py discipline: text never rides the winner shuffle);
+    the DuckDB twin groups by the text STRING, so a driver match
+    certifies the fingerprint grouping collision-free on the data.
+    """
+    from pyspark.sql import Window
+
+    fp = df.select(
+        F.col(id_col),
+        F.xxhash64(text_col).alias("__h1"),
+        F.xxhash64(F.lit("\x1fkeepk"), F.col(text_col)).alias("__h2"),
+    )
+    w = Window.partitionBy("__h1", "__h2").orderBy(id_col)
+    kept = (
+        fp.withColumn("dup_rank", F.row_number().over(w))
+        .where(F.col("dup_rank") <= k)
+    )
+    sizes = fp.groupBy("__h1", "__h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n")
+    )
+    return kept.join(sizes, ["__h1", "__h2"]).select(
+        id_col,
+        F.col("dup_rank").cast("bigint").alias("dup_rank"),
+        "group_n",
+    )
+
+
+def dedup_keep_k_sql(
+    docs_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> str:
+    """DuckDB twin of :func:`dedup_keep_k` — groups by the text
+    string itself (exact at oracle SF)."""
+    return f"""
+SELECT {id_col},
+       CAST(dup_rank AS BIGINT) AS dup_rank,
+       CAST(group_n AS BIGINT) AS group_n
+FROM (SELECT {id_col},
+             row_number() OVER (PARTITION BY {text_col}
+                                ORDER BY {id_col}) AS dup_rank,
+             COUNT(*) OVER (PARTITION BY {text_col}) AS group_n
+      FROM {docs_sql}) AS __kk
+WHERE dup_rank <= {k}
+"""

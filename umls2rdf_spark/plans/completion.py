@@ -667,6 +667,9 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_estimate,
         hll_registers,
     )
+    from umls2rdf_spark.operators.cdc import cdc_dedup_stats
+    from umls2rdf_spark.operators.dedup import dedup_keep_k
+    from umls2rdf_spark.operators.robust import winsorize
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
     from umls2rdf_spark.operators.textstats import (
@@ -1346,6 +1349,40 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "psl_domains",
         ),
+        # SURVEY C66 (round 8): content-defined chunking dedup —
+        # fixed-window fingerprint boundaries (operators/cdc.py:
+        # shift-resistant cuts from a pure per-position window-hash
+        # predicate, zero-shuffle HOF expression) + keep-first chunk
+        # accounting; the word-salad corpus repeats phrases
+        # naturally, so dup_chars > 0 without seeding (pinned in
+        # tests). The oracle groups by the chunk STRING — a match
+        # certifies the 128-bit fingerprint grouping collision-free
+        fingerprint_section(
+            cdc_dedup_stats(docs, "doc_id", "text"), "cdc_dedup"
+        ),
+        # SURVEY C67 (round 8): frequency-CAPPED dedup — keep up to
+        # k copies per distinct text in corpus order (FineWeb's
+        # "some repetition is signal" policy); row_number<=k over
+        # the content fingerprint compiles to
+        # WindowGroupLimit(Partial) before the Exchange, so hot
+        # mirror groups ship O(k·partitions) rows (dedup.py
+        # dedup_keep_k); seeded boilerplate groups exercise the cap
+        fingerprint_section(
+            dedup_keep_k(
+                _keepk_seeded_frame(docs), "doc_id", "ktext",
+                k=_KEEPK_K,
+            ),
+            "keep_k_dedup",
+        ),
+        # SURVEY C67 (round 8): per-source winsorization — exact
+        # type-1 p05/p95 order statistics from the distinct-value-
+        # bounded counts frame (operators/robust.py, the B21
+        # counting-quantile argument), tails CLIPPED not dropped,
+        # per-row pass is one broadcast join against |sources| rows
+        fingerprint_section(
+            winsorize(docs, "source", F.col("n_chars"), "doc_id"),
+            "winsorize",
+        ),
     ]
     return _union(sections)
 
@@ -1462,6 +1499,34 @@ def _lexical_decontam_sql() -> str:
         "bench_id",
         "text",
     )
+
+
+_KEEPK_K = 2  # copies kept per distinct text in the keep-k section
+
+
+def _keepk_seeded_frame(docs: DataFrame) -> DataFrame:
+    """Duplicate-group seeding for keep_k_dedup: ~3/7 of docs
+    collapse onto 5 boilerplate texts (hot groups well above the
+    cap), the rest stay unique singletons."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 < 3,
+            F.concat(
+                F.lit("boilerplate page "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("ktext"),
+    )
+
+
+_KEEPK_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 < 3 THEN 'boilerplate page '"
+    " || CAST(doc_id % 5 AS VARCHAR) ELSE text END AS ktext"
+    " FROM documents)"
+)
 
 
 def _psl_hosts_frame(docs: DataFrame) -> DataFrame:
@@ -2216,9 +2281,12 @@ FROM caps
 
 
 def _text_scoring_sql() -> str:
+    from umls2rdf_spark.operators.cdc import cdc_dedup_stats_sql
+    from umls2rdf_spark.operators.dedup import dedup_keep_k_sql
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
+    from umls2rdf_spark.operators.robust import winsorize_sql
     from umls2rdf_spark.operators.reporting import diversity_report_sql
     from umls2rdf_spark.operators.sketch import qdigest_quantiles_sql
     from umls2rdf_spark.operators.textstats import (
@@ -2622,6 +2690,24 @@ def _text_scoring_sql() -> str:
             "psl_domains",
             _psl_domains_sql(),
             ["doc_id", "host", "reg_domain"],
+        ),
+        fingerprint_sql(
+            "cdc_dedup",
+            cdc_dedup_stats_sql(),
+            ["doc_id", "n_chunks", "n_dup", "dup_chars"],
+        ),
+        fingerprint_sql(
+            "keep_k_dedup",
+            dedup_keep_k_sql(_KEEPK_SQL, "doc_id", "ktext", k=_KEEPK_K),
+            ["doc_id", "dup_rank", "group_n"],
+        ),
+        fingerprint_sql(
+            "winsorize",
+            winsorize_sql(
+                "SELECT * FROM documents", "source", "n_chars",
+                "doc_id",
+            ),
+            ["doc_id", "source", "v", "v_clip"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
@@ -3329,7 +3415,42 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _range_join_frame(spark, sf_dir), "range_join"
             ),
+            # B45 (round 8): median/MAD outlier detection — the
+            # Hampel identifier with exact type-1 order statistics
+            # computed from value COUNTS (operators/robust.py: one
+            # map-side-combined groupBy over raw rows, everything
+            # else over the distinct-value-bounded counts frame);
+            # int64-quantized values, int64-exact k·MAD threshold
+            fingerprint_section(
+                _mad_outliers_frame(spark, sf_dir), "mad_outliers"
+            ),
         ]
+    )
+
+
+_MAD_K = 3  # Hampel threshold: |v - median| > k * MAD
+
+
+def _mad_outliers_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 demo: per-event-type value outliers — values quantized to
+    int64 micros (the fingerprint convention), exact median and MAD
+    from counts, Hampel flag counts."""
+    from umls2rdf_spark.operators.robust import mad_outlier_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outlier_summary(
+        ev, "event_type", F.floor(F.col("value") * 1_000_000), k=_MAD_K
+    )
+
+
+def _mad_outliers_sql() -> str:
+    from umls2rdf_spark.operators.robust import mad_outlier_summary_sql
+
+    return mad_outlier_summary_sql(
+        "SELECT * FROM events",
+        "event_type",
+        "CAST(FLOOR(value * 1000000) AS BIGINT)",
+        k=_MAD_K,
     )
 
 
@@ -3602,6 +3723,11 @@ def _event_windows_sql() -> str:
             "range_join",
             _range_join_sql(),
             ["incident_id", "hit_id", "ov_start", "ov_end"],
+        ),
+        fingerprint_sql(
+            "mad_outliers",
+            _mad_outliers_sql(),
+            ["event_type", "n", "med_q", "mad_q", "n_outliers"],
         ),
         fingerprint_sql(
             "pagerank",
