@@ -1,0 +1,160 @@
+"""B46 ordered funnel / B47 triangle counting: hand-built semantics
+(strict ordering, greedy-earliest exactness, orientation count-once)
+and oracle parity on the real events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.operators.funnel import (
+    funnel_counts,
+    funnel_counts_sql,
+)
+from umls2rdf_spark.operators.graphrank import (
+    clickstream_edges,
+    clickstream_edges_sql,
+    triangle_counts,
+    triangle_counts_sql,
+)
+from tests.conftest import SF_DIR, make_duck
+
+STEPS = ["signup", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes all three in order
+        (1, "signup", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2 clicked BEFORE signing up -> stops at step 1
+        (2, "click", t(1)), (2, "signup", t(2)),
+        # u3 same-timestamp click (NOT strictly after) -> stops at 1
+        (3, "signup", t(5)), (3, "click", t(5)),
+        # u4 never signed up -> not even step 1
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            _ev(spark, rows), "user_id", "event_type", "ts", STEPS
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_funnel_greedy_earliest_is_exact(spark):
+    """u1's FIRST click is before the purchase; a non-greedy choice
+    of the later click would also work — greedy must not lose the
+    conversion, and the early-click-then-signup red herring must not
+    create one."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        (1, "click", t(1)),  # pre-signup click: unusable
+        (1, "signup", t(2)),
+        (1, "click", t(3)),
+        (1, "purchase", t(4)),
+    ]
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            _ev(spark, rows), "user_id", "event_type", "ts", STEPS
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_rejects_bad_steps(spark):
+    df = _ev(spark, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(df, "user_id", "event_type", "ts", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_counts(
+            df, "user_id", "event_type", "ts", ["a", "b", "a"]
+        )
+
+
+def test_funnel_oracle_parity(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = sorted(
+        tuple(r)
+        for r in funnel_counts(
+            ev, "user_id", "event_type", "ts", STEPS
+        ).collect()
+    )
+    con = make_duck(SF_DIR)
+    try:
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                funnel_counts_sql(
+                    "SELECT * FROM events", "user_id", "event_type",
+                    "ts", STEPS,
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src bigint, dst bigint, w bigint"
+    )
+
+
+def test_triangle_hand_graph(spark):
+    # K4 minus one edge = two triangles sharing edge (1,2);
+    # a self-loop and a reverse duplicate must not change anything
+    pairs = [
+        (1, 2), (2, 3), (1, 3), (1, 4), (2, 4),
+        (2, 1),  # reverse duplicate
+        (3, 3),  # self-loop
+    ]
+    got = {
+        r.node: r.n_tri
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_free_graph(spark):
+    got = triangle_counts(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])  # 4-cycle
+    ).collect()
+    assert got == []
+
+
+def test_triangle_oracle_parity_clickstream(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    got = sorted(
+        tuple(r)
+        for r in triangle_counts(clickstream_edges(ev, node)).collect()
+    )
+    con = make_duck(SF_DIR)
+    try:
+        esql = clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(triangle_counts_sql(esql)).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+    assert sum(r[1] for r in got) % 3 == 0  # 3 corner credits each
+    assert len(got) > 0

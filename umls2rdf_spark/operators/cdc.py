@@ -119,6 +119,38 @@ def cdc_chunk_occurrences(
     )
 
 
+def fingerprinted_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = DEFAULT_WINDOW,
+    divisor: int = DEFAULT_DIVISOR,
+) -> DataFrame:
+    """(id, chunk, __ok, __h1, __h2): chunk occurrences with the
+    packed corpus-order key (fail-closed POS_BITS valve) and the
+    128-bit content fingerprint — the shared input of the batch
+    stats (:func:`cdc_dedup_stats`) and the continuous chunk-store
+    intake (streaming/cdc.py)."""
+    occ = cdc_chunk_occurrences(df, id_col, text_col, window, divisor)
+    cap = 1 << POS_BITS
+    ok = F.when(
+        F.col("pos") >= cap,
+        F.raise_error(
+            F.lit(
+                f"cdc_dedup_stats: document exceeds 2^{POS_BITS} "
+                "chunks — raise POS_BITS or pre-split"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(id_col) * F.lit(cap) + F.col("pos"))
+    return occ.select(
+        id_col,
+        "chunk",
+        ok.alias("__ok"),
+        F.xxhash64("chunk").alias("__h1"),
+        F.xxhash64(F.lit("\x1fcdc"), F.col("chunk")).alias("__h2"),
+    )
+
+
 def cdc_dedup_stats(
     df: DataFrame,
     id_col: str,
@@ -134,23 +166,8 @@ def cdc_dedup_stats(
     storage. EVERY input document gets a row (zeros for empty
     texts) — the caller gates on ``dup_chars / n_chars`` to drop
     mirror-heavy documents, or feeds the chunk store directly."""
-    occ = cdc_chunk_occurrences(df, id_col, text_col, window, divisor)
-    cap = 1 << POS_BITS
-    ok = F.when(
-        F.col("pos") >= cap,
-        F.raise_error(
-            F.lit(
-                f"cdc_dedup_stats: document exceeds 2^{POS_BITS} "
-                "chunks — raise POS_BITS or pre-split"
-            )
-        ).cast("bigint"),
-    ).otherwise(F.col(id_col) * F.lit(cap) + F.col("pos"))
-    fp = occ.select(
-        id_col,
-        "chunk",
-        ok.alias("__ok"),
-        F.xxhash64("chunk").alias("__h1"),
-        F.xxhash64(F.lit("\x1fcdc"), F.col("chunk")).alias("__h2"),
+    fp = fingerprinted_occurrences(
+        df, id_col, text_col, window, divisor
     )
     winners = fp.groupBy("__h1", "__h2").agg(
         F.min("__ok").alias("__win")
