@@ -3346,7 +3346,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_agg,
     )
 
-    pr_frame, lp_frame = _graph_frames(spark, sf_dir)
+    pr_frame, lp_frame, tri_frame = _graph_frames(spark, sf_dir)
     return _union(
         [
             fingerprint_section(
@@ -3424,6 +3424,19 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _mad_outliers_frame(spark, sf_dir), "mad_outliers"
             ),
+            # B46 (round 8): ordered funnel conversion — greedy
+            # earliest-completion join chain (operators/funnel.py;
+            # exactness argued there), strict-after semantics, every
+            # shuffle on user_id
+            fingerprint_section(
+                _funnel_frame(spark, sf_dir), "funnel"
+            ),
+            # B47 (round 8): per-node triangle counts over the SAME
+            # checkpointed clickstream edge frame the centrality
+            # sections use — degree-ordered wedge closing, each
+            # triangle counted once at its smallest-rank corner
+            # (graphrank.py triangle_counts)
+            fingerprint_section(tri_frame, "triangles"),
         ]
     )
 
@@ -3617,15 +3630,17 @@ def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _graph_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Both graph sections (B41 pagerank, B42 label_prop) over ONE
-    checkpointed clickstream edge frame — the per-user LEAD window
-    job (the expensive derivation) runs once instead of once per
-    section; each op's own per-round checkpoints stay internal."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """All three graph sections (B41 pagerank, B42 label_prop, B47
+    triangles) over ONE checkpointed clickstream edge frame — the
+    per-user LEAD window job (the expensive derivation) runs once
+    instead of once per section; each op's own per-round checkpoints
+    stay internal."""
     from umls2rdf_spark.operators.graphrank import (
         clickstream_edges,
         label_propagation,
         pagerank,
+        triangle_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -3634,6 +3649,42 @@ def _graph_frames(
     return (
         pagerank(edges, iters=_PR_ITERS),
         label_propagation(edges, iters=_LP_ITERS),
+        triangle_counts(edges),
+    )
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _funnel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umls2rdf_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "event_type", "ts", _FUNNEL_STEPS
+    )
+
+
+def _funnel_sql() -> str:
+    from umls2rdf_spark.operators.funnel import funnel_counts_sql
+
+    return funnel_counts_sql(
+        "SELECT * FROM events", "user_id", "event_type", "ts",
+        _FUNNEL_STEPS,
+    )
+
+
+def _triangles_sql() -> str:
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges_sql,
+        triangle_counts_sql,
+    )
+
+    return triangle_counts_sql(
+        clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        )
     )
 
 
@@ -3728,6 +3779,16 @@ def _event_windows_sql() -> str:
             "mad_outliers",
             _mad_outliers_sql(),
             ["event_type", "n", "med_q", "mad_q", "n_outliers"],
+        ),
+        fingerprint_sql(
+            "funnel",
+            _funnel_sql(),
+            ["step", "event_type", "n_users"],
+        ),
+        fingerprint_sql(
+            "triangles",
+            _triangles_sql(),
+            ["node", "n_tri"],
         ),
         fingerprint_sql(
             "pagerank",
