@@ -160,7 +160,7 @@ FULL_SCAN_OK = {
     # (+1 — the fingerprint frame feeds the group-limit window and
     # the group-size count), winsorize (+1 — the shared-cum bounds
     # chain and the per-row clip pass): observed 54 at the
-    # 67-section surface.
+    # 66-section surface.
     "text_scoring": {"documents.parquet": 54, "embeddings.parquet": 4},
 }
 

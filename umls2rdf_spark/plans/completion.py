@@ -3429,7 +3429,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exactness argued there), strict-after semantics, every
             # shuffle on user_id
             fingerprint_section(
-                _funnel_frame(spark, sf_dir), "funnel"
+                _funnel_steps_frame(spark, sf_dir), "funnel"
             ),
             # B47 (round 8): per-node triangle counts over the SAME
             # checkpointed clickstream edge frame the centrality
@@ -3656,7 +3656,9 @@ def _graph_frames(
 _FUNNEL_STEPS = ["signup", "click", "purchase"]
 
 
-def _funnel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_steps_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from umls2rdf_spark.operators.funnel import funnel_counts
 
     ev = load_table(spark, sf_dir, "events")
@@ -3665,7 +3667,7 @@ def _funnel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_sql() -> str:
+def _funnel_steps_sql() -> str:
     from umls2rdf_spark.operators.funnel import funnel_counts_sql
 
     return funnel_counts_sql(
@@ -3782,7 +3784,7 @@ def _event_windows_sql() -> str:
         ),
         fingerprint_sql(
             "funnel",
-            _funnel_sql(),
+            _funnel_steps_sql(),
             ["step", "event_type", "n_users"],
         ),
         fingerprint_sql(
