@@ -160,8 +160,10 @@ FULL_SCAN_OK = {
     # (+1 — the fingerprint frame feeds the group-limit window and
     # the group-size count), winsorize (+1 — the shared-cum bounds
     # chain and the per-row clip pass): observed 54 at the
-    # 66-section surface.
-    "text_scoring": {"documents.parquet": 54, "embeddings.parquet": 4},
+    # 66-section surface; stratified_sample adds 1 more (the sample
+    # draws from every stratum — semantically full-table): observed
+    # 55 at the 67-section surface.
+    "text_scoring": {"documents.parquet": 55, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

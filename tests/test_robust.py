@@ -211,3 +211,82 @@ def test_keep_k_oracle_parity(spark):
         con.close()
     assert got == want
     assert any(r[2] > 2 for r in got)  # capped groups exist
+
+
+# ── stratified fixed-n sampling ──────────────────────────────────────
+def test_stratified_sample_semantics(spark):
+    from umls2rdf_spark.operators.selection import stratified_sample
+
+    rows = [(i, "big") for i in range(20)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = stratified_sample(df, "source", "doc_id", 5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.rank)
+    assert sorted(per["big"]) == [1, 2, 3, 4, 5]  # exactly n
+    assert per["tiny"] == [1]  # small stratum: whole group
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from umls2rdf_spark.operators.selection import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    five = {
+        (r.source, r.doc_id)
+        for r in stratified_sample(docs, "source", "doc_id", 5).collect()
+    }
+    three = {
+        (r.source, r.doc_id)
+        for r in stratified_sample(docs, "source", "doc_id", 3).collect()
+    }
+    prefix = {
+        (r.source, r.doc_id)
+        for r in stratified_sample(docs, "source", "doc_id", 5)
+        .where("rank <= 3")
+        .collect()
+    }
+    assert three == prefix  # nested samples are consistent
+    assert three < five
+
+
+def test_stratified_sample_plan_and_validation(spark):
+    import pytest as _pytest
+
+    from umls2rdf_spark.operators.selection import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        stratified_sample(docs, "source", "doc_id", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    with _pytest.raises(ValueError, match="n must be"):
+        stratified_sample(docs, "source", "doc_id", 0)
+
+
+def test_stratified_sample_oracle_parity(spark):
+    from umls2rdf_spark.operators.selection import (
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in stratified_sample(docs, "source", "doc_id", 5).collect()
+    )
+    con = make_duck(SF_DIR)
+    try:
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                stratified_sample_sql(
+                    "SELECT * FROM documents", "source", "doc_id", 5
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) > 0

@@ -762,3 +762,51 @@ SELECT {cols},
        CAST(__below * 1000000 // __n AS BIGINT) AS pct_ppm
 FROM {table} t JOIN __cdf USING ({group_col}, {score_col})
 """
+
+
+def stratified_sample(
+    df: DataFrame, grp_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(grp, id, rank): deterministic fixed-size-per-group sample —
+    exactly ``min(n, |group|)`` rows from every group, drawn by the
+    engine-neutral hash order (a uniform permutation of each group,
+    reproducible across runs and engines; the epoch_shuffle
+    argument). The eval-set carve: "give me 1 000 docs from EVERY
+    source", which fraction-based sampling (split_assign) can't
+    promise for small strata and weighted_sample doesn't target.
+
+    ``row_number() <= n`` over the hash order compiles to
+    WindowGroupLimit(Partial) → Exchange → Final (the cap_per_domain
+    discipline): every map task prunes each group to its n best
+    candidates BEFORE the shuffle, so a billion-row stratum ships
+    O(n · partitions) rows, never its population. ``rank`` is kept
+    so downstream can take any nested prefix (rank <= m < n) without
+    re-sampling — nested samples are consistent by construction."""
+    if n < 1:
+        raise ValueError(f"stratified_sample: n must be >= 1, got {n}")
+    w = Window.partitionBy(grp_col).orderBy(
+        stable_hash40(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(F.col(grp_col), F.col(id_col))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= n)
+    )
+
+
+def stratified_sample_sql(
+    src_sql: str, grp_col: str, id_col: str, n: int
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — same hash order."""
+    from umls2rdf_spark.functions.hashing import stable_hash40_sql
+
+    h = stable_hash40_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {grp_col}, {id_col}, rank
+FROM (SELECT {grp_col}, {id_col},
+             CAST(row_number() OVER (
+               PARTITION BY {grp_col}
+               ORDER BY {h}, {id_col}) AS BIGINT) AS rank
+      FROM ({src_sql}) AS __ss) AS __ranked
+WHERE rank <= {n}
+"""

@@ -644,6 +644,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_sqrt_mixture,
         score_percentile,
         select_to_token_budget,
+        stratified_sample,
         weighted_sample,
     )
     from umls2rdf_spark.operators.similarity import (
@@ -1383,6 +1384,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             winsorize(docs, "source", F.col("n_chars"), "doc_id"),
             "winsorize",
         ),
+        # SURVEY C68 (round 8): stratified fixed-n sampling — the
+        # eval-set carve ("exactly n docs from EVERY source"),
+        # engine-neutral hash order so the draw is reproducible and
+        # nested (rank <= m gives a consistent sub-sample);
+        # row_number<=n compiles to WindowGroupLimit(Partial) —
+        # billion-row strata ship O(n·partitions) rows
+        # (operators/selection.py stratified_sample)
+        fingerprint_section(
+            stratified_sample(docs, "source", "doc_id", _STRAT_N),
+            "stratified_sample",
+        ),
     ]
     return _union(sections)
 
@@ -1502,6 +1514,8 @@ def _lexical_decontam_sql() -> str:
 
 
 _KEEPK_K = 2  # copies kept per distinct text in the keep-k section
+
+_STRAT_N = 5  # fixed per-source sample size (stratified_sample)
 
 
 def _keepk_seeded_frame(docs: DataFrame) -> DataFrame:
@@ -2302,6 +2316,7 @@ def _text_scoring_sql() -> str:
         resample_sqrt_mixture_sql,
         score_percentile_sql,
         select_to_token_budget_sql,
+        stratified_sample_sql,
         weighted_sample_sql,
     )
     from umls2rdf_spark.plans.llm_demos import (
@@ -2708,6 +2723,14 @@ def _text_scoring_sql() -> str:
                 "doc_id",
             ),
             ["doc_id", "source", "v", "v_clip"],
+        ),
+        fingerprint_sql(
+            "stratified_sample",
+            stratified_sample_sql(
+                "SELECT * FROM documents", "source", "doc_id",
+                _STRAT_N,
+            ),
+            ["source", "doc_id", "rank"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
