@@ -1,0 +1,117 @@
+"""D12 manifest-pinned snapshots: time travel is stable under later
+commits, reads fail closed on corruption, the diff answers the
+release audit, and the manifest commit is atomic (no half-readable
+versions)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.sources.snapshots import (
+    commit_snapshot,
+    diff_snapshots,
+    read_manifest,
+    read_snapshot,
+    snapshot_versions,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, lo, hi):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .select("doc_id", "text", "source")
+    )
+
+
+def test_time_travel_is_stable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = commit_snapshot(_docs(spark, 0, 100), t, note="first")
+    ids_v1 = {
+        r.doc_id for r in read_snapshot(spark, t, v1).collect()
+    }
+    v2 = commit_snapshot(_docs(spark, 0, 250), t, note="grown")
+    assert (v1, v2) == (1, 2)
+    assert snapshot_versions(t) == [1, 2]
+    # v1 reads IDENTICALLY after v2 was committed
+    again = {r.doc_id for r in read_snapshot(spark, t, v1).collect()}
+    assert again == ids_v1
+    # latest = v2
+    assert read_snapshot(spark, t).count() == 250
+    assert read_manifest(t, 2)["parent"] == 1
+    assert read_manifest(t, 1)["total_rows"] == len(ids_v1)
+
+
+def test_reads_fail_closed_on_corruption(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v = commit_snapshot(_docs(spark, 0, 100), t)
+    man = read_manifest(t, v)
+    victim = man["files"][0]["path"]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="missing"):
+        read_snapshot(spark, t, v)
+
+
+def test_verify_counts_catches_swapped_file(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v = commit_snapshot(
+        _docs(spark, 0, 100).coalesce(1), t
+    )
+    man = read_manifest(t, v)
+    victim = man["files"][0]["path"]
+    # swap in a file with a different row count
+    _docs(spark, 0, 10).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "swap")
+    )
+    swap = [
+        f for f in os.listdir(str(tmp_path / "swap"))
+        if f.endswith(".parquet")
+    ][0]
+    os.remove(victim)
+    # drop the stale Hadoop .crc sidecar too: the swapped file is
+    # then a perfectly VALID parquet — only the manifest audit can
+    # notice it is the wrong one
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    os.link(str(tmp_path / "swap" / swap), victim)
+    with pytest.raises(ValueError, match="integrity"):
+        read_snapshot(spark, t, v, verify_counts=True)
+
+
+def test_diff_answers_release_audit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_docs(spark, 0, 100), t)
+    commit_snapshot(_docs(spark, 50, 150), t)
+    d = {
+        (r.change, r.doc_id)
+        for r in diff_snapshots(spark, t, 1, 2, "doc_id").collect()
+    }
+    assert {c for c, _ in d} == {"added", "removed"}
+    assert ("added", 149) in d and ("removed", 0) in d
+    assert all(
+        (i >= 100) if c == "added" else (i < 50) for c, i in d
+    )
+
+
+def test_uncommitted_version_and_tmp_manifests_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_docs(spark, 0, 50), t)
+    # a crashed writer: data dir exists, manifest only as tmp file
+    os.makedirs(os.path.join(t, "data", "v2"), exist_ok=True)
+    with open(
+        os.path.join(t, "manifests", ".tmp-deadbeef.json"), "w"
+    ) as fh:
+        json.dump({"version": 2}, fh)
+    assert snapshot_versions(t) == [1]
+    assert read_snapshot(spark, t).count() == 50
+    with pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, t, 2)
