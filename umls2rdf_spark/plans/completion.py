@@ -49,6 +49,10 @@ from umls2rdf_spark.sources.parquet import load_table
 _SEP = "\x1f"
 _NULL = "<NULL>"
 _FLOAT_SCALE = "1000000.0"
+#: checksum modulus — identity below 2^62, keeps the Σ-of-40-bit-
+#: hashes checksum int64-represented at ANY frame size (the sum
+#: itself runs in DECIMAL(38,0)/HUGEINT in the two engines)
+_CHECKSUM_MOD = 1 << 62
 
 
 def fingerprint_section(
@@ -67,13 +71,24 @@ def fingerprint_section(
             c = F.floor(c * F.lit(1000000.0)).cast("bigint")
         parts.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
     h = stable_hash40(F.concat_ws(_SEP, *parts))
+    # checksum = (Σ 40-bit row hashes) mod 2^62, summed in
+    # DECIMAL(38,0) / HUGEINT so the sum itself can NEVER overflow
+    # int64 — a 10x-replica pair frame (identical payloads pair
+    # across every copy: ~100x rows) pushed Σh past 2^63 and ANSI
+    # Spark raised mid-verification. Below 2^62 the modulus is the
+    # identity, so every existing section checksum is unchanged.
+    csum = (
+        F.coalesce(
+            F.sum(F.col("__h").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        % F.lit(_CHECKSUM_MOD)
+    )
     return (
         df.select(h.alias("__h"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.coalesce(F.sum("__h"), F.lit(0))
-            .cast("bigint")
-            .alias("checksum"),
+            csum.cast("bigint").alias("checksum"),
         )
         .select(
             F.lit(section).alias("section"),
@@ -102,10 +117,12 @@ def fingerprint_sql(
         parts.append(f"COALESCE(CAST({e} AS VARCHAR), '{_NULL}')")
     cat = "concat_ws(chr(31), " + ", ".join(parts) + ")"
     h = stable_hash40_sql("__row")
+    # HUGEINT sum + mod 2^62: the Spark twin's overflow-proof form
     return f"""
 SELECT '{section}' AS section,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM({h}), 0) AS BIGINT) AS checksum
+       CAST(COALESCE(SUM({h}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum
 FROM (SELECT {cat} AS __row FROM ({inner_sql}) AS __inner) AS __rows
 """
 
