@@ -687,6 +687,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.cdc import cdc_dedup_stats
     from umls2rdf_spark.operators.dedup import dedup_keep_k
+    from umls2rdf_spark.operators.drift import chi_square_drift
     from umls2rdf_spark.operators.robust import winsorize
     from umls2rdf_spark.operators.webcurate import dedup_by_url
     from umls2rdf_spark.sources.text import sized_write_plan
@@ -1412,6 +1413,22 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             stratified_sample(docs, "source", "doc_id", _STRAT_N),
             "stratified_sample",
         ),
+        # SURVEY C70 (round 8): corpus drift detection — per-source
+        # quantized chi-square of a seeded "new crawl" (hash-split
+        # half with a shifted length distribution in some sources)
+        # against the base half (operators/drift.py; DECIMAL/HUGEINT
+        # integral divisions — the PMI discipline, so the statistic
+        # is engine-exact, novel buckets reported separately)
+        fingerprint_section(
+            chi_square_drift(
+                _drift_base_frame(docs),
+                _drift_new_frame(docs),
+                "source",
+                F.col("n_chars"),
+                _DRIFT_BUCKET,
+            ),
+            "drift",
+        ),
     ]
     return _union(sections)
 
@@ -1533,6 +1550,46 @@ def _lexical_decontam_sql() -> str:
 _KEEPK_K = 2  # copies kept per distinct text in the keep-k section
 
 _STRAT_N = 5  # fixed per-source sample size (stratified_sample)
+
+_DRIFT_BUCKET = 50  # n_chars bucket width for the drift section
+
+
+def _drift_split(docs: DataFrame, side: int) -> DataFrame:
+    """Hash-split half-corpus — a modulus split would correlate with
+    the modulus-derived source labels and leave every group
+    single-sided."""
+    h = stable_hash40(F.col("doc_id").cast("string"))
+    return docs.where(h % 2 == side)
+
+
+def _drift_base_frame(docs: DataFrame) -> DataFrame:
+    return _drift_split(docs, 0).select("doc_id", "source", "n_chars")
+
+
+def _drift_new_frame(docs: DataFrame) -> DataFrame:
+    """The seeded 'new crawl': sources 0 mod 3 get a +150-char
+    length shift (an extractor regression), the rest stay iid — so
+    the section exercises both drifted and stable groups."""
+    shifted = F.when(
+        F.col("doc_id") % 3 == 0, F.col("n_chars") + F.lit(150)
+    ).otherwise(F.col("n_chars"))
+    return _drift_split(docs, 1).select(
+        "doc_id", "source", shifted.alias("n_chars")
+    )
+
+
+_DRIFT_BASE_SQL = (
+    "SELECT doc_id, source, n_chars FROM documents WHERE "
+    + "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS"
+    " BIGINT) % 2 = 0"
+)
+
+_DRIFT_NEW_SQL = (
+    "SELECT doc_id, source, n_chars + CASE WHEN doc_id % 3 = 0 THEN"
+    " 150 ELSE 0 END AS n_chars FROM documents WHERE "
+    + "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS"
+    " BIGINT) % 2 = 1"
+)
 
 
 def _keepk_seeded_frame(docs: DataFrame) -> DataFrame:
@@ -2314,6 +2371,7 @@ FROM caps
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.cdc import cdc_dedup_stats_sql
     from umls2rdf_spark.operators.dedup import dedup_keep_k_sql
+    from umls2rdf_spark.operators.drift import chi_square_drift_sql
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
@@ -2748,6 +2806,17 @@ def _text_scoring_sql() -> str:
                 _STRAT_N,
             ),
             ["source", "doc_id", "rank"],
+        ),
+        fingerprint_sql(
+            "drift",
+            chi_square_drift_sql(
+                _DRIFT_BASE_SQL, _DRIFT_NEW_SQL, "source",
+                "n_chars", _DRIFT_BUCKET,
+            ),
+            [
+                "source", "n_base", "n_new", "n_buckets",
+                "chi2_q", "n_novel", "novel_mass",
+            ],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
