@@ -20,7 +20,10 @@ Closure classes verified here (all from the text_scoring surface):
   sampling whole sources keeps group semantics exact):
   ingest_quarantine, quality_report, diversity_report,
   score_calibration (the per-source CDF needs every row OF THAT
-  SOURCE, all present), domain_cap (cap ranks within source).
+  SOURCE, all present), domain_cap (cap ranks within source),
+  winsorize (per-source clip bounds), stratified_sample (per-source
+  hash ranks), drift (per-source chi-square over the source's own
+  split halves) — the last three round-8 session 3.
 
 - **group closure** (round 8 — the round-7 verdict's item 4: the
   sample key is the section's own grouping unit, chosen so the
@@ -139,14 +142,26 @@ def _doc_sections():
 
 
 def _source_sections():
+    from pyspark.sql import functions as F
+
+    from umls2rdf_spark.operators.drift import (
+        chi_square_drift,
+        chi_square_drift_sql,
+    )
     from umls2rdf_spark.operators.reporting import (
         diversity_report,
         diversity_report_sql,
         quality_report,
     )
+    from umls2rdf_spark.operators.robust import (
+        winsorize,
+        winsorize_sql,
+    )
     from umls2rdf_spark.operators.selection import (
         score_percentile,
         score_percentile_sql,
+        stratified_sample,
+        stratified_sample_sql,
     )
     from umls2rdf_spark.operators.webcurate import cap_per_domain
     from umls2rdf_spark.plans import completion as C
@@ -185,6 +200,43 @@ def _source_sections():
                 blocklist=CD._BLOCKLIST,
             ),
             CD.DOMAIN_CAP_SQL,
+            "source",
+        ),
+        # round-8 session 3: clip bounds are per-source order
+        # statistics — whole-source sampling keeps them exact
+        "winsorize": (
+            lambda d: winsorize(d, "source", F.col("n_chars"), "doc_id"),
+            winsorize_sql(
+                "SELECT * FROM documents", "source", "n_chars",
+                "doc_id",
+            ),
+            "source",
+        ),
+        # the fixed-n draw ranks within the source only
+        "stratified_sample": (
+            lambda d: stratified_sample(
+                d, "source", "doc_id", C._STRAT_N
+            ),
+            stratified_sample_sql(
+                "SELECT * FROM documents", "source", "doc_id",
+                C._STRAT_N,
+            ),
+            "source",
+        ),
+        # chi-square compares the source's own two split halves —
+        # every row of both sides rides with the sampled source
+        "drift": (
+            lambda d: chi_square_drift(
+                C._drift_base_frame(d),
+                C._drift_new_frame(d),
+                "source",
+                F.col("n_chars"),
+                C._DRIFT_BUCKET,
+            ),
+            chi_square_drift_sql(
+                C._DRIFT_BASE_SQL, C._DRIFT_NEW_SQL, "source",
+                "n_chars", C._DRIFT_BUCKET,
+            ),
             "source",
         ),
     }
@@ -311,10 +363,37 @@ SELECT DISTINCT doc_id FROM bands WHERE {bucket_sql} % {rate} = 0)"""
         f" % {rate} = 0"
     )
 
+    # ── keep_k_dedup: closure = the exact-text group ────────────────
+    from umls2rdf_spark.operators.dedup import (
+        dedup_keep_k,
+        dedup_keep_k_sql,
+    )
+
+    kk_head = "(SELECT doc_id, "
+    kk_tail = " AS ktext FROM documents)"
+    assert C._KEEPK_SQL.startswith(kk_head), C._KEEPK_SQL
+    assert C._KEEPK_SQL.endswith(kk_tail), C._KEEPK_SQL
+    kk_case = C._KEEPK_SQL[len(kk_head):-len(kk_tail)]
+    kk_pred = f"{stable_hash40_sql(kk_case)} % {rate} = 0"
+
+    def kk_fn(d):
+        seeded = C._keepk_seeded_frame(d)
+        out = dedup_keep_k(seeded, "doc_id", "ktext", k=C._KEEPK_K)
+        return (
+            out.join(seeded, "doc_id")
+            .where(stable_hash40(F.col("ktext")) % rate == 0)
+            .select("doc_id", "dup_rank", "group_n")
+        )
+
+    kk_sql = dedup_keep_k_sql(
+        C._KEEPK_SQL, "doc_id", "ktext", k=C._KEEPK_K
+    )
+
     return {
         "url_dedup": (url_fn, C._url_dedup_sql(), url_pred),
         "minhash_pairs": (mh_fn, mh_sql, mh_pred),
         "containment": (cont_fn, cont_sql, cont_pred),
+        "keep_k_dedup": (kk_fn, kk_sql, kk_pred),
     }
 
 
