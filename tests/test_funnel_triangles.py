@@ -158,3 +158,71 @@ def test_triangle_oracle_parity_clickstream(spark):
     assert got == want
     assert sum(r[1] for r in got) % 3 == 0  # 3 corner credits each
     assert len(got) > 0
+
+
+# ── k-core peeling (B48) ─────────────────────────────────────────────
+def test_kcore_hand_graph(spark):
+    """Triangle survives the 2-core; a pendant chain and a star
+    (high-degree hub, no interconnection) peel away entirely —
+    including the CASCADE: removing leaves strands the hub."""
+    from umls2rdf_spark.operators.graphrank import kcore
+
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # triangle: the 2-core
+        (3, 4),                          # pendant
+        (5, 6), (5, 7), (5, 8),          # star
+        (2, 1), (3, 3),                  # reverse dup + self-loop
+    ]
+    got = {
+        r.node: (r.degree, r.converged)
+        for r in kcore(_edges(spark, pairs), 2, 3).collect()
+    }
+    assert got == {1: (2, True), 2: (2, True), 3: (2, True)}
+
+
+def test_kcore_convergence_flag(spark):
+    """A long chain peels one node per round from each end: with too
+    few rounds the flag is false, with enough it flips true and the
+    result is the exact (empty) 2-core."""
+    from umls2rdf_spark.operators.graphrank import kcore
+
+    chain = [(i, i + 1) for i in range(9)]
+    partial = kcore(_edges(spark, chain), 2, 2).collect()
+    assert partial and all(not r.converged for r in partial)
+    full = kcore(_edges(spark, chain), 2, 6).collect()
+    assert full == []  # a path has no 2-core
+
+
+def test_kcore_oracle_parity_clickstream(spark):
+    from umls2rdf_spark.operators.graphrank import kcore, kcore_sql
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    got = sorted(
+        tuple(r)
+        for r in kcore(clickstream_edges(ev, node), 14, 4).collect()
+    )
+    con = make_duck(SF_DIR)
+    try:
+        esql = clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(kcore_sql(esql, 14, 4)).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+    # k=14 at sf0.001 genuinely peels (12 of 100 nodes survive)
+    assert 0 < len(got) < 100
+
+
+def test_kcore_validation(spark):
+    import pytest as _pytest
+
+    from umls2rdf_spark.operators.graphrank import kcore
+
+    with _pytest.raises(ValueError, match="kcore"):
+        kcore(_edges(spark, [(1, 2)]), 0, 3)

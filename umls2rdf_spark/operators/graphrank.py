@@ -534,3 +534,115 @@ FROM (SELECT u AS node FROM __tri
       UNION ALL SELECT y AS node FROM __tri) AS __c
 GROUP BY 1
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree, converged): the subgraph remaining after
+    ``rounds`` of k-core peeling — repeatedly delete nodes of degree
+    < k from the canonical undirected simple graph (self-loops and
+    duplicate directions collapse first). Peeling is monotone, so if
+    a round deletes nothing the result IS the exact k-core and every
+    row carries ``converged = true``; otherwise rows carry false and
+    the caller adds rounds (the fixed-iteration PageRank/LPA
+    discipline: a data-independent round count keeps the oracle an
+    unrolled-CTE twin, and the convergence FLAG makes the
+    approximation explicit instead of silent).
+
+    k-core completes the graph-hygiene set (B41 centrality, B42
+    communities, B47 triangles): coreness separates crawl-graph hubs
+    with real interconnection from star-shaped spam (high degree,
+    k-core 1), and "peel to the 2-core" is the standard prune before
+    expensive triangle/community passes.
+
+    Per round: one map-side-combined degree count + two semi-joins
+    of the edge frame against the ≤|nodes| survivor frame, then a
+    localCheckpoint — plan depth stays linear in rounds, and each
+    round's frames shrink monotonically. At 100 TB the first round
+    dominates (full edge frame); every later round touches only
+    surviving edges."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"kcore: need k >= 1 and rounds >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    dropped_last = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionByName(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+        dropped_last = cur.count() - nxt.count()
+        cur = nxt
+    deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.select(
+        "node", "degree", F.lit(dropped_last == 0).alias("converged")
+    )
+
+
+def kcore_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`kcore` — the peel rounds unrolled as
+    CTEs (the pagerank_sql discipline), with the converged flag
+    computed from the last round's edge counts."""
+    parts = [
+        f"""__e0 AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM ({edges_sql}) AS __raw
+  WHERE {src} <> {dst})"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""__k{r} AS (
+  SELECT n FROM (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM __e{r}
+          UNION ALL SELECT b AS n FROM __e{r}) AS __ns{r}
+    GROUP BY 1) AS __d{r}
+  WHERE d >= {k})""")
+        parts.append(f"""__e{r + 1} AS (
+  SELECT e.a, e.b FROM __e{r} e
+  WHERE e.a IN (SELECT n FROM __k{r})
+    AND e.b IN (SELECT n FROM __k{r}))""")
+    last, prev = rounds, rounds - 1
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+__conv AS (
+  SELECT (SELECT COUNT(*) FROM __e{last})
+       = (SELECT COUNT(*) FROM __e{prev}) AS converged)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
+       (SELECT converged FROM __conv) AS converged
+FROM (SELECT a AS node FROM __e{last}
+      UNION ALL SELECT b AS node FROM __e{last}) AS __fin
+GROUP BY 1
+"""

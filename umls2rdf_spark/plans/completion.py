@@ -3455,7 +3455,9 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_agg,
     )
 
-    pr_frame, lp_frame, tri_frame = _graph_frames(spark, sf_dir)
+    pr_frame, lp_frame, tri_frame, kc_frame = _graph_frames(
+        spark, sf_dir
+    )
     return _union(
         [
             fingerprint_section(
@@ -3546,6 +3548,16 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # triangle counted once at its smallest-rank corner
             # (graphrank.py triangle_counts)
             fingerprint_section(tri_frame, "triangles"),
+            # B48 (round 8): k-core peeling over the same shared
+            # edge frame — fixed rounds with an explicit converged
+            # flag (the PageRank discipline: data-independent
+            # rounds keep the oracle an unrolled-CTE twin). The
+            # synthetic 100-node page graph saturates at this SF
+            # (nothing peels at k=18 — degrees grow with events on a
+            # fixed node space); peel/cascade semantics are pinned
+            # by the hand-graph and chain tests, and parity holds
+            # either way
+            fingerprint_section(kc_frame, "kcore"),
         ]
     )
 
@@ -3747,6 +3759,7 @@ def _graph_frames(
     stay internal."""
     from umls2rdf_spark.operators.graphrank import (
         clickstream_edges,
+        kcore,
         label_propagation,
         pagerank,
         triangle_counts,
@@ -3759,6 +3772,7 @@ def _graph_frames(
         pagerank(edges, iters=_PR_ITERS),
         label_propagation(edges, iters=_LP_ITERS),
         triangle_counts(edges),
+        kcore(edges, _KCORE_K, _KCORE_ROUNDS),
     )
 
 
@@ -3782,6 +3796,26 @@ def _funnel_steps_sql() -> str:
     return funnel_counts_sql(
         "SELECT * FROM events", "user_id", "event_type", "ts",
         _FUNNEL_STEPS,
+    )
+
+
+_KCORE_K = 18
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges_sql,
+        kcore_sql,
+    )
+
+    return kcore_sql(
+        clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        ),
+        _KCORE_K,
+        _KCORE_ROUNDS,
     )
 
 
@@ -3900,6 +3934,11 @@ def _event_windows_sql() -> str:
             "triangles",
             _triangles_sql(),
             ["node", "n_tri"],
+        ),
+        fingerprint_sql(
+            "kcore",
+            _kcore_sql(),
+            ["node", "degree", "converged"],
         ),
         fingerprint_sql(
             "pagerank",
