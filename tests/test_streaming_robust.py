@@ -1,0 +1,94 @@
+"""Continuous MAD maintenance (streaming/robust.py): streamed state
+== batch operator over the union EXACTLY at any split (value counts
+are additive — no order sensitivity), replay is a no-op, and
+compaction changes nothing a reader sees."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from umls2rdf_spark.operators.robust import mad_outlier_summary
+from umls2rdf_spark.sources.parquet import load_table
+from umls2rdf_spark.streaming.robust import (
+    compact_value_state,
+    read_mad_summary,
+    run_mad_maintenance,
+    value_counts_epoch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vq():
+    return F.floor(F.col("value") * 1_000_000)
+
+
+def _stream(spark, src_dir):
+    schema = spark.read.parquet(f"{src_dir}/part0.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+
+
+def _write_parts(spark, tmp_path, frames):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    for p, f in enumerate(frames):
+        pq.write_table(
+            pa.Table.from_pandas(f.toPandas(), preserve_index=False),
+            str(src / f"part{p}.parquet"),
+        )
+    return str(src)
+
+
+def _summary(rows):
+    return {r["event_type"]: tuple(r)[1:] for r in rows}
+
+
+def test_streamed_equals_batch_any_split(spark, tmp_path):
+    """Arbitrary (non-time-ordered!) 3-way split: merged counts are
+    order-insensitive, so streamed == batch exactly."""
+    ev = load_table(spark, SF_DIR, "events")
+    parts = [ev.where(F.col("event_id") % 3 == p) for p in range(3)]
+    src = _write_parts(spark, tmp_path, parts)
+    state = str(tmp_path / "state")
+    run_mad_maintenance(
+        _stream(spark, src), state, str(tmp_path / "ckpt"),
+        "event_type", _vq,
+    )
+    got = _summary(
+        read_mad_summary(spark, state, "event_type", k=3).collect()
+    )
+    want = _summary(
+        mad_outlier_summary(ev, "event_type", _vq(), k=3).collect()
+    )
+    assert got == want and sum(v[3] for v in got.values()) > 0
+
+
+def test_replay_is_noop_and_compaction_invisible(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "state")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    value_counts_epoch(a, 0, state, "event_type", _vq())
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    before = _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    )
+    # replay epoch 1: overwrite with identical content -> no change
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    assert _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    ) == before
+    compact_value_state(spark, state)
+    assert _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    ) == before
