@@ -1,4 +1,4 @@
-"""D12 manifest-pinned snapshots: time travel is stable under later
+"""D13 manifest-pinned snapshots: time travel is stable under later
 commits, reads fail closed on corruption, the diff answers the
 release audit, and the manifest commit is atomic (no half-readable
 versions)."""

@@ -42,7 +42,7 @@ pushdown unaffected).
 Reference parity: deployment-side analogue of the reference's
 move_rdf_to_repo.py (git add/push of rendered output — the only
 reference file with no data semantics); this adds the data-side
-versioning the reference delegates to git (SURVEY §2 D12).
+versioning the reference delegates to git (SURVEY §2 D13).
 """
 
 from __future__ import annotations
