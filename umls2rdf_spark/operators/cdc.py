@@ -68,25 +68,36 @@ DEFAULT_WINDOW = 12
 DEFAULT_DIVISOR = 16
 
 
-def _chunks_expr(text_col: str, window: int, divisor: int):
-    """array<string> of CDC chunks for one text column — a single
-    zero-shuffle expression tree (sequence → filter → zip_with →
-    substr), fully inside WholeStageCodegen."""
-    txt = F.col(text_col)
-    n = F.length(txt)
+def _chunks_expr(chars_col, n, window: int, divisor: int):
+    """array<string> of CDC chunks from a MATERIALIZED char-array
+    column — a single zero-shuffle expression tree (sequence →
+    filter → zip_with).
+
+    Why a char array and ``slice`` instead of ``substr`` on the
+    string: Spark's ``UTF8String.substring`` walks bytes from
+    position 0 on every call (multi-byte safety), so per-position
+    windows over an L-char document cost O(L²/D) — a 1 MB document
+    took HOURS (caught when the valve test wedged the suite; two
+    executor threads sat in UTF8String.substring for 2 h). Array
+    ``slice`` on a bound attribute is O(window) element reads, so
+    the whole boundary set is O(L·W). The char array must be a real
+    COLUMN (not an inline split() in the lambda): higher-order-
+    function lambda bodies evaluate per element, and an inline split
+    would re-tokenize the document once per candidate position."""
+    win = lambda i: F.array_join(F.slice(chars_col, i, window), "")
     cuts = F.when(
         n >= window + 1,
         F.filter(
             F.sequence(F.lit(2), n - window + 1),
-            lambda i: stable_hash40(F.substr(txt, i, F.lit(window)))
-            % divisor
-            == 0,
+            lambda i: stable_hash40(win(i)) % divisor == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
     starts = F.concat(F.array(F.lit(1)), cuts)
     nexts = F.concat(cuts, F.array(n + 1))
     chunks = F.zip_with(
-        starts, nexts, lambda s, e: F.substr(txt, s, e - s)
+        starts,
+        nexts,
+        lambda s, e: F.array_join(F.slice(chars_col, s, e - s), ""),
     )
     # the only zero-length chunk possible is the whole-doc chunk of
     # an EMPTY text (cut candidates all have e > s by construction)
@@ -105,9 +116,14 @@ def cdc_chunk_occurrences(
     reconstruct the text exactly (pinned by test): boundaries
     partition the character range, nothing is dropped or overlapped.
     Empty texts produce no rows."""
-    arr = _chunks_expr(text_col, window, divisor)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n"),
+        F.split(F.col(text_col), "", -1).alias("__ch"),
+    )
+    arr = _chunks_expr(F.col("__ch"), F.col("__n"), window, divisor)
     return (
-        df.select(F.col(id_col), arr.alias("__cs"))
+        base.select(F.col(id_col), arr.alias("__cs"))
         .where(F.size("__cs") > 0)
         .select(
             id_col,
