@@ -119,3 +119,29 @@ def test_released_result_still_correct(spark):
     again = {r["doc_id"]: r["surprisal_q"] for r in r1.collect()}
     assert first == again
     _release_all_persistent(spark)
+
+
+def test_mad_summary_latest_call_only_residency(spark):
+    """mad_outlier_summary persists its counts + deviation-counts
+    frames, but a monitoring loop calling it per epoch stays
+    bounded: call N releases call N-1's frames (round-8 advice —
+    the persists were previously unscoped and accumulated)."""
+    from umls2rdf_spark.operators.robust import mad_outlier_summary
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    vq = F.floor(F.col("value") * 1_000_000)
+    _release_all_persistent(spark)
+    baseline = _n_cached(spark)
+    mad_outlier_summary(ev, "event_type", vq).count()
+    after_one = _n_cached(spark)
+    assert after_one > baseline  # the persists are real
+    for _ in range(3):
+        mad_outlier_summary(ev, "event_type", vq).count()
+    assert _n_cached(spark) == after_one
+    # explicit scope: zero residual
+    _release_all_persistent(spark)
+    before = _n_cached(spark)
+    with CacheScope() as scope:
+        mad_outlier_summary(ev, "event_type", vq, cache=scope).count()
+    assert _n_cached(spark) == before
+    _release_all_persistent(spark)

@@ -115,3 +115,26 @@ def test_uncommitted_version_and_tmp_manifests_invisible(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 50
     with pytest.raises(ValueError, match="not committed"):
         read_snapshot(spark, t, 2)
+
+
+def test_orphan_data_dir_does_not_wedge_commits(spark, tmp_path):
+    """A writer that crashed after writing data/v{N} but before the
+    manifest rename leaves an orphan dir; the next commit must SKIP
+    that number (round-8 advice: recomputing the same N fails
+    mode('error') forever, wedging the table)."""
+    t = str(tmp_path / "tbl")
+    v1 = commit_snapshot(_docs(spark, 0, 100), t, note="first")
+    # simulate the crash: data written, no manifest
+    _docs(spark, 100, 150).write.parquet(
+        os.path.join(t, "data", "v2")
+    )
+    assert snapshot_versions(t) == [1]
+    v_next = commit_snapshot(_docs(spark, 0, 250), t, note="after crash")
+    assert v_next == 3  # orphan v2 stepped over
+    assert snapshot_versions(t) == [1, 3]
+    # parent points at the latest COMMITTED version, not v2
+    assert read_manifest(t, 3)["parent"] == v1 == 1
+    assert read_snapshot(spark, t).count() == 250
+    # the orphan stays unreadable garbage
+    with pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, t, 2)

@@ -92,3 +92,54 @@ def test_replay_is_noop_and_compaction_invisible(spark, tmp_path):
     assert _summary(
         read_mad_summary(spark, state, "event_type").collect()
     ) == before
+
+
+def test_replay_after_compaction_does_not_double_count(spark, tmp_path):
+    """The round-8 advice hazard: an epoch whose partial was written
+    but whose checkpoint never committed gets REPLAYED after a
+    compaction that already absorbed it. The base manifest's
+    folded_through makes the reader ignore the replayed partition,
+    so the read stays exactly the batch answer."""
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "state")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    value_counts_epoch(a, 0, state, "event_type", _vq())
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    want = _summary(
+        mad_outlier_summary(ev, "event_type", _vq()).collect()
+    )
+    compact_value_state(spark, state)
+    # epoch 1 wrote its partial but its checkpoint never committed:
+    # the restarted stream replays it (identical content — the
+    # availableNow file-source contract) AFTER the compaction
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    assert _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    ) == want
+    # a second compaction re-folds without loss, and a replay of the
+    # newest folded epoch is again invisible
+    compact_value_state(spark, state)
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    assert _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    ) == want
+
+
+def test_new_epoch_after_compaction_counted_once(spark, tmp_path):
+    """Post-compaction epochs extend the state exactly once: base
+    (epochs 0..1) + fresh epoch 2 == batch over the 3-way union."""
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "state")
+    parts = [ev.where(F.col("event_id") % 3 == p) for p in range(3)]
+    value_counts_epoch(parts[0], 0, state, "event_type", _vq())
+    value_counts_epoch(parts[1], 1, state, "event_type", _vq())
+    compact_value_state(spark, state)
+    value_counts_epoch(parts[2], 2, state, "event_type", _vq())
+    got = _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    )
+    want = _summary(
+        mad_outlier_summary(ev, "event_type", _vq()).collect()
+    )
+    assert got == want

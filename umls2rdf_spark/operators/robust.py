@@ -109,6 +109,7 @@ def mad_outlier_summary(
     grp_col: str,
     val_expr,
     k: int = 3,
+    cache=None,
 ) -> DataFrame:
     """(grp, n, med_q, mad_q, n_outliers): per-group median, median
     absolute deviation and the count of values with
@@ -120,16 +121,39 @@ def mad_outlier_summary(
     ``k·MAD`` and all comparisons are int64-exact; ``MAD = 0``
     (constant-majority group) flags every value not equal to the
     median, the standard Hampel edge — gate on ``mad_q > 0`` if that
-    is too eager for the data."""
+    is too eager for the data.
+
+    The counts and deviation-counts frames feed multiple branches,
+    so both are persisted — through the caller's ``cache``
+    (a :class:`~umls2rdf_spark.operators.caching.CacheScope`) when
+    one is passed, else latest-call-only residency via ``op_scope``
+    (a monitoring loop that calls this per epoch holds at most one
+    invocation's cache, not an unbounded accumulation)."""
+    from umls2rdf_spark.operators.caching import op_scope
+
+    scope = cache if cache is not None else op_scope(
+        df.sparkSession, "mad_outlier_summary"
+    )
     vals = df.select(
         F.col(grp_col).alias("g"), val_expr.cast("bigint").alias("v")
     ).where(F.col("v").isNotNull())
-    counts = vals.groupBy("g", "v").agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = scope.persist(
+        vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    counts.persist()
+    return mad_summary_from_counts(counts, grp_col, k, scope)
+
+
+def mad_summary_from_counts(
+    counts: DataFrame, grp_col: str, k: int, scope
+) -> DataFrame:
+    """The median/MAD/Hampel core over an already-built (and
+    caller-persisted) ``(g, v, cnt)`` frame — shared by the batch
+    operator above and the streaming sum-on-read face
+    (streaming/robust.py), so the two can never drift. The derived
+    deviation-counts frame is persisted on the caller's ``scope``
+    (it feeds both the MAD quantile and the summary agg)."""
     med = quantile_from_counts(counts, ["g"], "v", "cnt", 500_000, "med_q")
-    devc = (
+    devc = scope.persist(
         counts.join(med, "g")
         .select(
             "g",
@@ -139,7 +163,6 @@ def mad_outlier_summary(
         .groupBy("g", "dv")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    devc.persist()
     mad = quantile_from_counts(devc, ["g"], "dv", "cnt", 500_000, "mad_q")
     summary = (
         devc.join(mad, "g")

@@ -1567,9 +1567,11 @@ def _drift_base_frame(docs: DataFrame) -> DataFrame:
 
 
 def _drift_new_frame(docs: DataFrame) -> DataFrame:
-    """The seeded 'new crawl': sources 0 mod 3 get a +150-char
-    length shift (an extractor regression), the rest stay iid — so
-    the section exercises both drifted and stable groups."""
+    """The seeded 'new crawl': docs with ``doc_id % 3 == 0`` get a
+    +150-char length shift (an extractor regression touching a third
+    of EVERY source), the rest stay iid — so each per-source group
+    mixes shifted and stable rows and the drifted mass is visible in
+    every group's bucket counts."""
     shifted = F.when(
         F.col("doc_id") % 3 == 0, F.col("n_chars") + F.lit(150)
     ).otherwise(F.col("n_chars"))
@@ -3751,10 +3753,10 @@ def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _graph_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """All three graph sections (B41 pagerank, B42 label_prop, B47
-    triangles) over ONE checkpointed clickstream edge frame — the
-    per-user LEAD window job (the expensive derivation) runs once
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """All four graph sections (B41 pagerank, B42 label_prop, B47
+    triangles, B48 kcore) over ONE checkpointed clickstream edge
+    frame — the per-user LEAD window job (the expensive derivation) runs once
     instead of once per section; each op's own per-round checkpoints
     stay internal."""
     from umls2rdf_spark.operators.graphrank import (

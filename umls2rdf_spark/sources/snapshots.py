@@ -72,13 +72,40 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _data_versions(table_dir: str) -> list[int]:
+    """``data/v{N}`` dirs present on disk, committed or not — an
+    orphan from a crashed writer counts, so the next commit SKIPS
+    its number instead of failing ``mode('error')`` on it forever
+    (round-8 advice: a crash between data write and manifest rename
+    must not wedge the table)."""
+    ddir = os.path.join(table_dir, "data")
+    if not os.path.isdir(ddir):
+        return []
+    out = []
+    for f in os.listdir(ddir):
+        m = re.fullmatch(r"v(\d+)", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def commit_snapshot(
     df: DataFrame, table_dir: str, note: str = ""
 ) -> int:
     """Write ``df`` as the next snapshot version and atomically
-    commit its manifest. Returns the new version number."""
+    commit its manifest. Returns the new version number. The
+    version is 1 + the max over committed manifests AND existing
+    ``data/v*`` dirs, so a crashed writer's orphan data dir is
+    stepped over (it stays garbage, per the layout contract) rather
+    than colliding with ``mode('error')`` on every later commit."""
     spark = df.sparkSession
-    version = (snapshot_versions(table_dir) or [0])[-1] + 1
+    version = (
+        max(
+            snapshot_versions(table_dir) + _data_versions(table_dir),
+            default=0,
+        )
+        + 1
+    )
     data_dir = os.path.join(table_dir, "data", f"v{version}")
     df.write.mode("error").parquet(data_dir)
     files = sorted(
@@ -89,9 +116,12 @@ def commit_snapshot(
     counts = {
         f: spark.read.parquet(f).count() for f in files
     }
+    committed = snapshot_versions(table_dir)
     manifest = {
         "version": version,
-        "parent": version - 1 if version > 1 else None,
+        # latest COMMITTED version — with orphan dirs skipped,
+        # version-1 may name a data dir that was never a snapshot
+        "parent": committed[-1] if committed else None,
         "note": note,
         "schema": df.schema.json(),
         "files": [

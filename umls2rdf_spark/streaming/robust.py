@@ -60,76 +60,141 @@ def value_counts_epoch(
 def read_value_counts(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:
-    """Standing (g, v, cnt): the sum-on-read merge of all epochs."""
-    raw = read_standing_state(spark, f"{state_dir}/valcounts")
-    if raw is None:
+    """Standing (g, v, cnt): the sum-on-read merge of the compacted
+    base (if any) plus every epoch partial NEWER than the base's
+    ``folded_through`` — older partitions are replay echoes of
+    epochs the base already absorbed and are deliberately ignored
+    (see :func:`compact_value_state`)."""
+    merged, seen = _standing_counts(spark, state_dir)
+    if seen is None:
         raise ValueError("read_value_counts: no state written yet")
-    return raw.groupBy("g", "v").agg(
-        F.sum("cnt").cast("bigint").alias("cnt")
+    return merged
+
+
+def _standing_counts(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame | None, int | None]:
+    """(merged counts frame, highest epoch visible) — the second
+    element is what a compaction commits as ``folded_through``;
+    (None, None) when no state exists at all."""
+    base = _base_state(state_dir)
+    raw = read_standing_state(spark, f"{state_dir}/valcounts")
+    folded = base[1]["folded_through"] if base else None
+    if raw is not None and folded is not None:
+        raw = raw.where(F.col("batch_id") > F.lit(folded))
+    max_raw = None
+    if raw is not None:
+        row = raw.agg(F.max("batch_id").alias("m")).collect()[0]
+        max_raw = row["m"]
+    seen = max(
+        (x for x in (folded, max_raw) if x is not None), default=None
+    )
+    if seen is None:
+        return None, None
+    frames = []
+    if base is not None:
+        frames.append(
+            spark.read.parquet(base[1]["data_dir"]).select(
+                "g", "v", "cnt"
+            )
+        )
+    if raw is not None and max_raw is not None:
+        frames.append(raw.select("g", "v", "cnt"))
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    return (
+        merged.groupBy("g", "v").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        ),
+        seen,
     )
 
 
 def read_mad_summary(
-    spark: SparkSession, state_dir: str, grp_col: str, k: int = 3
+    spark: SparkSession,
+    state_dir: str,
+    grp_col: str,
+    k: int = 3,
+    cache=None,
 ) -> DataFrame:
     """Current (grp, n, med_q, mad_q, n_outliers) from the standing
-    counts — the batch mad_outlier_summary recomputed over merged
-    state (identical machinery: quantile_from_counts over the
-    summed frame)."""
-    from umls2rdf_spark.operators.robust import quantile_from_counts
+    counts — literally the batch operator's core
+    (:func:`~umls2rdf_spark.operators.robust.mad_summary_from_counts`)
+    over the merged state frame. Internal persists are scoped: the
+    caller's ``cache`` (a CacheScope) if passed, else
+    latest-call-only residency — this IS the per-epoch monitoring
+    read, so an unbounded session must not accumulate two cached
+    frames per invocation (round-8 advice)."""
+    from umls2rdf_spark.operators.caching import op_scope
+    from umls2rdf_spark.operators.robust import mad_summary_from_counts
 
-    counts = read_value_counts(spark, state_dir)
-    counts.persist()
-    med = quantile_from_counts(
-        counts, ["g"], "v", "cnt", 500_000, "med_q"
+    scope = cache if cache is not None else op_scope(
+        spark, "read_mad_summary"
     )
-    devc = (
-        counts.join(med, "g")
-        .select(
-            "g", F.abs(F.col("v") - F.col("med_q")).alias("dv"), "cnt"
-        )
-        .groupBy("g", "dv")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    devc.persist()
-    mad = quantile_from_counts(
-        devc, ["g"], "dv", "cnt", 500_000, "mad_q"
-    )
-    summary = (
-        devc.join(mad, "g")
-        .groupBy("g")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            F.max("mad_q").cast("bigint").alias("mad_q"),
-            F.sum(
-                F.when(
-                    F.col("dv") > F.lit(k) * F.col("mad_q"),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-    )
-    return summary.join(med, "g").select(
-        F.col("g").alias(grp_col),
-        "n",
-        F.col("med_q").cast("bigint").alias("med_q"),
-        "mad_q",
-        "n_outliers",
-    )
+    counts = scope.persist(read_value_counts(spark, state_dir))
+    return mad_summary_from_counts(counts, grp_col, k, scope)
+
+
+#: Compacted-base manifest prefix under ``state_dir`` — the
+#: snapshots.py discipline shrunk to one pointer: ``base_v{K}.json``
+#: names the base data dir and the highest epoch folded into it.
+_BASE_MANIFEST = "valcounts_base_v"
+
+
+def _base_state(state_dir: str) -> tuple[int, dict] | None:
+    """(K, manifest) of the newest committed compaction base, or
+    None if never compacted."""
+    import json
+    import os
+    import re
+
+    if not os.path.isdir(state_dir):
+        return None
+    best = None
+    for f in os.listdir(state_dir):
+        m = re.fullmatch(rf"{_BASE_MANIFEST}(\d+)\.json", f)
+        if m:
+            kv = int(m.group(1))
+            if best is None or kv > best:
+                best = kv
+    if best is None:
+        return None
+    with open(os.path.join(state_dir, f"{_BASE_MANIFEST}{best}.json")) as fh:
+        return best, json.load(fh)
 
 
 def compact_value_state(spark: SparkSession, state_dir: str) -> None:
-    """Fold epoch history into a single partition (cnt sums are the
-    whole state — compaction changes nothing a reader sees)."""
-    merged = read_value_counts(spark, state_dir)
-    tmp = f"{state_dir}/valcounts_compact"
-    merged.write.mode("overwrite").parquet(f"{tmp}/batch_id=0")
-    import shutil
+    """Fold epoch history into a compacted BASE (cnt sums are the
+    whole state — compaction changes nothing a reader sees), safely
+    under at-least-once replay: the base manifest records
+    ``folded_through`` = the highest epoch it absorbed, and readers
+    IGNORE raw ``batch_id <= folded_through`` partitions. A
+    micro-batch that wrote its partial but crashed before its
+    checkpoint committed can therefore be replayed AFTER compaction:
+    the replay rewrites a partition no reader consults (its counts
+    already live in the base) instead of double-counting — the
+    round-8 advice hazard. Commit is the snapshots.py pattern: data
+    dir first, then an atomic manifest rename; a crash mid-compact
+    leaves an orphan data dir and the previous base intact."""
+    import json
+    import os
+    import uuid
 
-    shutil.rmtree(f"{state_dir}/valcounts")
-    shutil.move(tmp, f"{state_dir}/valcounts")
+    merged, folded_through = _standing_counts(spark, state_dir)
+    if folded_through is None:
+        return  # nothing written yet — nothing to fold
+    prev = _base_state(state_dir)
+    next_v = (prev[0] + 1) if prev else 1
+    data_dir = os.path.join(state_dir, f"valcounts_base_data_v{next_v}")
+    merged.write.mode("overwrite").parquet(data_dir)
+    manifest = {"data_dir": data_dir, "folded_through": folded_through}
+    tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(
+        tmp, os.path.join(state_dir, f"{_BASE_MANIFEST}{next_v}.json")
+    )
 
 
 def run_mad_maintenance(
