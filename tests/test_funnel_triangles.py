@@ -226,3 +226,112 @@ def test_kcore_validation(spark):
 
     with _pytest.raises(ValueError, match="kcore"):
         kcore(_edges(spark, [(1, 2)]), 0, 3)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        list(triples), "src bigint, dst bigint, w bigint"
+    )
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node bigint")
+
+
+def test_sssp_hand_graph(spark):
+    """Weighted relaxation beats hop count: 1->2->3 (1+1) undercuts
+    the direct 1->3 (5); unreached nodes are absent, directed edges
+    are NOT traversed backwards."""
+    from umls2rdf_spark.operators.graphrank import shortest_paths
+
+    g = _wedges(
+        spark,
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (4, 1, 2), (9, 8, 1)],
+    )
+    got = {
+        r.node: (r.dist, r.converged)
+        for r in shortest_paths(g, _nodes(spark, [1]), 4).collect()
+    }
+    # 4 points INTO 1 (not reachable); island 9->8 untouched
+    assert got == {1: (0, True), 2: (1, True), 3: (2, True)}
+
+
+def test_sssp_convergence_flag(spark):
+    """A weighted chain needs length-many rounds: under-iteration
+    reports converged=False with hop-exact prefix distances."""
+    from umls2rdf_spark.operators.graphrank import shortest_paths
+
+    chain = _wedges(spark, [(i, i + 1, 2) for i in range(6)])
+    part = {
+        r.node: (r.dist, r.converged)
+        for r in shortest_paths(chain, _nodes(spark, [0]), 2).collect()
+    }
+    assert part == {0: (0, False), 1: (2, False), 2: (4, False)}
+    full = {
+        r.node: (r.dist, r.converged)
+        for r in shortest_paths(chain, _nodes(spark, [0]), 7).collect()
+    }
+    assert full == {i: (2 * i, True) for i in range(7)}
+
+
+def test_sssp_multi_source_min(spark):
+    """Two seeds: every node takes the cheaper source."""
+    from umls2rdf_spark.operators.graphrank import shortest_paths
+
+    chain = _wedges(spark, [(i, i + 1, 1) for i in range(5)])
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(
+            chain, _nodes(spark, [0, 4]), 5
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 1}
+
+
+def test_sssp_oracle_parity_clickstream(spark):
+    from umls2rdf_spark.operators.graphrank import (
+        shortest_paths,
+        shortest_paths_sql,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    edges = clickstream_edges(ev, node)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 17 == 0)
+    )
+    got = sorted(
+        tuple(r) for r in shortest_paths(edges, seeds, 3).collect()
+    )
+    con = make_duck(SF_DIR)
+    try:
+        esql = clickstream_edges_sql(
+            "SELECT * FROM events",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        )
+        ssql = (
+            "SELECT DISTINCT node FROM ("
+            f"SELECT src AS node FROM ({esql}) "
+            f"UNION ALL SELECT dst FROM ({esql})) WHERE node % 17 = 0"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                shortest_paths_sql(esql, ssql, 3)
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) > 0
+
+
+def test_sssp_validation(spark):
+    from umls2rdf_spark.operators.graphrank import shortest_paths
+
+    with pytest.raises(ValueError, match="rounds"):
+        shortest_paths(
+            _wedges(spark, [(1, 2, 1)]), _nodes(spark, [1]), 0
+        )

@@ -646,3 +646,106 @@ FROM (SELECT a AS node FROM __e{last}
       UNION ALL SELECT b AS node FROM __e{last}) AS __fin
 GROUP BY 1
 """
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """(node, dist, converged): multi-source weighted shortest paths
+    by ``rounds`` of Bellman-Ford relaxation over the directed
+    weighted edge frame — distances are exact for every node within
+    ``rounds`` hops of a source (Bellman-Ford's invariant), and if a
+    round improves nothing the frontier is exhausted and every
+    distance is globally exact, reported by ``converged = true``
+    (the kcore/PageRank fixed-rounds discipline: data-independent
+    round counts keep the oracle an unrolled-CTE twin, and the flag
+    makes under-iteration loud instead of silent).
+
+    ``sources`` is a (node) frame of zero-distance seeds —
+    multi-source by construction, which is the curation shape
+    ("hops from any seed domain" as a crawl-frontier quality
+    signal); weights must be nonnegative ints (min-plus over int64:
+    no floats, engine-exact).
+
+    Per round: one equi-join of the current ≤|nodes| distance frame
+    against the edge frame on ``src`` (the only edge-frame-sized
+    op), one map-side-combined ``groupBy(node).min(dist)``, one
+    localCheckpoint to keep plan depth linear. Unreached nodes stay
+    absent (no +inf sentinels to overflow). At 100 TB the join
+    partitions on src — a natural bucketing key (D11) that makes
+    every round's shuffle a bucket-local merge."""
+    if rounds < 1:
+        raise ValueError("shortest_paths: rounds must be >= 1")
+    cur = (
+        sources.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = cur
+    for _ in range(rounds):
+        relax = cur.join(
+            edges, cur["node"] == edges[src], "inner"
+        ).select(
+            edges[dst].alias("node"),
+            (cur["dist"] + edges[w].cast("bigint")).alias("dist"),
+        )
+        nxt = (
+            cur.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        prev, cur = cur, nxt
+    changed = cur.join(prev, ["node", "dist"], "left_anti").count()
+    return cur.select(
+        "node", "dist", F.lit(changed == 0).alias("converged")
+    )
+
+
+def shortest_paths_sql(
+    edges_sql: str,
+    sources_sql: str,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> str:
+    """DuckDB twin of :func:`shortest_paths` — the relaxation rounds
+    unrolled as CTEs, converged = last round added/improved nothing
+    vs the one before."""
+    parts = [
+        f"""__se AS MATERIALIZED (
+  SELECT {src} AS src, {dst} AS dst, CAST({w} AS BIGINT) AS w
+  FROM ({edges_sql}) AS __raw)""",
+        f"""__d0 AS (
+  SELECT DISTINCT CAST(node AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM ({sources_sql}) AS __seeds)""",
+    ]
+    for r in range(rounds):
+        parts.append(f"""__d{r + 1} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM __d{r}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM __d{r} d JOIN __se e ON d.node = e.src
+  ) AS __relax{r} GROUP BY 1)""")
+    last, prev = rounds, rounds - 1
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+__conv AS (
+  SELECT COUNT(*) = 0 AS converged FROM __d{last} n
+  WHERE NOT EXISTS (SELECT 1 FROM __d{prev} p
+                    WHERE p.node = n.node AND p.dist = n.dist))
+SELECT node, dist, (SELECT converged FROM __conv) AS converged
+FROM __d{last}
+"""

@@ -3457,7 +3457,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_agg,
     )
 
-    pr_frame, lp_frame, tri_frame, kc_frame = _graph_frames(
+    pr_frame, lp_frame, tri_frame, kc_frame, sp_frame = _graph_frames(
         spark, sf_dir
     )
     return _union(
@@ -3560,7 +3560,53 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # by the hand-graph and chain tests, and parity holds
             # either way
             fingerprint_section(kc_frame, "kcore"),
+            # B50 (round 9): multi-source weighted shortest paths
+            # over the SAME shared edge frame — Bellman-Ford min-plus
+            # relaxation in exact int64, fixed rounds + converged
+            # flag (the kcore discipline); "hops-times-weight from
+            # any seed" is the crawl-frontier distance signal
+            fingerprint_section(sp_frame, "sssp"),
+            # B49 (round 9): time-series gap fill — the thinned
+            # hourly per-event-type series densified with locf and
+            # exact-integer linear interpolation
+            # (operators/timeseries.py; windowed aggs omit empty
+            # buckets, every charting/differencing consumer needs
+            # them present)
+            fingerprint_section(
+                _gap_fill_frame(spark, sf_dir), "gap_fill"
+            ),
         ]
+    )
+
+
+_GF_MOD = 37  # thin the stream so hourly buckets have real gaps
+_GF_BUCKET = 3600
+
+
+def _gap_fill_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umls2rdf_spark.operators.timeseries import gap_fill
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % _GF_MOD == 0
+    )
+    return gap_fill(
+        ev,
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 1_000_000),
+        _GF_BUCKET,
+    )
+
+
+def _gap_fill_sql() -> str:
+    from umls2rdf_spark.operators.timeseries import gap_fill_sql
+
+    return gap_fill_sql(
+        f"SELECT * FROM events WHERE event_id % {_GF_MOD} = 0",
+        "event_type",
+        "ts",
+        "FLOOR(value * 1000000)",
+        _GF_BUCKET,
     )
 
 
@@ -3764,17 +3810,25 @@ def _graph_frames(
         kcore,
         label_propagation,
         pagerank,
+        shortest_paths,
         triangle_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
     node = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     edges = clickstream_edges(ev, node).localCheckpoint(eager=True)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % _SSSP_SEED_MOD == 0)
+    )
     return (
         pagerank(edges, iters=_PR_ITERS),
         label_propagation(edges, iters=_LP_ITERS),
         triangle_counts(edges),
         kcore(edges, _KCORE_K, _KCORE_ROUNDS),
+        shortest_paths(edges, seeds, _SSSP_ROUNDS),
     )
 
 
@@ -3803,6 +3857,27 @@ def _funnel_steps_sql() -> str:
 
 _KCORE_K = 18
 _KCORE_ROUNDS = 3
+_SSSP_SEED_MOD = 17  # every 17th page id seeds the distance frontier
+_SSSP_ROUNDS = 4
+
+
+def _sssp_sql() -> str:
+    from umls2rdf_spark.operators.graphrank import (
+        clickstream_edges_sql,
+        shortest_paths_sql,
+    )
+
+    esql = clickstream_edges_sql(
+        "SELECT * FROM events",
+        "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+    )
+    seeds = (
+        "SELECT DISTINCT node FROM ("
+        f"SELECT src AS node FROM ({esql}) "
+        f"UNION ALL SELECT dst FROM ({esql})"
+        f") AS __allnodes WHERE node % {_SSSP_SEED_MOD} = 0"
+    )
+    return shortest_paths_sql(esql, seeds, _SSSP_ROUNDS)
 
 
 def _kcore_sql() -> str:
@@ -3956,6 +4031,23 @@ def _event_windows_sql() -> str:
             "cohort_retention",
             _COHORT_SQL,
             ["cohort_day", "offset_days", "n_users"],
+        ),
+        fingerprint_sql(
+            "sssp",
+            _sssp_sql(),
+            ["node", "dist", "converged"],
+        ),
+        fingerprint_sql(
+            "gap_fill",
+            _gap_fill_sql(),
+            [
+                "event_type",
+                "bucket",
+                "n_events",
+                "v_q",
+                "locf_q",
+                "interp_q",
+            ],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
