@@ -163,7 +163,12 @@ FULL_SCAN_OK = {
     # 66-section surface; stratified_sample adds 1 more (the sample
     # draws from every stratum — semantically full-table): observed
     # 55 at the 67-section surface.
-    "text_scoring": {"documents.parquet": 55, "embeddings.parquet": 4},
+    # round 9: +1 documents — the inverted-index sections
+    # (postings_stats/boolean_query) build the posting frame over
+    # the WHOLE corpus by semantics (an index covers every doc; the
+    # boolean query's term predicate applies post-explode, nothing
+    # pushes to the scan)
+    "text_scoring": {"documents.parquet": 56, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a
@@ -172,7 +177,7 @@ FULL_SCAN_OK = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk": 1,   # broadcast(queries) x corpus, non-equi cond
     "pq_topk": 1,           # broadcast per-query LUTs x code table
-    "text_scoring": 16,     # tfidf/bm25 1-row totals, mixture's
+    "text_scoring": 19,     # tfidf/bm25 1-row totals, mixture's
                             # 1-row feasibility-min, the classifier's
                             # 1-row class-totals attach,
                             # hard_negatives' broadcast(query set) x
@@ -200,7 +205,13 @@ ALLOWED_BNLJ = {
                             # rank join (+2; the build's own 1-row
                             # attach sits behind its eager
                             # localCheckpoint) — every addition is a
-                            # bounded-frame broadcast, audited 16
+                            # bounded-frame broadcast. Round 9: the
+                            # rank-fusion sections' broadcast(query
+                            # set) x corpus non-equi scoring passes
+                            # (l2_neighbors +1, rrf_fusion's cos+l2
+                            # constituents +2) — the ann_cosine
+                            # shape, query side bounded by nature.
+                            # Audited 19
     "tpch_completion": 1,   # Q22 crossJoin(broadcast(global scalar))
 }
 

@@ -687,6 +687,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.cdc import cdc_dedup_stats
     from umls2rdf_spark.operators.dedup import dedup_keep_k
+    from umls2rdf_spark.operators.fusion import rrf_fuse
+    from umls2rdf_spark.operators.invindex import (
+        boolean_query,
+        build_postings,
+        postings_stats,
+    )
     from umls2rdf_spark.operators.drift import chi_square_drift
     from umls2rdf_spark.operators.robust import winsorize
     from umls2rdf_spark.operators.webcurate import dedup_by_url
@@ -1428,6 +1434,41 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _DRIFT_BUCKET,
             ),
             "drift",
+        ),
+        # SURVEY C71 (round 9): rank fusion for hybrid retrieval —
+        # RRF over two genuinely-disagreeing ranked lists (cosine
+        # vs exact-int64 squared-L2 neighbors of the same queries:
+        # unnormalized vectors make the metrics rank differently);
+        # contributions are integer quotients scale div (k+rank),
+        # summed in int64, so the fused scores are engine-exact
+        # (operators/fusion.py)
+        fingerprint_section(_l2_list(emb), "l2_neighbors"),
+        fingerprint_section(
+            rrf_fuse(
+                {"cos": _cos_list(emb), "l2": _l2_list(emb)},
+                k_rrf=_RRF_KRRF,
+                topk=_RRF_TOPK,
+            ),
+            "rrf_fusion",
+        ),
+        # SURVEY C72 (round 9): inverted index + boolean retrieval —
+        # postings built once (in-row array_distinct BEFORE the
+        # explode: repeated tokens never shuffle), conjunction as
+        # counting (COUNT(*)==|must| — one shuffle for any term
+        # count), must_not as anti-join, should kept as the rank
+        # signal (operators/invindex.py)
+        fingerprint_section(
+            postings_stats(build_postings(docs, "doc_id", "text")),
+            "postings_stats",
+        ),
+        fingerprint_section(
+            boolean_query(
+                build_postings(docs, "doc_id", "text"),
+                must=_BQ_MUST,
+                should=_BQ_SHOULD,
+                must_not=_BQ_NOT,
+            ),
+            "boolean_query",
         ),
     ]
     return _union(sections)
@@ -2370,10 +2411,101 @@ FROM caps
 """
 
 
+# ── C71 rank fusion / C72 inverted index (round 9) ─────────────────
+_RRF_QUERIES = 10
+_RRF_K = 10
+_RRF_KRRF = 60
+_RRF_TOPK = 10
+_RRF_DIM = 64
+_BQ_MUST = ["query", "window"]
+_BQ_SHOULD = ["scan", "merge"]
+_BQ_NOT = ["customer"]
+
+
+def _cos_list(emb: DataFrame) -> DataFrame:
+    from umls2rdf_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < _RRF_QUERIES),
+        "vec_id",
+        "embedding",
+        k=_RRF_K,
+        dim=_RRF_DIM,
+    )
+
+
+def _l2_list(emb: DataFrame) -> DataFrame:
+    from umls2rdf_spark.operators.fusion import l2_topk
+
+    return l2_topk(
+        emb,
+        emb.where(F.col("vec_id") < _RRF_QUERIES),
+        "vec_id",
+        "embedding",
+        k=_RRF_K,
+        dim=_RRF_DIM,
+    )
+
+
+def _vec_lists_sql() -> tuple[str, str]:
+    """(cosine list SQL, L2 list SQL): the same qv/comps/norms
+    derivation the ann_cosine_topk oracle uses (round(x*1000)
+    quantization — similarity.quantize's twin), ranked by float cos
+    DESC vs exact-int dist2 ASC respectively."""
+    base = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+comps AS (
+  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM qv),
+norms AS (SELECT vec_id, SUM(comp * comp) AS norm2 FROM comps GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.comp * c.comp) AS dot
+  FROM comps q
+  JOIN comps c ON q.pos = c.pos AND q.vec_id < {_RRF_QUERIES}
+              AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2)"""
+    cos = f"""{base}
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cos AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(qn.norm2 * cn.norm2 AS DOUBLE)) AS cos
+            FROM dots
+            JOIN norms qn ON qn.vec_id = query_id
+            JOIN norms cn ON cn.vec_id = neighbor_id) AS __scored)
+WHERE rank <= {_RRF_K}"""
+    l2 = f"""{base}
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   qn.norm2 + cn.norm2 - 2 * dot AS dist2
+            FROM dots
+            JOIN norms qn ON qn.vec_id = query_id
+            JOIN norms cn ON cn.vec_id = neighbor_id) AS __scored)
+WHERE rank <= {_RRF_K}"""
+    return cos, l2
+
+
 def _text_scoring_sql() -> str:
     from umls2rdf_spark.operators.cdc import cdc_dedup_stats_sql
     from umls2rdf_spark.operators.dedup import dedup_keep_k_sql
     from umls2rdf_spark.operators.drift import chi_square_drift_sql
+    from umls2rdf_spark.operators.fusion import rrf_fuse_sql
+    from umls2rdf_spark.operators.invindex import (
+        boolean_query_sql,
+        postings_sql,
+    )
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
@@ -2819,6 +2951,37 @@ def _text_scoring_sql() -> str:
                 "source", "n_base", "n_new", "n_buckets",
                 "chi2_q", "n_novel", "novel_mass",
             ],
+        ),
+        fingerprint_sql(
+            "l2_neighbors",
+            _vec_lists_sql()[1],
+            ["query_id", "neighbor_id", "rank", "dist2"],
+        ),
+        fingerprint_sql(
+            "rrf_fusion",
+            rrf_fuse_sql(
+                dict(zip(("cos", "l2"), _vec_lists_sql())),
+                k_rrf=_RRF_KRRF,
+                topk=_RRF_TOPK,
+            ),
+            ["query_id", "neighbor_id", "n_lists", "rrf_q", "fused_rank"],
+        ),
+        fingerprint_sql(
+            "postings_stats",
+            f"""SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM ({postings_sql('SELECT * FROM documents', 'doc_id', 'text')}) AS __p
+GROUP BY 1""",
+            ["token", "doc_freq"],
+        ),
+        fingerprint_sql(
+            "boolean_query",
+            boolean_query_sql(
+                postings_sql("SELECT * FROM documents", "doc_id", "text"),
+                _BQ_MUST,
+                _BQ_SHOULD,
+                _BQ_NOT,
+            ),
+            ["doc_id", "n_should"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
