@@ -693,6 +693,8 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_postings,
         postings_stats,
     )
+    from umls2rdf_spark.operators.linkage import link_records
+    from umls2rdf_spark.operators.pareto import pareto_front
     from umls2rdf_spark.operators.drift import chi_square_drift
     from umls2rdf_spark.operators.robust import winsorize
     from umls2rdf_spark.operators.webcurate import dedup_by_url
@@ -1469,6 +1471,37 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 must_not=_BQ_NOT,
             ),
             "boolean_query",
+        ),
+        # SURVEY C73 (round 9): blocked record linkage — entity
+        # resolution over part names + seeded typo twins: two
+        # blocking passes (first token; last token + length bucket),
+        # pair dedup across passes, exact Levenshtein + ppm token
+        # Jaccard, fail-closed max_block valve
+        # (operators/linkage.py)
+        fingerprint_section(
+            link_records(
+                _linkage_records_frame(spark, sf_dir),
+                "p_partkey",
+                "p_name",
+                max_edit=_LINK_MAX_EDIT,
+            ),
+            "record_linkage",
+        ),
+        # SURVEY C74 (round 9): Pareto-frontier selection — the
+        # undominated (maximize n_chars, minimize seeded risk score)
+        # rows via the two-stage skyline (local fronts per hash
+        # shard — lossless by dominance transitivity — then the
+        # global pass over the pruned union; operators/pareto.py)
+        fingerprint_section(
+            pareto_front(
+                docs,
+                "doc_id",
+                F.col("n_chars"),
+                stable_hash40(F.col("doc_id").cast("string"))
+                % _PARETO_RISK_MOD,
+                shards=_PARETO_SHARDS,
+            ),
+            "pareto_front",
         ),
     ]
     return _union(sections)
@@ -2411,6 +2444,41 @@ FROM caps
 """
 
 
+# ── C73 record linkage / C74 pareto front (round 9) ────────────────
+_LINK_MOD = 7  # every 7th part gets a typo'd twin record
+_LINK_ID_OFF = 1_000_000
+_LINK_MAX_EDIT = 2
+_PARETO_SHARDS = 16
+_PARETO_RISK_MOD = 10_000
+
+
+def _linkage_records_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Part names + deterministically typo'd twins (drop the 3rd
+    char) for every ``_LINK_MOD``-th part — the linkage demo must
+    contain TRUE matches to recover. (Twins whose typo crosses a
+    length-div-4 block boundary AND changes the first token are
+    deliberately unrecoverable — the classic blocking-recall
+    tradeoff, visible in the section's pair count.)"""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.where(F.col("p_partkey") % _LINK_MOD == 0).select(
+        (F.col("p_partkey") + _LINK_ID_OFF).alias("p_partkey"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.expr("substring(p_name, 4)"),
+        ).alias("p_name"),
+    )
+    return part.select("p_partkey", "p_name").unionByName(dirty)
+
+
+_LINKAGE_SRC_SQL = f"""
+SELECT p_partkey, p_name FROM part
+UNION ALL
+SELECT p_partkey + {_LINK_ID_OFF}, substr(p_name, 1, 2) || substr(p_name, 4)
+FROM part WHERE p_partkey % {_LINK_MOD} = 0"""
+
+
 # ── C71 rank fusion / C72 inverted index (round 9) ─────────────────
 _RRF_QUERIES = 10
 _RRF_K = 10
@@ -2506,6 +2574,8 @@ def _text_scoring_sql() -> str:
         boolean_query_sql,
         postings_sql,
     )
+    from umls2rdf_spark.operators.linkage import link_records_sql
+    from umls2rdf_spark.operators.pareto import pareto_front_sql
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
@@ -2982,6 +3052,28 @@ GROUP BY 1""",
                 _BQ_NOT,
             ),
             ["doc_id", "n_should"],
+        ),
+        fingerprint_sql(
+            "record_linkage",
+            link_records_sql(
+                _LINKAGE_SRC_SQL,
+                "p_partkey",
+                "p_name",
+                max_edit=_LINK_MAX_EDIT,
+            ),
+            ["id_a", "id_b", "edit", "jaccard_ppm"],
+        ),
+        fingerprint_sql(
+            "pareto_front",
+            pareto_front_sql(
+                "SELECT * FROM documents",
+                "doc_id",
+                "n_chars",
+                f"({stable_hash40_sql('CAST(doc_id AS VARCHAR)')}) "
+                f"% {_PARETO_RISK_MOD}",
+                shards=_PARETO_SHARDS,
+            ),
+            ["doc_id", "hi", "lo"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
