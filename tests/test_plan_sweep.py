@@ -167,8 +167,10 @@ FULL_SCAN_OK = {
     # (postings_stats/boolean_query) build the posting frame over
     # the WHOLE corpus by semantics (an index covers every doc; the
     # boolean query's term predicate applies post-explode, nothing
-    # pushes to the scan)
-    "text_scoring": {"documents.parquet": 56, "embeddings.parquet": 4},
+    # pushes to the scan); +1 more for the rendezvous section (a
+    # placement assignment covers every doc id — no predicate
+    # exists)
+    "text_scoring": {"documents.parquet": 57, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

@@ -695,6 +695,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umls2rdf_spark.operators.linkage import link_records
     from umls2rdf_spark.operators.pareto import pareto_front
+    from umls2rdf_spark.operators.sharding import rendezvous_assign
     from umls2rdf_spark.operators.drift import chi_square_drift
     from umls2rdf_spark.operators.robust import winsorize
     from umls2rdf_spark.operators.webcurate import dedup_by_url
@@ -1502,6 +1503,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shards=_PARETO_SHARDS,
             ),
             "pareto_front",
+        ),
+        # SURVEY C75 (round 9): rendezvous (HRW) shard assignment —
+        # coordination-free placement with minimal movement under
+        # resharding (movement-only-into-the-new-shard pinned by
+        # test); the packed (weight, index) argmax unrolls into ONE
+        # zero-shuffle codegen Project (operators/sharding.py)
+        fingerprint_section(
+            rendezvous_assign(
+                docs.select("doc_id"), "doc_id", _RV_SHARDS
+            ),
+            "rendezvous",
         ),
     ]
     return _union(sections)
@@ -2445,6 +2457,7 @@ FROM caps
 
 
 # ── C73 record linkage / C74 pareto front (round 9) ────────────────
+_RV_SHARDS = [f"s{i}" for i in range(5)]  # C75 placement targets
 _LINK_MOD = 7  # every 7th part gets a typo'd twin record
 _LINK_ID_OFF = 1_000_000
 _LINK_MAX_EDIT = 2
@@ -2576,6 +2589,9 @@ def _text_scoring_sql() -> str:
     )
     from umls2rdf_spark.operators.linkage import link_records_sql
     from umls2rdf_spark.operators.pareto import pareto_front_sql
+    from umls2rdf_spark.operators.sharding import (
+        rendezvous_assign_sql,
+    )
     from umls2rdf_spark.operators.imagededup import (
         hamming_near_dup_pairs_sql,
     )
@@ -3074,6 +3090,13 @@ GROUP BY 1""",
                 shards=_PARETO_SHARDS,
             ),
             ["doc_id", "hi", "lo"],
+        ),
+        fingerprint_sql(
+            "rendezvous",
+            "SELECT doc_id, "
+            + rendezvous_assign_sql("doc_id", _RV_SHARDS)
+            + " FROM documents",
+            ["doc_id", "shard"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
@@ -3830,7 +3853,44 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_section(
                 _gap_fill_frame(spark, sf_dir), "gap_fill"
             ),
+            # B51 (round 9): grouped OLS trend — per-event-type
+            # least-squares slope of the quantized value over time,
+            # from ONE map-side-combined aggregation of sufficient
+            # statistics in DECIMAL(38,0)/HUGEINT with sign-split
+            # nonnegative integral division (engine-exact;
+            # operators/regression.py)
+            fingerprint_section(
+                _trend_frame(spark, sf_dir), "trend"
+            ),
         ]
+    )
+
+
+#: fixed epoch anchor (2024-01-01 UTC) — re-origins x so the DECIMAL
+#: products stay far inside 10^38 (the grouped_trend magnitude valve)
+_TREND_ANCHOR = 1_704_067_200
+
+
+def _trend_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umls2rdf_spark.operators.regression import grouped_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_trend(
+        ev,
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint") - _TREND_ANCHOR,
+        F.floor(F.col("value") * 1_000_000),
+    )
+
+
+def _trend_sql() -> str:
+    from umls2rdf_spark.operators.regression import grouped_trend_sql
+
+    return grouped_trend_sql(
+        "SELECT * FROM events",
+        "event_type",
+        f"(epoch_us(ts) // 1000000) - {_TREND_ANCHOR}",
+        "FLOOR(value * 1000000)",
     )
 
 
@@ -4303,6 +4363,11 @@ def _event_windows_sql() -> str:
                 "locf_q",
                 "interp_q",
             ],
+        ),
+        fingerprint_sql(
+            "trend",
+            _trend_sql(),
+            ["event_type", "n", "slope_q", "degenerate"],
         ),
     ]
     return "\nUNION ALL\n".join(pieces)
