@@ -57,15 +57,33 @@ def grouped_trend(
         x_expr.cast("bigint").alias("x"),
         y_expr.cast("bigint").alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    return slope_from_stats(
+        trend_stats(pairs, "g"), grp_col, scale
+    )
+
+
+def trend_stats(pairs: DataFrame, grp_col: str) -> DataFrame:
+    """The five sufficient statistics per group over a (grp, x, y)
+    frame — shared by the batch operator and the streaming per-epoch
+    partial writer (streaming/trend.py), whose standing state is the
+    epoch-sum of exactly these columns."""
     xd = F.col("x").cast(DEC)
     yd = F.col("y").cast(DEC)
-    stats = pairs.groupBy("g").agg(
+    return pairs.groupBy(F.col(grp_col).alias("g")).agg(
         F.count(F.lit(1)).cast(DEC).alias("n"),
         F.sum(xd).alias("sx"),
         F.sum(yd).alias("sy"),
         F.sum(xd * yd).alias("sxy"),
         F.sum(xd * xd).alias("sxx"),
     )
+
+
+def slope_from_stats(
+    stats: DataFrame, grp_col: str, scale: int
+) -> DataFrame:
+    """The final division over a (g, n, sx, sy, sxy, sxx) frame —
+    shared by the batch operator and the streaming sum-on-read face
+    so the two can never drift (the robust.py round-8 lesson)."""
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     mag = F.expr(
