@@ -94,15 +94,26 @@ def test_empty_and_short_texts(spark):
 
 
 def test_pos_bits_valve(spark):
-    """A document with more than 2^POS_BITS chunks fails CLOSED."""
-    from umls2rdf_spark.operators.cdc import POS_BITS
+    """A document with more than 2^pos_bits chunks fails CLOSED.
 
+    Exercised at pos_bits=8 (same code path as the 2^20 production
+    default — the cap is a parameter precisely so the valve is
+    testable without building a megabyte of interpreted-eval HOF
+    chunks, which costs O(doc·window) and ran for MINUTES)."""
     # divisor=1 cuts at every candidate position -> ~n chunks
-    big = "a" * ((1 << POS_BITS) + 40)
+    big = "a" * ((1 << 8) + 40)
     with pytest.raises(Exception, match="cdc_dedup_stats"):
         cdc_dedup_stats(
-            _docs(spark, [(0, big)]), "doc_id", "text", divisor=1
+            _docs(spark, [(0, big)]), "doc_id", "text",
+            divisor=1, pos_bits=8,
         ).collect()
+    # just under the cap sails through
+    ok = "a" * ((1 << 8) - 40)
+    rows = cdc_dedup_stats(
+        _docs(spark, [(0, ok)]), "doc_id", "text",
+        divisor=1, pos_bits=8,
+    ).collect()
+    assert rows and rows[0]["n_chunks"] > 0
 
 
 def test_oracle_parity_real_corpus(spark):

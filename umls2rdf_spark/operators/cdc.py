@@ -141,20 +141,23 @@ def fingerprinted_occurrences(
     text_col: str,
     window: int = DEFAULT_WINDOW,
     divisor: int = DEFAULT_DIVISOR,
+    pos_bits: int = POS_BITS,
 ) -> DataFrame:
     """(id, chunk, __ok, __h1, __h2): chunk occurrences with the
-    packed corpus-order key (fail-closed POS_BITS valve) and the
-    128-bit content fingerprint — the shared input of the batch
-    stats (:func:`cdc_dedup_stats`) and the continuous chunk-store
-    intake (streaming/cdc.py)."""
+    packed corpus-order key (fail-closed ``pos_bits`` valve —
+    parameterized so the valve is testable on a small document; the
+    production default stays 2^20) and the 128-bit content
+    fingerprint — the shared input of the batch stats
+    (:func:`cdc_dedup_stats`) and the continuous chunk-store intake
+    (streaming/cdc.py)."""
     occ = cdc_chunk_occurrences(df, id_col, text_col, window, divisor)
-    cap = 1 << POS_BITS
+    cap = 1 << pos_bits
     ok = F.when(
         F.col("pos") >= cap,
         F.raise_error(
             F.lit(
-                f"cdc_dedup_stats: document exceeds 2^{POS_BITS} "
-                "chunks — raise POS_BITS or pre-split"
+                f"cdc_dedup_stats: document exceeds 2^{pos_bits} "
+                "chunks — raise pos_bits or pre-split"
             )
         ).cast("bigint"),
     ).otherwise(F.col(id_col) * F.lit(cap) + F.col("pos"))
@@ -173,6 +176,7 @@ def cdc_dedup_stats(
     text_col: str,
     window: int = DEFAULT_WINDOW,
     divisor: int = DEFAULT_DIVISOR,
+    pos_bits: int = POS_BITS,
 ) -> DataFrame:
     """(id, n_chunks, n_dup, dup_chars): keep-first chunk-level dedup
     accounting per document — ``n_dup`` of its chunks already
@@ -183,7 +187,7 @@ def cdc_dedup_stats(
     texts) — the caller gates on ``dup_chars / n_chars`` to drop
     mirror-heavy documents, or feeds the chunk store directly."""
     fp = fingerprinted_occurrences(
-        df, id_col, text_col, window, divisor
+        df, id_col, text_col, window, divisor, pos_bits
     )
     winners = fp.groupBy("__h1", "__h2").agg(
         F.min("__ok").alias("__win")
