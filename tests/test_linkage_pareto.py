@@ -70,9 +70,11 @@ def test_linkage_multi_pass_blocking_recall(spark):
 
 
 def test_linkage_block_valve_fails_closed(spark):
+    """The in-plan valve kills the job at the oversized block's
+    first emitted pair."""
     recs = _recs(spark, [(i, "same name") for i in range(50)])
-    with pytest.raises(ValueError, match="max_block"):
-        link_records(recs, "rid", "name", max_block=10)
+    with pytest.raises(Exception, match="max_block"):
+        link_records(recs, "rid", "name", max_block=10).collect()
 
 
 def test_linkage_oracle_parity(spark, duck):

@@ -143,3 +143,66 @@ def test_new_epoch_after_compaction_counted_once(spark, tmp_path):
         mad_outlier_summary(ev, "event_type", _vq()).collect()
     )
     assert got == want
+
+
+def test_torn_newest_epoch_heals_after_compaction(spark, tmp_path):
+    """The newest raw epoch is NEVER folded: a torn partial write
+    (crash mid-epoch) therefore cannot be frozen into the base —
+    the eventual replay's full overwrite is what readers sum."""
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "state")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    value_counts_epoch(a, 0, state, "event_type", _vq())
+    # epoch 1 lands TORN: only half its rows made it to disk
+    value_counts_epoch(
+        b.where(F.col("event_id") % 4 == 1), 1, state,
+        "event_type", _vq(),
+    )
+    compact_value_state(spark, state)  # folds through epoch 0 only
+    # restart: the stream replays epoch 1 with its FULL content
+    value_counts_epoch(b, 1, state, "event_type", _vq())
+    got = _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    )
+    want = _summary(
+        mad_outlier_summary(ev, "event_type", _vq()).collect()
+    )
+    assert got == want
+
+
+def test_compaction_gc_bounds_state(spark, tmp_path):
+    """Repeated compaction keeps disk state bounded: absorbed epochs
+    and superseded bases are deleted with one generation of grace,
+    and reads stay exact throughout."""
+    import os
+    import re
+
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "state")
+    parts = [ev.where(F.col("event_id") % 5 == p) for p in range(5)]
+    want = _summary(
+        mad_outlier_summary(ev, "event_type", _vq()).collect()
+    )
+    for e, p in enumerate(parts):
+        value_counts_epoch(p, e, state, "event_type", _vq())
+        compact_value_state(spark, state)
+    got = _summary(
+        read_mad_summary(spark, state, "event_type").collect()
+    )
+    assert got == want
+    # bases: at most the newest + one generation of grace
+    bases = [
+        f for f in os.listdir(state)
+        if re.fullmatch(r"valcounts_base_v\d+\.json", f)
+    ]
+    assert len(bases) <= 2
+    # absorbed epochs beyond the grace window are gone
+    epochs = [
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/valcounts")
+        if d.startswith("batch_id=")
+    ]
+    # last base folded through epoch 2 (newest=4 stays raw, 3 was
+    # the previous fold boundary... grace keeps one generation)
+    assert min(epochs) >= 2 and 4 in epochs

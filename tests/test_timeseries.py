@@ -71,11 +71,13 @@ def test_no_extrapolation_and_per_key_spans(spark):
 
 
 def test_span_valve_fails_closed(spark):
+    """The in-plan valve fires at execution, before the grid
+    materializes."""
     df = _series(spark, [("a", 0, 1), ("a", 10_000_000, 2)])
-    with pytest.raises(ValueError, match="max_buckets_per_key"):
+    with pytest.raises(Exception, match="max_buckets_per_key"):
         gap_fill(
             df, "k", "ts", F.col("v"), 1, max_buckets_per_key=1000
-        )
+        ).collect()
 
 
 def test_oracle_parity_on_events(spark, duck):

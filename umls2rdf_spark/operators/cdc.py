@@ -247,13 +247,18 @@ def cdc_dedup_stats_sql(
     text_col: str = "text",
     window: int = DEFAULT_WINDOW,
     divisor: int = DEFAULT_DIVISOR,
+    pos_bits: int = POS_BITS,
 ) -> str:
     """DuckDB twin of :func:`cdc_dedup_stats` — winner election
     groups by the chunk STRING (exact at oracle SF), so a match also
     certifies the Spark 128-bit fingerprint grouping collision-free
-    on the data."""
+    on the data. ``pos_bits`` must match the Spark side so the
+    packed order keys agree; the fail-closed over-cap RAISE has no
+    SQL twin (an over-cap input makes the Spark side error, which a
+    parity harness reports as a mismatch — never a silent wrong
+    value)."""
     chunks = _chunks_sql(text_col, window, divisor)
-    cap = 1 << POS_BITS
+    cap = 1 << pos_bits
     return f"""
 WITH __arr AS (
   SELECT {id_col}, {chunks} AS cs FROM {docs_sql}),

@@ -84,8 +84,12 @@ def boolean_query(
     """
     if not must:
         raise ValueError("boolean_query: need at least one must term")
-    should = should or []
-    must_not = must_not or []
+    # dedupe (order-preserving): postings are DISTINCT per (token,
+    # doc), so a repeated must term would make COUNT(*)==len(must)
+    # silently unsatisfiable for every document
+    must = list(dict.fromkeys(must))
+    should = list(dict.fromkeys(should or []))
+    must_not = list(dict.fromkeys(must_not or []))
     overlap = set(must) & set(must_not)
     if overlap:
         raise ValueError(
@@ -145,8 +149,9 @@ def boolean_query_sql(
     must_not: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`boolean_query` over a postings SELECT."""
-    should = should or []
-    must_not = must_not or []
+    must = list(dict.fromkeys(must))
+    should = list(dict.fromkeys(should or []))
+    must_not = list(dict.fromkeys(must_not or []))
     not_clause = (
         f"""AND doc_id NOT IN (
       SELECT doc_id FROM __p WHERE token IN {_terms_sql(must_not)})"""

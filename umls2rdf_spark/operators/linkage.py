@@ -22,9 +22,11 @@ sorted-neighborhood lineage):
 
 At 100 TB: pair volume is Σ over blocks of |block|², so the skew
 valve FAILS CLOSED — any block larger than ``max_block`` raises
-(one cheap action over the |blocks|-row counts frame) instead of
-quadratically exploding; the fix (a finer key, a third pass) is a
-modelling decision the operator must not silently make. Scoring
+IN-PLAN (the checked block-size column rides the candidate join
+and kills the job at the block's first emitted pair — no eager
+plan-build collect) instead of quadratically exploding; the fix (a
+finer key, a third pass) is a modelling decision the operator must
+not silently make. Scoring
 touches only candidate pairs; the record strings ship to exactly
 the pairs that need them (join on id after candidate generation,
 the substrings.py discipline is not needed at entity-string sizes
@@ -72,32 +74,59 @@ def link_records(
     name_col: str,
     max_edit: int = 2,
     max_block: int = 10_000,
+    cache=None,
 ) -> DataFrame:
     """Self-linkage: (id_a, id_b, edit, jaccard_ppm) for every
     record pair (id_a < id_b) sharing a block key whose normalized
     names are within ``max_edit`` Levenshtein. ``jaccard_ppm`` is
     the exact token-set Jaccard in ppm, the secondary confidence
     signal (1.0 for reordered-token exact matches that edit
-    distance scores badly)."""
+    distance scores badly).
+
+    The ``max_block`` valve is IN-PLAN (the cdc.py ``raise_error``
+    pattern): an oversized block kills the job at its first emitted
+    pair — no eager plan-build collect, no extra scan. The keyed
+    frame feeds both pair sides, so it is persisted through the
+    caller's ``cache`` (CacheScope) or latest-call-only
+    ``op_scope`` residency."""
+    from umls2rdf_spark.operators.caching import op_scope
+
     if max_edit < 0:
         raise ValueError("link_records: max_edit must be >= 0")
+    scope = cache if cache is not None else op_scope(
+        records.sparkSession, "link_records"
+    )
     base = records.select(
         F.col(id_col).cast("bigint").alias("rid"),
         _norm(F.col(name_col)).alias("nm"),
     )
-    keyed = base.select(
-        "rid",
-        "nm",
-        F.explode(F.array(*_block_keys("nm"))).alias("bk"),
-    )
-    sizes = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
-    worst = sizes.agg(F.max("n").alias("m")).collect()[0]["m"]
-    if worst is not None and worst > max_block:
-        raise ValueError(
-            f"link_records: a block holds {worst} records "
-            f"(> max_block={max_block}) — add a blocking pass or "
-            "refine the key"
+    keyed = scope.persist(
+        base.select(
+            "rid",
+            "nm",
+            F.explode(F.array(*_block_keys("nm"))).alias("bk"),
         )
+    )
+    checked = keyed.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("__bn")
+    ).select(
+        "bk",
+        F.when(
+            F.col("__bn") > max_block,
+            F.raise_error(
+                F.concat(
+                    F.lit("link_records: a block holds "),
+                    F.col("__bn").cast("string"),
+                    F.lit(
+                        f" records (> max_block={max_block}) — add"
+                        " a blocking pass or refine the key"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__bn"))
+        .alias("__bn"),
+    )
     a = keyed.select(
         "bk", F.col("rid").alias("id_a"), F.col("nm").alias("nm_a")
     )
@@ -105,8 +134,9 @@ def link_records(
         "bk", F.col("rid").alias("id_b"), F.col("nm").alias("nm_b")
     )
     cand = (
-        a.join(b, "bk")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(checked, "bk")
+        .join(b, "bk")
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("__bn") > 0))
         .select("id_a", "id_b", "nm_a", "nm_b")
         .distinct()  # pair found by several passes scores once
     )

@@ -31,9 +31,15 @@ engine-exact parity with no float anywhere.
 
 Fail-closed valve: a caller who buckets an unbounded key domain (per
 user rather than per event type) or a degenerate bucket width gets a
-raise when any key's span exceeds ``max_buckets_per_key`` — the
-|keys|-row spans frame makes the check one cheap action, and a grid
-explosion at 100 TB should be a loud error, not an OOM.
+runtime raise when any key's span exceeds ``max_buckets_per_key`` —
+the check rides IN-PLAN on the spans frame (the cdc.py
+``raise_error`` pattern: the checked bound feeds ``sequence()``
+directly), so no eager driver job runs at plan-build time and a grid
+explosion at 100 TB is a loud error before the grid materializes,
+not an OOM. The observed-buckets frame feeds both the span
+derivation and the grid join, so it is persisted through the
+caller's ``cache`` (CacheScope) or latest-call-only ``op_scope``
+residency.
 
 Reference parity: none (the reference has no time-series surface);
 LLM-pipeline / analytics extension (SURVEY §2 B49).
@@ -52,6 +58,7 @@ def gap_fill(
     val_expr,
     bucket_secs: int,
     max_buckets_per_key: int = 1_000_000,
+    cache=None,
 ) -> DataFrame:
     """Dense per-key bucket series with locf + linear interpolation.
 
@@ -70,9 +77,14 @@ def gap_fill(
       NULL only before the first / after the last observation
       (no extrapolation, by design).
     """
+    from umls2rdf_spark.operators.caching import op_scope
+
     if bucket_secs < 1:
         raise ValueError("gap_fill: bucket_secs must be >= 1")
-    obs = (
+    scope = cache if cache is not None else op_scope(
+        events.sparkSession, "gap_fill"
+    )
+    obs = scope.persist(
         events.select(
             F.col(key_col).alias("k"),
             (
@@ -93,20 +105,31 @@ def gap_fill(
             F.sum("__v").cast("bigint").alias("v_q"),
         )
     )
+    # span valve IN-PLAN (the cdc.py raise_error pattern): the
+    # checked maxb feeds sequence() directly, so an exploding key
+    # kills the job before its grid materializes — no eager collect
     spans = obs.groupBy("k").agg(
         F.min("b").alias("minb"), F.max("b").alias("maxb")
     )
-    worst = spans.agg(
-        F.max(F.col("maxb") - F.col("minb") + 1).alias("m")
-    ).collect()[0]["m"]
-    if worst is not None and worst > max_buckets_per_key:
-        raise ValueError(
-            f"gap_fill: a key spans {worst} buckets "
-            f"(> max_buckets_per_key={max_buckets_per_key}) — "
-            "widen bucket_secs or coarsen the key"
-        )
+    checked_maxb = F.when(
+        F.col("maxb") - F.col("minb") + 1 > max_buckets_per_key,
+        F.raise_error(
+            F.concat(
+                F.lit("gap_fill: a key spans "),
+                (F.col("maxb") - F.col("minb") + 1).cast("string"),
+                F.lit(
+                    " buckets (> max_buckets_per_key="
+                    f"{max_buckets_per_key}) — widen bucket_secs or"
+                    " coarsen the key"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("maxb"))
     grid = spans.select(
-        "k", F.explode(F.sequence("minb", "maxb")).alias("b")
+        "k",
+        F.explode(
+            F.sequence("minb", checked_maxb.alias("maxb"))
+        ).alias("b"),
     )
     j = grid.join(obs, ["k", "b"], "left")
     back = (

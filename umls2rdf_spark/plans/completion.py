@@ -638,7 +638,19 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       over a seeded host mix exercising every rule kind (exact,
       wildcard, exception, bare-label): the zero-Exchange K-join
       plan (C37's production half, round 7; webcurate.py
-      registered_domain_psl).
+      registered_domain_psl),
+
+    - round 9: ``l2_neighbors`` / ``rrf_fusion`` (C71 — RRF hybrid
+      rank fusion over genuinely-disagreeing cosine vs exact-L2
+      rankings; operators/fusion.py), ``postings_stats`` /
+      ``boolean_query`` (C72 — inverted index + conjunction-as-
+      counting boolean retrieval; operators/invindex.py),
+      ``record_linkage`` (C73 — blocked entity resolution with
+      Levenshtein + token Jaccard over seeded typo twins;
+      operators/linkage.py), ``pareto_front`` (C74 — two-stage
+      skyline selection; operators/pareto.py), and ``rendezvous``
+      (C75 — HRW shard assignment as one zero-shuffle Project;
+      operators/sharding.py).
     """
     from umls2rdf_spark.operators.classify import centroid_confusion
     from umls2rdf_spark.operators.imagededup import hamming_near_dup_pairs
@@ -4114,12 +4126,12 @@ def _label_prop_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _graph_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """All four graph sections (B41 pagerank, B42 label_prop, B47
-    triangles, B48 kcore) over ONE checkpointed clickstream edge
-    frame — the per-user LEAD window job (the expensive derivation) runs once
-    instead of once per section; each op's own per-round checkpoints
-    stay internal."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """All five graph sections (B41 pagerank, B42 label_prop, B47
+    triangles, B48 kcore, B50 sssp) over ONE checkpointed
+    clickstream edge frame — the per-user LEAD window job (the
+    expensive derivation) runs once instead of once per section;
+    each op's own per-round checkpoints stay internal."""
     from umls2rdf_spark.operators.graphrank import (
         clickstream_edges,
         kcore,

@@ -23,8 +23,10 @@ additive across epochs. So:
 
 Standing state is bounded by the distinct quantized value domain
 per group (the B21 counting-quantile argument), NOT the event
-count; :func:`compact_value_state` folds epoch history into one
-partition when epochs accumulate.
+count; :func:`compact_value_state` folds completed epochs into a
+manifest-pinned base and garbage-collects what the previous base
+had already absorbed (one generation of grace for in-flight
+readers), so disk state stays ~2 base copies + unfolded epochs.
 """
 
 from __future__ import annotations
@@ -64,33 +66,30 @@ def read_value_counts(
     base (if any) plus every epoch partial NEWER than the base's
     ``folded_through`` — older partitions are replay echoes of
     epochs the base already absorbed and are deliberately ignored
-    (see :func:`compact_value_state`)."""
-    merged, seen = _standing_counts(spark, state_dir)
-    if seen is None:
+    (see :func:`compact_value_state`). Fully lazy: no driver job
+    runs until the caller acts on the frame."""
+    merged = _merged_counts(spark, state_dir)
+    if merged is None:
         raise ValueError("read_value_counts: no state written yet")
     return merged
 
 
-def _standing_counts(
-    spark: SparkSession, state_dir: str
-) -> tuple[DataFrame | None, int | None]:
-    """(merged counts frame, highest epoch visible) — the second
-    element is what a compaction commits as ``folded_through``;
-    (None, None) when no state exists at all."""
+def _merged_counts(
+    spark: SparkSession,
+    state_dir: str,
+    upper: int | None = None,
+) -> DataFrame | None:
+    """Lazy merge of base + raw epochs in (folded_through, upper]
+    (``upper=None`` = no upper bound — the read path); None when no
+    state exists at all."""
     base = _base_state(state_dir)
     raw = read_standing_state(spark, f"{state_dir}/valcounts")
     folded = base[1]["folded_through"] if base else None
-    if raw is not None and folded is not None:
-        raw = raw.where(F.col("batch_id") > F.lit(folded))
-    max_raw = None
     if raw is not None:
-        row = raw.agg(F.max("batch_id").alias("m")).collect()[0]
-        max_raw = row["m"]
-    seen = max(
-        (x for x in (folded, max_raw) if x is not None), default=None
-    )
-    if seen is None:
-        return None, None
+        if folded is not None:
+            raw = raw.where(F.col("batch_id") > F.lit(folded))
+        if upper is not None:
+            raw = raw.where(F.col("batch_id") <= F.lit(upper))
     frames = []
     if base is not None:
         frames.append(
@@ -98,16 +97,15 @@ def _standing_counts(
                 "g", "v", "cnt"
             )
         )
-    if raw is not None and max_raw is not None:
+    if raw is not None:
         frames.append(raw.select("g", "v", "cnt"))
+    if not frames:
+        return None
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f)
-    return (
-        merged.groupBy("g", "v").agg(
-            F.sum("cnt").cast("bigint").alias("cnt")
-        ),
-        seen,
+    return merged.groupBy("g", "v").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
 
 
@@ -167,34 +165,80 @@ def _base_state(state_dir: str) -> tuple[int, dict] | None:
 def compact_value_state(spark: SparkSession, state_dir: str) -> None:
     """Fold epoch history into a compacted BASE (cnt sums are the
     whole state — compaction changes nothing a reader sees), safely
-    under at-least-once replay: the base manifest records
-    ``folded_through`` = the highest epoch it absorbed, and readers
-    IGNORE raw ``batch_id <= folded_through`` partitions. A
-    micro-batch that wrote its partial but crashed before its
-    checkpoint committed can therefore be replayed AFTER compaction:
-    the replay rewrites a partition no reader consults (its counts
-    already live in the base) instead of double-counting — the
-    round-8 advice hazard. Commit is the snapshots.py pattern: data
-    dir first, then an atomic manifest rename; a crash mid-compact
-    leaves an orphan data dir and the previous base intact."""
+    under at-least-once replay:
+
+    - the base manifest records ``folded_through`` = the highest
+      epoch it absorbed, and readers IGNORE raw ``batch_id <=
+      folded_through`` partitions — a micro-batch that wrote its
+      partial but crashed before its checkpoint committed can be
+      replayed AFTER compaction and rewrites a partition no reader
+      consults, never double-counting (the round-8 advice hazard);
+    - the NEWEST raw epoch is never folded: it is the only epoch
+      that can be torn (a crash mid-write) or still in flight (a
+      live stream), and folding a partial epoch would freeze an
+      undercount forever — left raw, its eventual replay's full
+      overwrite is what readers sum (self-healing preserved);
+    - commit is the snapshots.py pattern: data dir first, then an
+      atomic manifest rename — a crash mid-compact leaves an orphan
+      data dir and the previous base intact;
+    - after the commit, GC with one generation of grace: raw
+      partitions the PREVIOUS base had already absorbed and base
+      data older than the previous version are deleted (an
+      in-flight reader that resolved the previous manifest still
+      finds everything it referenced; state on disk stays bounded
+      at ~2 base copies + unfolded epochs)."""
     import json
     import os
+    import re
+    import shutil
     import uuid
 
-    merged, folded_through = _standing_counts(spark, state_dir)
-    if folded_through is None:
-        return  # nothing written yet — nothing to fold
+    raw = read_standing_state(spark, f"{state_dir}/valcounts")
     prev = _base_state(state_dir)
+    prev_folded = prev[1]["folded_through"] if prev else None
+    max_raw = None
+    if raw is not None:
+        if prev_folded is not None:
+            raw = raw.where(F.col("batch_id") > F.lit(prev_folded))
+        row = raw.agg(F.max("batch_id").alias("m")).collect()[0]
+        max_raw = row["m"]
+    if max_raw is None:
+        return  # nothing new — nothing to fold
+    fold_through = max_raw - 1  # newest epoch stays raw (see above)
+    if prev_folded is not None and fold_through <= prev_folded:
+        return  # no complete epoch beyond the previous base
+    if prev_folded is None and fold_through < 0:
+        return
+    merged = _merged_counts(spark, state_dir, upper=fold_through)
     next_v = (prev[0] + 1) if prev else 1
     data_dir = os.path.join(state_dir, f"valcounts_base_data_v{next_v}")
     merged.write.mode("overwrite").parquet(data_dir)
-    manifest = {"data_dir": data_dir, "folded_through": folded_through}
+    manifest = {"data_dir": data_dir, "folded_through": fold_through}
     tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.rename(
         tmp, os.path.join(state_dir, f"{_BASE_MANIFEST}{next_v}.json")
     )
+    # GC (one generation of grace): epochs the PREVIOUS base already
+    # absorbed, and bases older than the previous version
+    vdir = os.path.join(state_dir, "valcounts")
+    if prev_folded is not None and os.path.isdir(vdir):
+        for d in os.listdir(vdir):
+            m = re.fullmatch(r"batch_id=(\d+)", d)
+            if m and int(m.group(1)) <= prev_folded:
+                shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+    for f in os.listdir(state_dir):
+        m = re.fullmatch(rf"{_BASE_MANIFEST}(\d+)\.json", f)
+        if m and prev and int(m.group(1)) < prev[0]:
+            old_v = int(m.group(1))
+            shutil.rmtree(
+                os.path.join(
+                    state_dir, f"valcounts_base_data_v{old_v}"
+                ),
+                ignore_errors=True,
+            )
+            os.remove(os.path.join(state_dir, f))
 
 
 def run_mad_maintenance(
