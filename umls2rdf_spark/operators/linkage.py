@@ -83,16 +83,37 @@ def link_records(
     signal (1.0 for reordered-token exact matches that edit
     distance scores badly).
 
+    Scoring runs on DISTINCT NAME PAIRS, not record pairs: every
+    decision this operator makes — block membership, edit distance,
+    token Jaccard — is a pure function of the normalized name, so
+    candidate generation and the Levenshtein/Jaccard work collapse
+    to the distinct-name domain and the (id_a, id_b) rows are
+    reconstituted afterwards by joining the per-name id lists back
+    in (two broadcast joins, each emitted pair produced exactly
+    once — no record-pair distinct). Entity data repeats names
+    heavily, so |distinct names| << |records| and the pair-scoring
+    volume drops by the square of the repetition factor; with
+    all-unique names it degrades to exactly the record-pair volume,
+    never worse. Levenshtein itself uses the bounded 3-arg form
+    (O(len * max_edit) band instead of the full DP matrix; returns
+    -1 above the threshold, which the edit <= max_edit filter
+    already discards).
+
     The ``max_block`` valve is IN-PLAN (the cdc.py ``raise_error``
-    pattern): an oversized block kills the job at its first emitted
-    pair — no eager plan-build collect, no extra scan. The keyed
-    frame feeds both pair sides, so it is persisted through the
-    caller's ``cache`` (CacheScope) or latest-call-only
-    ``op_scope`` residency."""
+    pattern): an oversized block kills the job at its first
+    enumerated name pair — no eager plan-build collect, no extra
+    scan. The keyed frame feeds the valve and the name-pair sides,
+    so it is persisted through the caller's ``cache`` (CacheScope)
+    or latest-call-only ``op_scope`` residency."""
     from umls2rdf_spark.operators.caching import op_scope
 
     if max_edit < 0:
         raise ValueError("link_records: max_edit must be >= 0")
+    if max_block < 1:
+        # a 1-record block can never emit a pair, so the valve's
+        # "raises at the first emitted pair" contract needs
+        # max_block >= 1 to stay exact under name-level enumeration
+        raise ValueError("link_records: max_block must be >= 1")
     scope = cache if cache is not None else op_scope(
         records.sparkSession, "link_records"
     )
@@ -127,18 +148,18 @@ def link_records(
         .otherwise(F.col("__bn"))
         .alias("__bn"),
     )
-    a = keyed.select(
-        "bk", F.col("rid").alias("id_a"), F.col("nm").alias("nm_a")
-    )
-    b = keyed.select(
-        "bk", F.col("rid").alias("id_b"), F.col("nm").alias("nm_b")
-    )
-    cand = (
-        a.join(checked, "bk")
-        .join(b, "bk")
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("__bn") > 0))
-        .select("id_a", "id_b", "nm_a", "nm_b")
-        .distinct()  # pair found by several passes scores once
+    # block membership is a pure function of nm — enumerate and
+    # score candidate NAME pairs (nm_a <= nm_b covers both record
+    # orientations; edit and Jaccard are symmetric)
+    names = keyed.select("bk", "nm").distinct()
+    na = names.select("bk", F.col("nm").alias("nm_a"))
+    nb = names.select("bk", F.col("nm").alias("nm_b"))
+    name_cand = (
+        na.join(checked, "bk")
+        .join(nb, "bk")
+        .where((F.col("nm_a") <= F.col("nm_b")) & (F.col("__bn") > 0))
+        .select("nm_a", "nm_b")
+        .distinct()  # name pair found by several passes scores once
     )
     ta, tb = (
         F.array_distinct(F.split(F.col(c), " "))
@@ -146,24 +167,58 @@ def link_records(
     )
     inter = F.size(F.array_intersect(ta, tb)).cast("bigint")
     union = F.size(F.array_union(ta, tb)).cast("bigint")
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.levenshtein("nm_a", "nm_b").cast("bigint").alias(
-                "edit"
-            ),
+    matched = (
+        name_cand.select(
+            "nm_a",
+            "nm_b",
+            # bounded Levenshtein: -1 above max_edit, exact below
+            F.levenshtein("nm_a", "nm_b", max_edit)
+            .cast("bigint")
+            .alias("edit"),
             (inter * _PPM).alias("__num"),
             union.alias("__den"),
         )
-        .where(F.col("edit") <= max_edit)
+        .where((F.col("edit") >= 0) & (F.col("edit") <= max_edit))
         .select(
-            "id_a",
-            "id_b",
+            "nm_a",
+            "nm_b",
             "edit",
             F.expr("__num div __den").cast("bigint").alias(
                 "jaccard_ppm"
             ),
+        )
+    )
+    # reconstitute id pairs: each unordered record pair appears in
+    # exactly one matched name pair (rid -> nm is functional), and
+    # within it exactly once — (a, b) ordered by id via
+    # least/greatest for nm_a != nm_b, rid_a < rid_b for the
+    # self-name pair
+    ids_a = base.select(F.col("nm").alias("nm_a"), F.col("rid").alias("__ra"))
+    ids_b = base.select(F.col("nm").alias("nm_b"), F.col("rid").alias("__rb"))
+    # the matched-names frame is tiny (often 1 post-AQE partition),
+    # so without a spread the whole id expansion would stream out of
+    # ONE task; hash the half-expanded frame across the session's
+    # shuffle parallelism (explicit count — AQE must not coalesce a
+    # deliberate fan-out spread; scale-adaptive via the conf, never
+    # a constant)
+    n_spread = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        matched.join(F.broadcast(ids_a), "nm_a")
+        .repartition(n_spread, F.col("__ra"))
+        .join(F.broadcast(ids_b), "nm_b")
+        .where(
+            F.when(
+                F.col("nm_a") == F.col("nm_b"),
+                F.col("__ra") < F.col("__rb"),
+            ).otherwise(F.col("__ra") != F.col("__rb"))
+        )
+        .select(
+            F.least("__ra", "__rb").alias("id_a"),
+            F.greatest("__ra", "__rb").alias("id_b"),
+            "edit",
+            "jaccard_ppm",
         )
     )
 
