@@ -24,6 +24,7 @@ the leak; this module bounds it:
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,15 +73,19 @@ class CacheScope:
 _LATEST: "weakref.WeakKeyDictionary[SparkSession, dict[str, CacheScope]]" = (
     weakref.WeakKeyDictionary()
 )
+# composed demos build their sections from a thread pool, so two
+# operators may open their scopes concurrently — guard the registry
+_LATEST_LOCK = threading.Lock()
 
 
 def op_scope(spark: SparkSession, op: str) -> CacheScope:
     """Latest-call-only scope: release the previous invocation's
     cache for ``op`` on this session and open a fresh scope."""
-    per_session = _LATEST.setdefault(spark, {})
-    prev = per_session.get(op)
+    with _LATEST_LOCK:
+        per_session = _LATEST.setdefault(spark, {})
+        prev = per_session.get(op)
+        scope = CacheScope()
+        per_session[op] = scope
     if prev is not None:
         prev.release()
-    scope = CacheScope()
-    per_session[op] = scope
     return scope

@@ -128,7 +128,52 @@ FROM (SELECT {cat} AS __row FROM ({inner_sql}) AS __inner) AS __rows
 
 
 def _union(sections: list[DataFrame]) -> DataFrame:
-    return reduce(lambda a, b: a.unionByName(b), sections)
+    # balanced tree, not a linear reduce: unionByName analyzes the
+    # accumulated plan at every step, so a 75-section linear chain
+    # pays quadratic analysis (~2.4s); the tree is n·log n (~0.8s).
+    # Union is associative and concatenates left-to-right either
+    # way — the produced rows and their order are identical.
+    if len(sections) == 1:
+        return sections[0]
+    mid = len(sections) // 2
+    return _union(sections[:mid]).unionByName(_union(sections[mid:]))
+
+
+#: thread-pool width for composed-demo section construction — bounded
+#: by py4j round-trip latency, not cores (8 measured within ~10% of 16
+#: on the 75-section key); every worker only BUILDS plans / runs the
+#: training loops' driver jobs concurrently, execution parallelism is
+#: still Spark's own
+_BUILD_WORKERS = 8
+
+
+def _build_sections(builders) -> list:
+    """Construct independent section frames (or any independent
+    build products — the trainings use it too) concurrently.
+
+    A composed demo's build is dominated by tens of thousands of
+    sequential py4j round-trips (plan construction) plus the
+    iterative operators' mid-build driver jobs (training rounds,
+    checkpoint loops) — all driver-side latency, all independent
+    between sections. Running the builders from a thread pool
+    overlaps both (guide §2.6 shape: concurrent jobs back-fill;
+    py4j pins one JVM connection per Python thread, so construction
+    itself parallelizes). Results keep ``builders`` order, so the
+    produced union is byte-identical to the serial build; any
+    builder failure re-raises, preserving the fail-closed valves.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    builders = list(builders)
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    with ThreadPoolExecutor(max_workers=_BUILD_WORKERS) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(b)) for b in builders
+        ]
+        return [f.result() for f in futs]
 
 
 # ── tpch_completion: B24-B36 under one driver key ───────────────────
@@ -162,14 +207,18 @@ def tpch_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     every output cell of every shape."""
     from umls2rdf_spark.plans.tpch_extra import TESTS_ONLY_QUERIES
 
-    sections = [
-        fingerprint_section(
-            TESTS_ONLY_QUERIES[name](spark, sf_dir),
-            name,
-            _TPCH_FLOATS[name],
-        )
-        for name in sorted(_TPCH_FLOATS)
-    ]
+    sections = _build_sections(
+        [
+            (
+                lambda name=name: fingerprint_section(
+                    TESTS_ONLY_QUERIES[name](spark, sf_dir),
+                    name,
+                    _TPCH_FLOATS[name],
+                )
+            )
+            for name in sorted(_TPCH_FLOATS)
+        ]
+    )
     sections.append(
         fingerprint_section(_zorder_code(spark, sf_dir), "zorder_code")
     )
@@ -736,27 +785,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ntok",
         F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
     )
-    # one BPE training run feeds BOTH its sections (the per-round
-    # checkpoints execute once)
-    bpe_merges_df, bpe_vocab = train_bpe(
-        docs, "text", rounds=_BPE_ROUNDS
-    )
-    # likewise ONE unigram-LM training run feeds model + tokens
     from umls2rdf_spark.operators.unigram import (
         unigram_doc_tokens,
         unigram_lm_train,
         unigram_vocab_after,
     )
-
-    uni_model = unigram_lm_train(
-        docs,
-        "text",
-        vocab_size=_UNI_VOCAB,
-        rounds=_UNI_ROUNDS,
-        seed_size=_UNI_SEED,
-    )
-    # ONE WordPiece training run feeds model + tokens + doc_tokens +
-    # the longest-match inference section (C59, round 8)
     from umls2rdf_spark.operators.wordpiece import (
         train_wordpiece,
         wordpiece_doc_tokens,
@@ -765,8 +798,27 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_vocab_after,
     )
 
-    wp_merges_df, wp_vocab = train_wordpiece(
-        docs, "text", rounds=_WP_ROUNDS
+    # the three tokenizer trainings each run ONCE and feed several
+    # sections; their merge/EM rounds are serial chains of driver
+    # jobs, but the three chains are independent of each other — run
+    # them concurrently (same §2.6 overlap as _build_sections) so the
+    # build pays max(bpe, unigram, wordpiece), not the sum
+    (
+        (bpe_merges_df, bpe_vocab),
+        uni_model,
+        (wp_merges_df, wp_vocab),
+    ) = _build_sections(
+        [
+            lambda: train_bpe(docs, "text", rounds=_BPE_ROUNDS),
+            lambda: unigram_lm_train(
+                docs,
+                "text",
+                vocab_size=_UNI_VOCAB,
+                rounds=_UNI_ROUNDS,
+                seed_size=_UNI_SEED,
+            ),
+            lambda: train_wordpiece(docs, "text", rounds=_WP_ROUNDS),
+        ]
     )
     from umls2rdf_spark.operators.corpus import decontaminate_lexical
     from umls2rdf_spark.operators.normalize import normalize_text
@@ -810,51 +862,51 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_QD_K,
         )
     )
-    sections = [
-        fingerprint_section(
+    builders = [
+        lambda: fingerprint_section(
             dedup_minhash(spark, sf_dir), "minhash_pairs"
         ),
-        fingerprint_section(dedup_simhash(spark, sf_dir), "simhash"),
+        lambda: fingerprint_section(dedup_simhash(spark, sf_dir), "simhash"),
         # banded Hamming near-dup join over those simhashes — the
         # generic perceptual-hash pair operator (imagededup.py; its
         # image aHash front-end is tests-only, binary decode) driven
         # on corpus data: complete for hamming<=3 at 4 bands
-        fingerprint_section(
+        lambda: fingerprint_section(
             hamming_near_dup_pairs(
                 dedup_simhash(spark, sf_dir), "doc_id", "simhash",
                 max_hamming=3, bands=4, hash_bits=32,
             ),
             "simhash_hamming",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             tfidf_topk(docs, "doc_id", "text", k=_TFIDF_K),
             "tfidf",
             ("tfidf",),
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K),
             "bm25",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             unigram_surprisal(docs, "doc_id", "text"),
             "surprisal",
             ("bits_per_token",),
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             centroid_confusion(emb, "vec_id", "embedding", "label"),
             "centroid_confusion",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             incremental_dedupe(shard, base, "doc_id", "text"),
             "incremental_dedupe",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             frequent_tokens(
                 docs.select("doc_id", "text"), "text", k=_FREQ_K
             ),
             "frequent_tokens",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             incremental_minhash_dedupe(
                 shard, base, "doc_id", "text",
                 num_perm=_IMH_PERM, min_jaccard=_IMH_JACCARD,
@@ -867,28 +919,28 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "incremental_minhash",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             semantic_dedup(
                 emb, "vec_id", "embedding", min_cos=_SD_MIN_COS,
                 cells=_SD_CELLS, iters=_SD_ITERS, dim=_SD_DIM,
             ),
             "semantic_dedup",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             select_to_token_budget(
                 toked, "doc_id", "ntok", "n_chars",
                 budget=_TB_BUDGET, shards=_TB_SHARDS,
             ),
             "token_budget",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             resample_mixture(
                 docs, "source", "doc_id", _MIX_PARTS,
                 precision=_MIX_PRECISION,
             ),
             "mixture",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             decontaminate_bloom(
                 docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD != 0),
                 bloom_positions(
@@ -901,14 +953,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "bloom_decontam",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             epoch_shuffle(
                 docs.select("doc_id", "source"), "doc_id",
                 seed=_EPOCH_SEED,
             ),
             "epoch_shuffle",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             score_log_odds(
                 docs,
                 token_log_odds(
@@ -923,7 +975,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_classifier",
             ("avg_logodds",),
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             bigram_surprisal(docs, "doc_id", "text", occ=shared_occ),
             "bigram_surprisal",
             ("bits_per_bigram",),
@@ -933,7 +985,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # weights computed DISTRIBUTED on the bigram-type frame
         # (cast-before-multiply exact-int log2 args, same expression
         # tree in the twin), per-doc sums pure int64
-        fingerprint_section(
+        lambda: fingerprint_section(
             shared_kn,
             "kn_surprisal",
             ("kn_bits_per_bigram",),
@@ -943,7 +995,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus (doc_id mod 3 → Cyrillic, mod 5 → CJK, mod 11 →
         # control chars; every class + the empty-guard fires) — one
         # zero-shuffle codegen Project, int64 ppm floor-divisions
-        fingerprint_section(
+        lambda: fingerprint_section(
             char_profile(_script_pages_frame(docs), "doc_id", "text"),
             "char_profile",
         ),
@@ -951,7 +1003,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate pairs — the subset-duplicate signal (prefix twins
         # score containment ≈ 1 at small Jaccard; the id-neighbor
         # pairs exercise low overlap and the missing-side NULL path)
-        fingerprint_section(
+        lambda: fingerprint_section(
             containment_verify_pairs(
                 *_containment_frames(docs), "doc_id", "text",
                 shingle_n=3,
@@ -964,7 +1016,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc marker ride ONE concatenated struct stream (one scan,
         # one explode), then a (source, kind, gram) map-side-combined
         # groupBy + |sources|-scale rollup
-        fingerprint_section(
+        lambda: fingerprint_section(
             diversity_report(docs, "doc_id", "text", "source"),
             "diversity_report",
         ),
@@ -972,7 +1024,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sampling — inclusion ∝ token count, exact int64 selection
         # predicate over the two-level sharded cumsum (no global
         # sort, no float priorities)
-        fingerprint_section(
+        lambda: fingerprint_section(
             weighted_sample(
                 toked, "doc_id", "ntok", k=_WS_K, seed=_WS_SEED
             ),
@@ -982,7 +1034,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # calibration — the CDF lives on the bounded (source, score)
         # counts frame (distinct-count-value argument), broadcast
         # back; the corpus is never sorted or windowed
-        fingerprint_section(
+        lambda: fingerprint_section(
             score_percentile(docs, "doc_id", "n_chars", "source"),
             "score_calibration",
         ),
@@ -990,17 +1042,17 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # catalog/data-quality gate) — COUNT(DISTINCT) per column in
         # one aggregation, min/max stringified; the HLL default mode
         # stays under its closeness test by nature
-        fingerprint_section(
+        lambda: fingerprint_section(
             profile_table(docs, exact=True), "profile"
         ),
         # composite Gopher-style quality gate: integer-quantized
         # word/length/alpha/stopword rules, pass verdict engine-exact
-        fingerprint_section(
+        lambda: fingerprint_section(
             gopher_quality(docs, "doc_id", "text"), "gopher_quality"
         ),
         # hard-negative mining (contrastive-training data op): top-2
         # most-similar DIFFERENT-label vectors per query
-        fingerprint_section(
+        lambda: fingerprint_section(
             hard_negative_topk(
                 emb, emb.where(F.col("vec_id") < _HN_QUERIES),
                 "vec_id", "embedding", "label", k=_HN_K,
@@ -1012,7 +1064,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale form: every vector mines its top-k different-label
         # neighbors WITHIN its hyperplane bucket (per-bucket matmul,
         # never the O(n²) broadcast scorer above)
-        fingerprint_section(
+        lambda: fingerprint_section(
             hard_negative_topk_lsh(
                 emb, "vec_id", "embedding", "label",
                 k=_HN_K, planes=_HNL_PLANES,
@@ -1028,7 +1080,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both engines construct, break, parse, and count the same
         # rows; sum_chars only aggregates successfully-parsed
         # payloads (null-propagation through the corrupt rows).
-        fingerprint_section(
+        lambda: fingerprint_section(
             _ingest_quarantine_frame(docs), "ingest_quarantine"
         ),
         # SURVEY D6's sizing rule as a full aggregation (round 6):
@@ -1036,7 +1088,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # byte totals — integer math end to end (sources/text.py
         # sized_write_plan; write_sized_parquet applies the same
         # rule from a driver-side sample on the write path)
-        fingerprint_section(
+        lambda: fingerprint_section(
             sized_write_plan(
                 docs.select("source", "text"), "source",
                 F.octet_length("text"), target_bytes=_SIZED_TARGET,
@@ -1047,13 +1099,13 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blocklist anti-join + deterministic hash-rank cap per
         # domain, compiled to WindowGroupLimit Partial/Final (map
         # tasks prune to <= cap rows per domain pre-shuffle)
-        fingerprint_section(
+        lambda: fingerprint_section(
             curation_demos.domain_cap(spark, sf_dir), "domain_cap"
         ),
         # SURVEY C38 (round 6): DSIR hashed-n-gram importance
         # weights — 256-bucket bounded-state model trained in one
         # conditional-agg pass, scored through a broadcast dim
-        fingerprint_section(
+        lambda: fingerprint_section(
             curation_demos.dsir_weights(spark, sf_dir),
             "dsir_weights",
             ("avg_dsir",),
@@ -1065,7 +1117,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministically: base drops doc_id%3==0, new drops
         # doc_id%5==0 and revises the text of doc_id%7==0, so every
         # status class is populated in both engines.
-        fingerprint_section(
+        lambda: fingerprint_section(
             snapshot_diff(
                 docs.where(F.col("doc_id") % 3 != 0),
                 docs.where(F.col("doc_id") % 5 != 0).withColumn(
@@ -1084,7 +1136,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in ONE codegen select over the wrapped corpus — the crawl
         # pipeline's first step (C4/RefinedWeb), value-verified
         # byte-for-byte including entity decode order
-        fingerprint_section(
+        lambda: fingerprint_section(
             html_stats(
                 _html_pages_frame(docs), "doc_id", "html",
                 text_col="clean",
@@ -1095,7 +1147,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first dedup pass; normalization rules all fire on the
         # 3-variant fixture and WindowGroupLimit prunes per-URL
         # candidates map-side (same machinery as domain_cap)
-        fingerprint_section(
+        lambda: fingerprint_section(
             dedup_by_url(_url_pages_frame(docs), "doc_id", "url"),
             "url_dedup",
         ),
@@ -1103,12 +1155,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixed rounds so the oracle unrolls them as CTEs (the
         # pagerank/Lloyd discipline); corpus scanned once into the
         # vocab-bounded (word,freq) frame, every round runs on THAT
-        fingerprint_section(bpe_merges_df, "bpe_merges"),
+        lambda: fingerprint_section(bpe_merges_df, "bpe_merges"),
         # SURVEY C42's application half: the post-merge vocab
         # segmentation — per-word subword counts, the number
         # packing/epoch budgeting consumes; same run, same oracle
         # CTE chain (final __v{rounds} select)
-        fingerprint_section(
+        lambda: fingerprint_section(
             bpe_vocab.select(
                 "word",
                 "freq",
@@ -1120,7 +1172,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decontamination — the semantic complement of the exact
         # n-gram passes; benchmark = every-23rd embedding (the
         # bounded-by-nature side, broadcast), corpus scanned once
-        fingerprint_section(
+        lambda: fingerprint_section(
             decontaminate_embeddings(
                 emb.where(F.col("vec_id") % 23 != 0),
                 emb.where(F.col("vec_id") % 23 == 0),
@@ -1136,27 +1188,27 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc_id arithmetic (every rule fires on a known subset;
         # doc_id ≡ 1 mod 2·3·5·7 rows stay clean, exercising the
         # zero-count path), then scrubbed in one zero-shuffle select
-        fingerprint_section(
+        lambda: fingerprint_section(
             pii_scrub(_pii_pages_frame(docs), "doc_id", "text"),
             "pii_scrub",
         ),
         # SURVEY C45 (round 6): within-doc repetition signals — the
         # shuffle-free in-row run-length form over the raw corpus
-        fingerprint_section(
+        lambda: fingerprint_section(
             doc_repetition(docs, "doc_id", "text"), "doc_repetition"
         ),
         # SURVEY C46 (round 6): count-min over token occurrences —
         # the whole d×w matrix is the section (cell-for-cell value
         # verification), estimates for a fixed query list incl. an
         # absent key (collision floor) and corpus-frequent tokens
-        fingerprint_section(
+        lambda: fingerprint_section(
             cms_sketch(
                 _token_occ_frame(docs), "token",
                 depth=_CMS_D, width=_CMS_W,
             ),
             "cms_sketch",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             cms_estimates(
                 cms_sketch(
                     _token_occ_frame(docs), "token",
@@ -1169,11 +1221,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SURVEY C47 (round 6): explicit HLL over the same stream —
         # all m registers gated (the mergeable state itself), plus
         # the raw-alpha estimate row
-        fingerprint_section(
+        lambda: fingerprint_section(
             hll_registers(_token_occ_frame(docs), "token", b=_HLL_B),
             "hll_registers",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             hll_estimate(
                 hll_registers(
                     _token_occ_frame(docs), "token", b=_HLL_B
@@ -1185,7 +1237,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SURVEY C48 (round 6): tau=0.5 temperature mixing with the
         # parts derived IN-PLAN from quantized sqrt(domain count) —
         # the hand-weight-free multi-source sampling default
-        fingerprint_section(
+        lambda: fingerprint_section(
             resample_sqrt_mixture(
                 docs, "source", "doc_id", precision=_MIX_PRECISION
             ),
@@ -1194,7 +1246,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SURVEY C49 (round 6): feature-hashing embeddings — the
         # integer-exact long form (doc, dim, value); the array form
         # feeds the similarity family end-to-end in tests
-        fingerprint_section(
+        lambda: fingerprint_section(
             hashed_embedding(
                 _token_occ_id_frame(docs), "doc_id", "token",
                 dim=_EMB_DIM,
@@ -1206,14 +1258,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic curation funnel — the values READ FROM the
         # Observation accumulators (one action, zero extra scans),
         # oracle = the same cumulative filters as SQL COUNTs
-        fingerprint_section(
+        lambda: fingerprint_section(
             _funnel_frame(spark, docs), "pipeline_funnel"
         ),
         # SURVEY C50 (round 6): per-source dataset-card report —
         # the PII and repetition signal families FUSED into one
         # corpus scan (expr-level builders) + one |sources|-group
         # map-side-combined aggregation
-        fingerprint_section(
+        lambda: fingerprint_section(
             quality_report(
                 _pii_pages_frame(docs), "doc_id", "text", "source"
             ),
@@ -1221,7 +1273,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # SURVEY C51 (round 6): per-doc token counts under the SAME
         # trained tokenizer (vocab reused — training ran once above)
-        fingerprint_section(
+        lambda: fingerprint_section(
             bpe_doc_tokens(docs, "doc_id", "text", vocab=bpe_vocab),
             "bpe_doc_tokens",
         ),
@@ -1232,8 +1284,8 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one training run feeds the model AND its application half
         # (per-word piece counts), same unrolled-CTE oracle
         # discipline (operators/unigram.py)
-        fingerprint_section(uni_model, "unigram_model"),
-        fingerprint_section(
+        lambda: fingerprint_section(uni_model, "unigram_model"),
+        lambda: fingerprint_section(
             unigram_vocab_after(
                 docs,
                 "text",
@@ -1247,7 +1299,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # C58's per-doc application (round 7): token counts under the
         # SAME trained unigram model — the C51 counterpart for the
         # second tokenizer family (model reused; training ran once)
-        fingerprint_section(
+        lambda: fingerprint_section(
             unigram_doc_tokens(
                 docs, "doc_id", "text", model=uni_model
             ),
@@ -1259,12 +1311,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BPE, winner ranked by the engine-exact quantized score
         # cnt(ab)*2^40 div (cnt(a)*cnt(b)); ONE training run feeds
         # model + both application halves
-        fingerprint_section(wp_merges_df, "wordpiece_model"),
-        fingerprint_section(
+        lambda: fingerprint_section(wp_merges_df, "wordpiece_model"),
+        lambda: fingerprint_section(
             wordpiece_vocab_after(docs, "text", vocab=wp_vocab),
             "wordpiece_tokens",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             wordpiece_doc_tokens(
                 docs, "doc_id", "text", vocab=wp_vocab
             ),
@@ -1274,7 +1326,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real WordPiece apply algorithm — deliberately NOT the
         # training segmentation; the train/inference asymmetry is the
         # family's defining trait) under the trained piece inventory
-        fingerprint_section(
+        lambda: fingerprint_section(
             wordpiece_segment(
                 docs, wordpiece_pieces(wp_vocab), "text"
             ),
@@ -1288,7 +1340,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1.0 for the source doc, partial jaccard for near-dups);
         # map-side distinct-shingle arrays, broadcast bench, one
         # corpus scan (operators/corpus.py decontaminate_lexical)
-        fingerprint_section(
+        lambda: fingerprint_section(
             decontaminate_lexical(
                 docs,
                 _lexical_bench_frame(docs),
@@ -1306,7 +1358,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # WordPiece-style DECIMAL/HUGEINT integral-division
         # quantization, so the PMI ranking uses no libm in either
         # engine (operators/textstats.py pmi_collocations)
-        fingerprint_section(
+        lambda: fingerprint_section(
             pmi_collocations(
                 docs,
                 "doc_id",
@@ -1323,7 +1375,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stream) cut into head/middle/tail thirds within each
         # source by the score_percentile bounded-CDF machinery
         # (textstats.py ccnet_buckets)
-        fingerprint_section(
+        lambda: fingerprint_section(
             ccnet_buckets(
                 docs, "doc_id", "text", "source", kn=shared_kn
             ),
@@ -1334,7 +1386,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with sequential per-stage counts, one zero-shuffle select
         # over the seeded corpus (operators/normalize.py); oracle
         # generated from the same pair/stage constants
-        fingerprint_section(
+        lambda: fingerprint_section(
             normalize_text(
                 docs.select(
                     "doc_id",
@@ -1356,7 +1408,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boilerplate-seeded corpus: every third doc carries the same
         # cookie-banner paragraph, natural ' the '-split segments
         # provide organic repeats (operators/paragraphs.py)
-        fingerprint_section(
+        lambda: fingerprint_section(
             dedup_paragraphs(
                 _para_seeded_frame(docs),
                 "doc_id",
@@ -1370,8 +1422,8 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (CMS/HLL/q-digest); ONE persisted build over the doc-length
         # histogram feeds both the node-state and the rank-query
         # sections (operators/sketch.py)
-        fingerprint_section(shared_qdigest, "qdigest_nodes"),
-        fingerprint_section(
+        lambda: fingerprint_section(shared_qdigest, "qdigest_nodes"),
+        lambda: fingerprint_section(
             qdigest_quantiles(
                 shared_qdigest, _QD_QS, levels=_QD_LEVELS
             ),
@@ -1383,7 +1435,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # registered_domain_psl); the seeded host mix exercises every
         # rule kind (exact 1/2-label, wildcard, exception,
         # bare-label pass-through) in both engines
-        fingerprint_section(
+        lambda: fingerprint_section(
             registered_domain_psl(
                 _psl_hosts_frame(docs), "host", _PSL_RULES
             ),
@@ -1397,7 +1449,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # naturally, so dup_chars > 0 without seeding (pinned in
         # tests). The oracle groups by the chunk STRING — a match
         # certifies the 128-bit fingerprint grouping collision-free
-        fingerprint_section(
+        lambda: fingerprint_section(
             cdc_dedup_stats(docs, "doc_id", "text"), "cdc_dedup"
         ),
         # SURVEY C67 (round 8): frequency-CAPPED dedup — keep up to
@@ -1407,7 +1459,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # WindowGroupLimit(Partial) before the Exchange, so hot
         # mirror groups ship O(k·partitions) rows (dedup.py
         # dedup_keep_k); seeded boilerplate groups exercise the cap
-        fingerprint_section(
+        lambda: fingerprint_section(
             dedup_keep_k(
                 _keepk_seeded_frame(docs), "doc_id", "ktext",
                 k=_KEEPK_K,
@@ -1419,7 +1471,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded counts frame (operators/robust.py, the B21
         # counting-quantile argument), tails CLIPPED not dropped,
         # per-row pass is one broadcast join against |sources| rows
-        fingerprint_section(
+        lambda: fingerprint_section(
             winsorize(docs, "source", F.col("n_chars"), "doc_id"),
             "winsorize",
         ),
@@ -1430,7 +1482,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row_number<=n compiles to WindowGroupLimit(Partial) —
         # billion-row strata ship O(n·partitions) rows
         # (operators/selection.py stratified_sample)
-        fingerprint_section(
+        lambda: fingerprint_section(
             stratified_sample(docs, "source", "doc_id", _STRAT_N),
             "stratified_sample",
         ),
@@ -1440,7 +1492,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # against the base half (operators/drift.py; DECIMAL/HUGEINT
         # integral divisions — the PMI discipline, so the statistic
         # is engine-exact, novel buckets reported separately)
-        fingerprint_section(
+        lambda: fingerprint_section(
             chi_square_drift(
                 _drift_base_frame(docs),
                 _drift_new_frame(docs),
@@ -1457,8 +1509,8 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contributions are integer quotients scale div (k+rank),
         # summed in int64, so the fused scores are engine-exact
         # (operators/fusion.py)
-        fingerprint_section(_l2_list(emb), "l2_neighbors"),
-        fingerprint_section(
+        lambda: fingerprint_section(_l2_list(emb), "l2_neighbors"),
+        lambda: fingerprint_section(
             rrf_fuse(
                 {"cos": _cos_list(emb), "l2": _l2_list(emb)},
                 k_rrf=_RRF_KRRF,
@@ -1472,11 +1524,11 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # counting (COUNT(*)==|must| — one shuffle for any term
         # count), must_not as anti-join, should kept as the rank
         # signal (operators/invindex.py)
-        fingerprint_section(
+        lambda: fingerprint_section(
             postings_stats(build_postings(docs, "doc_id", "text")),
             "postings_stats",
         ),
-        fingerprint_section(
+        lambda: fingerprint_section(
             boolean_query(
                 build_postings(docs, "doc_id", "text"),
                 must=_BQ_MUST,
@@ -1491,7 +1543,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair dedup across passes, exact Levenshtein + ppm token
         # Jaccard, fail-closed max_block valve
         # (operators/linkage.py)
-        fingerprint_section(
+        lambda: fingerprint_section(
             link_records(
                 _linkage_records_frame(spark, sf_dir),
                 "p_partkey",
@@ -1505,7 +1557,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows via the two-stage skyline (local fronts per hash
         # shard — lossless by dominance transitivity — then the
         # global pass over the pruned union; operators/pareto.py)
-        fingerprint_section(
+        lambda: fingerprint_section(
             pareto_front(
                 docs,
                 "doc_id",
@@ -1521,14 +1573,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # resharding (movement-only-into-the-new-shard pinned by
         # test); the packed (weight, index) argmax unrolls into ONE
         # zero-shuffle codegen Project (operators/sharding.py)
-        fingerprint_section(
+        lambda: fingerprint_section(
             rendezvous_assign(
                 docs.select("doc_id"), "doc_id", _RV_SHARDS
             ),
             "rendezvous",
         ),
     ]
-    return _union(sections)
+    return _union(_build_sections(builders))
 
 
 _BPE_ROUNDS = 4
@@ -3751,40 +3803,40 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir
     )
     return _union(
-        [
-            fingerprint_section(
+        _build_sections([
+            lambda: fingerprint_section(
                 events_windowed(spark, sf_dir),
                 "tumbling",
                 ("total_value",),
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 session_window_agg(spark, sf_dir), "session"
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 events_hopping(spark, sf_dir),
                 "hopping",
                 ("total_value",),
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _stream_dedup_twin(spark, sf_dir),
                 "stream_dedup",
                 ("value",),
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _interval_join_twin(spark, sf_dir),
                 "interval_join",
                 ("value",),
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _stateful_counts_twin(spark, sf_dir),
                 "stateful_counts",
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _interval_join_outer_twin(spark, sf_dir),
                 "interval_join_outer",
                 ("value",),
             ),
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _rolling_window_twin(spark, sf_dir), "rolling"
             ),
             # B41 (round 6): clickstream PageRank — weighted page
@@ -3793,19 +3845,19 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int64 mass units; the oracle unrolls the SAME
             # iterations as CTEs, so the training dynamics are
             # value-verified, not just the shape
-            fingerprint_section(pr_frame, "pagerank"),
+            lambda: fingerprint_section(pr_frame, "pagerank"),
             # B42 (round 6): label-propagation communities over the
             # SAME clickstream graph (shared checkpointed edge
             # frame) — synchronous weighted LPA with deterministic
             # (Σw DESC, label ASC) adoption as a sort-free max_by
             # argmax aggregation; the oracle unrolls the same
             # rounds, value-verifying the trajectory
-            fingerprint_section(lp_frame, "label_prop"),
+            lambda: fingerprint_section(lp_frame, "label_prop"),
             # B43 (round 6): day-grain cohort retention — the
             # product-analytics matrix; (user, day) distinct frame,
             # min-day cohorts, one user join + one map-side-combined
             # count (no COUNT DISTINCT needed by construction)
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _cohort_retention_frame(spark, sf_dir),
                 "cohort_retention",
             ),
@@ -3815,7 +3867,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (operators/intervals.py); the oracle is the direct
             # theta join, so the binned plan's exactness is
             # value-verified
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _range_join_frame(spark, sf_dir), "range_join"
             ),
             # B45 (round 8): median/MAD outlier detection — the
@@ -3824,14 +3876,14 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # map-side-combined groupBy over raw rows, everything
             # else over the distinct-value-bounded counts frame);
             # int64-quantized values, int64-exact k·MAD threshold
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _mad_outliers_frame(spark, sf_dir), "mad_outliers"
             ),
             # B46 (round 8): ordered funnel conversion — greedy
             # earliest-completion join chain (operators/funnel.py;
             # exactness argued there), strict-after semantics, every
             # shuffle on user_id
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _funnel_steps_frame(spark, sf_dir), "funnel"
             ),
             # B47 (round 8): per-node triangle counts over the SAME
@@ -3839,7 +3891,7 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sections use — degree-ordered wedge closing, each
             # triangle counted once at its smallest-rank corner
             # (graphrank.py triangle_counts)
-            fingerprint_section(tri_frame, "triangles"),
+            lambda: fingerprint_section(tri_frame, "triangles"),
             # B48 (round 8): k-core peeling over the same shared
             # edge frame — fixed rounds with an explicit converged
             # flag (the PageRank discipline: data-independent
@@ -3849,20 +3901,20 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixed node space); peel/cascade semantics are pinned
             # by the hand-graph and chain tests, and parity holds
             # either way
-            fingerprint_section(kc_frame, "kcore"),
+            lambda: fingerprint_section(kc_frame, "kcore"),
             # B50 (round 9): multi-source weighted shortest paths
             # over the SAME shared edge frame — Bellman-Ford min-plus
             # relaxation in exact int64, fixed rounds + converged
             # flag (the kcore discipline); "hops-times-weight from
             # any seed" is the crawl-frontier distance signal
-            fingerprint_section(sp_frame, "sssp"),
+            lambda: fingerprint_section(sp_frame, "sssp"),
             # B49 (round 9): time-series gap fill — the thinned
             # hourly per-event-type series densified with locf and
             # exact-integer linear interpolation
             # (operators/timeseries.py; windowed aggs omit empty
             # buckets, every charting/differencing consumer needs
             # them present)
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _gap_fill_frame(spark, sf_dir), "gap_fill"
             ),
             # B51 (round 9): grouped OLS trend — per-event-type
@@ -3871,10 +3923,10 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # statistics in DECIMAL(38,0)/HUGEINT with sign-split
             # nonnegative integral division (engine-exact;
             # operators/regression.py)
-            fingerprint_section(
+            lambda: fingerprint_section(
                 _trend_frame(spark, sf_dir), "trend"
             ),
-        ]
+        ])
     )
 
 
@@ -4150,12 +4202,19 @@ def _graph_frames(
         .distinct()
         .where(F.col("node") % _SSSP_SEED_MOD == 0)
     )
-    return (
-        pagerank(edges, iters=_PR_ITERS),
-        label_propagation(edges, iters=_LP_ITERS),
-        triangle_counts(edges),
-        kcore(edges, _KCORE_K, _KCORE_ROUNDS),
-        shortest_paths(edges, seeds, _SSSP_ROUNDS),
+    # the five fixpoint loops are serial driver-job chains over the
+    # same checkpointed edges but independent of each other — overlap
+    # them (pay the slowest chain, not the sum)
+    return tuple(
+        _build_sections(
+            [
+                lambda: pagerank(edges, iters=_PR_ITERS),
+                lambda: label_propagation(edges, iters=_LP_ITERS),
+                lambda: triangle_counts(edges),
+                lambda: kcore(edges, _KCORE_K, _KCORE_ROUNDS),
+                lambda: shortest_paths(edges, seeds, _SSSP_ROUNDS),
+            ]
+        )
     )
 
 
