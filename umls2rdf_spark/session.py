@@ -88,6 +88,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # generated-code cache: the default keeps only 100 compiled
+        # WholeStageCodegen classes JVM-wide; a session that cycles
+        # through this engine's query surface holds several hundred
+        # distinct units, so at 100 every re-run pays full Janino
+        # recompilation (measured: the same composed key runs ~2x
+        # slower mid-suite than isolated). Scale-independent driver/
+        # executor JVM hygiene, not a local[32] tune.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
