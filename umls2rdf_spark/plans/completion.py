@@ -807,6 +807,9 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bpe_merges_df, bpe_vocab),
         uni_model,
         (wp_merges_df, wp_vocab),
+        simhash_df,
+        l2_df,
+        postings_df,
     ) = _build_sections(
         [
             lambda: train_bpe(docs, "text", rounds=_BPE_ROUNDS),
@@ -818,6 +821,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seed_size=_UNI_SEED,
             ),
             lambda: train_wordpiece(docs, "text", rounds=_WP_ROUNDS),
+            # frames consumed by TWO sections each — construct once
+            # (execution still dedups via ReuseExchange; this saves
+            # the doubled plan-construction chatter)
+            lambda: dedup_simhash(spark, sf_dir),
+            lambda: _l2_list(emb),
+            lambda: build_postings(docs, "doc_id", "text"),
         ]
     )
     from umls2rdf_spark.operators.corpus import decontaminate_lexical
@@ -866,14 +875,14 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: fingerprint_section(
             dedup_minhash(spark, sf_dir), "minhash_pairs"
         ),
-        lambda: fingerprint_section(dedup_simhash(spark, sf_dir), "simhash"),
+        lambda: fingerprint_section(simhash_df, "simhash"),
         # banded Hamming near-dup join over those simhashes — the
         # generic perceptual-hash pair operator (imagededup.py; its
         # image aHash front-end is tests-only, binary decode) driven
         # on corpus data: complete for hamming<=3 at 4 bands
         lambda: fingerprint_section(
             hamming_near_dup_pairs(
-                dedup_simhash(spark, sf_dir), "doc_id", "simhash",
+                simhash_df, "doc_id", "simhash",
                 max_hamming=3, bands=4, hash_bits=32,
             ),
             "simhash_hamming",
@@ -1509,10 +1518,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contributions are integer quotients scale div (k+rank),
         # summed in int64, so the fused scores are engine-exact
         # (operators/fusion.py)
-        lambda: fingerprint_section(_l2_list(emb), "l2_neighbors"),
+        lambda: fingerprint_section(l2_df, "l2_neighbors"),
         lambda: fingerprint_section(
             rrf_fuse(
-                {"cos": _cos_list(emb), "l2": _l2_list(emb)},
+                {"cos": _cos_list(emb), "l2": l2_df},
                 k_rrf=_RRF_KRRF,
                 topk=_RRF_TOPK,
             ),
@@ -1525,12 +1534,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count), must_not as anti-join, should kept as the rank
         # signal (operators/invindex.py)
         lambda: fingerprint_section(
-            postings_stats(build_postings(docs, "doc_id", "text")),
+            postings_stats(postings_df),
             "postings_stats",
         ),
         lambda: fingerprint_section(
             boolean_query(
-                build_postings(docs, "doc_id", "text"),
+                postings_df,
                 must=_BQ_MUST,
                 should=_BQ_SHOULD,
                 must_not=_BQ_NOT,
