@@ -96,6 +96,17 @@ def get_spark(
         # slower mid-suite than isolated). Scale-independent driver/
         # executor JVM hygiene, not a local[32] tune.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # PySpark 4 wraps every DataFrame/Column method to capture the
+        # Python call site for error messages; each wrapped call costs
+        # 3 extra py4j round-trips (conf.get + PySparkCurrentOrigin
+        # set/clear) plus a stack walk. The official toggle below
+        # exists "to reduce performance slowdown" (pyspark/errors/
+        # utils.py); disabling it cut the text_scoring plan build from
+        # 14.4s to 10.2s warm (~102k wrapped calls) with no semantic
+        # change — only error-message call-site enrichment is lost.
+        # Driver-side, scale-independent: plan build latency is the
+        # same on local[32] and a 1000-executor cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
