@@ -24,7 +24,7 @@ The 100 TB shape — corpus touched ONCE, iterations vocab-bounded:
 - the round's winning pair is a 1-row TakeOrdered frame (no global
   sort materializes) cross-joined back — broadcast by size — and
   applied with a plain left-to-right ``replace``;
-- per-round ``localCheckpoint(eager=True)`` keeps plan depth
+- per-round ``localCheckpoint`` (lazy) keeps plan depth
   constant in the round count (the transitive_closure /pagerank
   lineage discipline).
 
@@ -384,7 +384,7 @@ def train_bpe(
     vocab = (
         word_freqs(df, text_col, min_word_freq)
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merged_expr = F.expr(
         "concat(substring(pair_a, 1, length(pair_a)-1), "
@@ -407,10 +407,12 @@ def train_bpe(
                 F.col("cnt"),
             )
             .withColumn("merged", merged_expr)
-            # 1 row: eager, so each round runs exactly one job and
-            # the next round's vocab plan references a literal-sized
-            # checkpoint, not the previous round's full lineage
-            .localCheckpoint(eager=True)
+            # 1 row: lazy-checkpointed, so the next round's vocab
+            # plan references a literal-sized LogicalRDD, not the
+            # previous round's full lineage; materialization rides
+            # the next toRdd's stage jobs instead of a per-round
+            # eager count
+            .localCheckpoint(eager=False)
         )
         out = top if out is None else out.unionByName(top)
         vocab = (
@@ -422,7 +424,7 @@ def train_bpe(
                 ),
             )
             .select("word", "freq", "seg")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     assert out is not None
     return (

@@ -591,7 +591,7 @@ def connected_components(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def checksum(df: DataFrame) -> tuple:
@@ -606,7 +606,7 @@ def connected_components(
     converged = False
     rounds = 0
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cur = checksum(e)
         if cur == prev:

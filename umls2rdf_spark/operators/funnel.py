@@ -70,7 +70,7 @@ def funnel_counts(
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.localCheckpoint(eager=False)
         out_rows.append(
             cur.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_users")

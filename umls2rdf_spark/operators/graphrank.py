@@ -12,7 +12,9 @@ relational structure is the MRREL hierarchy walk
 :func:`umls2rdf_spark.operators.hierarchy.transitive_closure`.
 PageRank is the second iterative-fixpoint operator of the engine,
 built on the same discipline: per-iteration
-``localCheckpoint(eager=True)`` to truncate the otherwise
+``localCheckpoint`` (lazy — the consumer's action materializes,
+so each round costs its shuffle stages but no extra count job) to
+truncate the otherwise
 exponentially growing lineage.
 
 Engine-exact semantics (the repo's int64 discipline): every rank is
@@ -114,7 +116,7 @@ def pagerank(
       dangling-rank sum), inside the round's existing checkpoint.
 
     The degree-annotated edge frame and every iteration's rank frame
-    are eagerly localCheckpoint'd — same lineage discipline as
+    are localCheckpoint'd (lazily) — same lineage discipline as
     ``transitive_closure`` (hierarchy.py:114): without it the rank
     plan references the previous iteration's plan once per term and
     grows without bound.
@@ -123,12 +125,12 @@ def pagerank(
         raise ValueError(f"dangling must be decay|redistribute, got {dangling!r}")
     edges = edges.select("src", "dst", F.col("w").cast("bigint"))
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = edges.join(out_w, "src").localCheckpoint(eager=True)
+    ew = edges.join(out_w, "src").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # N and the per-node teleport base stay IN-PLAN (single-row agg
     # cross-joined onto the node frame — broadcast by size), attached
@@ -137,7 +139,7 @@ def pagerank(
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
     nodes = (
         nodes.crossJoin(F.broadcast(n_frame))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     teleport = F.expr(f"CAST({total_q} AS BIGINT) div __n")
     ranks = nodes.select("node", teleport.alias("rank_q"))
@@ -154,7 +156,7 @@ def pagerank(
                 "node",
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     for _ in range(iters):
         contrib = (
@@ -190,7 +192,7 @@ def pagerank(
             )
         ranks = joined.select(
             "node", new_rank.alias("rank_q")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks.select("node", "rank_q")
 
 
@@ -202,7 +204,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     host-level grouping (webcurate C37) can't see when one logical
     site spans many hosts. Third iterative-fixpoint operator of the
     engine (transitive_closure, pagerank, this), same per-round
-    ``localCheckpoint(eager=True)`` lineage discipline.
+    ``localCheckpoint`` lineage discipline.
 
     Deterministic semantics (synchronous variant, value-verifiable):
     label₀(v) = v; each round every node adopts the label with the
@@ -238,7 +240,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # labels₀ is consumed exactly once (round 1's join) — no
     # checkpoint: its lineage is one distinct over the checkpointed
@@ -263,7 +265,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             cand.groupBy("src")
             .agg(F.max_by("label", ord_key).alias("label"))
             .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -575,7 +577,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = und
     dropped_last = None
@@ -590,7 +592,7 @@ def kcore(
         nxt = (
             cur.join(keep.withColumnRenamed("n", "a"), "a", "semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dropped_last = cur.count() - nxt.count()
         cur = nxt
@@ -687,7 +689,7 @@ def shortest_paths(
             F.lit(0).cast("bigint").alias("dist"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = cur
     for _ in range(rounds):
@@ -701,7 +703,7 @@ def shortest_paths(
             cur.unionByName(relax)
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         prev, cur = cur, nxt
     changed = cur.join(prev, ["node", "dist"], "left_anti").count()

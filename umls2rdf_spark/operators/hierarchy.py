@@ -130,7 +130,7 @@ def transitive_closure(
       them): round 1 runs one orientation (Δ≡C), the within-hop
       dedup and the closure subtraction fuse into ONE tagged groupBy
       shuffle instead of distinct + left_anti, and every delta and
-      closure is eagerly localCheckpoint'd (the iterative plan
+      closure is localCheckpoint'd (the iterative plan
       otherwise grows exponentially and a naive persist()-based
       variant OOM'd the driver just printing it).
     - ``doubling``: closure ∪ closure∘closure each round, distinct,
@@ -170,8 +170,12 @@ def transitive_closure(
                 )
                 .select(F.col("a.child"), F.col("b.ancestor"))
             )
+            # lazy: the count() below is the materializing action, so
+            # each round runs ONE job instead of eager-checkpoint +
+            # count (the logical plan is truncated to a LogicalRDD at
+            # the call either way; only the materializing count moves)
             new_closure = (
-                closure.union(hop).distinct().localCheckpoint(eager=True)
+                closure.union(hop).distinct().localCheckpoint(eager=False)
             )
             if new_closure.count() == closure.count():
                 return new_closure
@@ -187,7 +191,7 @@ def transitive_closure(
     # constraint-rewrite bug ("key not found: <attr>") when its
     # lineage re-enters an earlier checkpointed frame; the tagged
     # aggregation form checkpoints cleanly.
-    closure = closure.localCheckpoint(eager=True)
+    closure = closure.localCheckpoint(eager=False)
     delta = closure
     for _ in range(max_iters):
         fwd = (
@@ -227,10 +231,15 @@ def transitive_closure(
             .agg(F.max("__old").alias("__old"))
             .where(F.col("__old") == 0)
             .drop("__old")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if new.isEmpty():
+        # count() (not isEmpty) so the SAME job that answers
+        # convergence also materializes the lazy checkpoint fully —
+        # one driver-blocking job per round where eager-checkpoint +
+        # isEmpty took two (isEmpty's take(1) would additionally leave
+        # partitions uncached for a doCheckpoint backfill job)
+        if new.count() == 0:
             return closure
-        closure = closure.union(new).localCheckpoint(eager=True)
+        closure = closure.union(new).localCheckpoint(eager=False)
         delta = new
     return closure

@@ -48,7 +48,7 @@ per-round window partitions on (word, start) (fine-grained keys, no
 skew pile-up); the winner map is one map-side-combined groupBy; the
 walk is a pure column expression; usage counts another bounded
 groupBy. Ranking windows run on the model-sized piece frame only.
-Per-round ``localCheckpoint(eager=True)`` keeps plan depth constant
+Per-round ``localCheckpoint`` (lazy) keeps plan depth constant
 (the bpe/pagerank lineage discipline) — and unlike BPE, rounds here
 are intrinsically FEW (each round re-segments everything; practical
 trainers run <10 EM rounds), so there is no serial-job bottleneck
@@ -242,13 +242,13 @@ def unigram_lm_train(
     wf = (
         word_freqs(df, text_col)
         .where(F.col("freq") >= min_word_freq)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed_counts = (
         _candidates(wf, max_piece_len)
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     chars = seed_counts.where(F.length("piece") == 1).select("piece")
 
@@ -273,7 +273,7 @@ def unigram_lm_train(
         )
 
     voc = _with_costs(prune(seed_counts, seed_size), quant_bits)
-    voc = voc.localCheckpoint(eager=True)
+    voc = voc.localCheckpoint(eager=False)
     for _ in range(rounds):
         seg = unigram_segment(wf, voc, max_piece_len)
         use = (
@@ -282,7 +282,7 @@ def unigram_lm_train(
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
         voc = _with_costs(prune(use, vocab_size), quant_bits)
-        voc = voc.localCheckpoint(eager=True)
+        voc = voc.localCheckpoint(eager=False)
     return voc.select("piece", "cnt", "cost_q")
 
 

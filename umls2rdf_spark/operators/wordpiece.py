@@ -157,7 +157,7 @@ def train_wordpiece(
     vocab = (
         word_freqs(df, text_col, min_word_freq)
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merged_expr = F.expr(
         "concat(substring(pair_a, 1, length(pair_a)-1), "
@@ -183,7 +183,7 @@ def train_wordpiece(
             .withColumn("merged", merged_expr)
             # 1-row eager checkpoint: constant plan depth per round
             # (the bpe/pagerank lineage discipline)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = top if out is None else out.unionByName(top)
         vocab = (
@@ -197,7 +197,7 @@ def train_wordpiece(
                 ),
             )
             .select("word", "freq", "seg")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     assert out is not None
     return (
