@@ -295,3 +295,38 @@ def test_null_labels_never_mine_or_get_mined(spark):
         ).collect()
     )
     assert ivf == exact
+
+
+def test_kernel_impl_equals_sql_baseline(spark):
+    """round 9: hard_negative_topk's default impl moved to the
+    single-bucket vectorized kernel (the SQL per-pair cosine is a
+    ~190-node expression evaluated row-at-a-time above a
+    BroadcastNestedLoopJoin — measured 3.2s vs 1.3s at sf0.1). The
+    two implementations must return EXACTLY the same rows — ids,
+    ranks, and bit-level cosines — including under the max_bucket
+    completeness valve."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 40)
+    sql_rows = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in hard_negative_topk(
+            emb, queries, "vec_id", "embedding", "label", k=3,
+            impl="sql",
+        ).collect()
+    )
+    assert sql_rows
+    kernel_rows = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in hard_negative_topk(
+            emb, queries, "vec_id", "embedding", "label", k=3
+        ).collect()
+    )
+    assert kernel_rows == sql_rows
+    salted = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in hard_negative_topk(
+            emb, queries, "vec_id", "embedding", "label", k=3,
+            max_bucket=7,
+        ).collect()
+    )
+    assert salted == sql_rows
