@@ -183,3 +183,43 @@ def test_boolean_query_oracle_parity(spark, duck):
             _BQ_NOT,
         ),
     )
+
+
+def test_exact_topk_kernel_impls_equal_sql(spark):
+    """round 9: cosine_topk / l2_topk default to the single-bucket
+    vectorized kernel; rows, ranks, and score values (bit-level)
+    must equal the pure-SQL broadcast baseline, with and without
+    the completeness-preserving max_bucket valve."""
+    from tests.conftest import SF_DIR
+    from umls2rdf_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 12)
+    cos_sql = sorted(
+        map(tuple, cosine_topk(
+            emb, qs, "vec_id", "embedding", k=4, impl="sql"
+        ).collect())
+    )
+    assert cos_sql
+    assert cos_sql == sorted(
+        map(tuple, cosine_topk(emb, qs, "vec_id", "embedding", k=4).collect())
+    )
+    assert cos_sql == sorted(
+        map(tuple, cosine_topk(
+            emb, qs, "vec_id", "embedding", k=4, max_bucket=50
+        ).collect())
+    )
+    l2_sql = sorted(
+        map(tuple, l2_topk(
+            emb, qs, "vec_id", "embedding", k=4, impl="sql"
+        ).collect())
+    )
+    assert l2_sql
+    assert l2_sql == sorted(
+        map(tuple, l2_topk(emb, qs, "vec_id", "embedding", k=4).collect())
+    )
+    assert l2_sql == sorted(
+        map(tuple, l2_topk(
+            emb, qs, "vec_id", "embedding", k=4, max_bucket=50
+        ).collect())
+    )

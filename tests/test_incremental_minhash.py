@@ -175,3 +175,32 @@ def test_admission_is_partitioning_invariant(spark):
         results.append(survivors(out))
     assert results[0] == results[1]
     assert 0 < len(results[0]) < len(shard_rows)  # non-trivial case
+
+
+def test_provided_shard_sigs_slice_equivalent(spark, frames):
+    """round 9: the text_scoring key persists ONE full-corpus
+    signature frame and slices it per shard. The signature expression
+    is a pure per-row projection, so sigs(df.where(p)) ==
+    sigs(df).where(p), and passing the slice as ``shard_sigs`` (plus
+    the base slice as the index) must admit exactly the same rows as
+    computing signatures inside the operator."""
+    from umls2rdf_spark.operators.dedup import minhash_signatures_mapside
+
+    base, shard = frames
+    all_docs = base.unionByName(shard)
+    all_sigs = minhash_signatures_mapside(all_docs, "doc_id", "text")
+    inline = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5
+    )
+    sliced = incremental_minhash_dedupe(
+        shard, base, "doc_id", "text", min_jaccard=0.5,
+        base_index=band_signatures(
+            all_sigs.where(F.col("doc_id") % 2 == 0), "doc_id"
+        ),
+        shard_sigs=all_sigs.where(F.col("doc_id") % 2 == 1),
+    )
+    assert survivors(inline) == survivors(sliced)
+    # the slice itself is row-identical to signing the slice
+    a = sorted(map(tuple, all_sigs.where(F.col("doc_id") % 2 == 1).collect()))
+    b = sorted(map(tuple, minhash_signatures_mapside(shard, "doc_id", "text").collect()))
+    assert a == b

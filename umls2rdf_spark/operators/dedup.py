@@ -679,6 +679,7 @@ def incremental_minhash_dedupe(
     rows_per_band: int = 1,
     min_jaccard: float | None = None,
     base_index: DataFrame | None = None,
+    shard_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup intake: admit only new-shard documents
     that are not near-duplicates of the standing corpus or of a
@@ -726,11 +727,18 @@ def incremental_minhash_dedupe(
             rows_per_band,
         )
     # signatures map-side (scan speed, zero shuffle); the shingle
-    # explode is built only if the verify stage needs it
-    shard_sigs = minhash_signatures_mapside(
-        new_docs, id_col, text_col,
-        num_perm=num_perm, shingle_n=shingle_n,
-    )
+    # explode is built only if the verify stage needs it. A caller
+    # that already holds (or persists) the shard's signature frame —
+    # e.g. one full-corpus signature pass sliced per shard, the
+    # signature computation being a pure per-row projection, so
+    # sigs(docs.where(p)) == sigs(docs).where(p) — passes it as
+    # ``shard_sigs`` and this pass (consumed TWICE below: the base
+    # probe and the within-shard LSH join) is not recomputed.
+    if shard_sigs is None:
+        shard_sigs = minhash_signatures_mapside(
+            new_docs, id_col, text_col,
+            num_perm=num_perm, shingle_n=shingle_n,
+        )
     shard_bands = band_signatures(shard_sigs, id_col, rows_per_band)
 
     base_pairs = (

@@ -48,15 +48,36 @@ def l2_topk(
     vec_col: str,
     k: int = 5,
     dim: int = 64,
+    impl: str = "kernel",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact top-k squared-L2 neighbors per query: (query_id,
     neighbor_id, rank, dist2) — rank by (dist2 ASC, neighbor ASC),
-    dist2 exact int64 on the quantized vectors. Same broadcast-
-    the-queries / one-corpus-pass shape as cosine_topk."""
+    dist2 exact int64 on the quantized vectors.
+
+    ``impl="kernel"`` (default) runs the single-bucket vectorized
+    kernel (every dist2 term exact int64 — |q|^2 + |c|^2 - 2<q,c>
+    as one matmul; guide §4.2), same reasoning and valve as
+    similarity.cosine_topk; ``impl="sql"`` keeps the broadcast-
+    the-queries / one-corpus-pass pure-SQL baseline. Equality is
+    pinned by test."""
     from umls2rdf_spark.operators.similarity import (
+        _bucketed_role_topk,
         _dot_expr,
         _with_qvec,
     )
+
+    if impl == "kernel":
+        import numpy as np
+
+        def assign(q, probes):
+            return np.zeros((q.shape[0], probes), dtype=np.int64)
+
+        return _bucketed_role_topk(
+            vectors, queries, id_col, vec_col, None,
+            k=k, nprobe=1, assign_fn=assign, max_bucket=max_bucket,
+            metric="l2",
+        )
 
     corpus = _with_qvec(vectors, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),

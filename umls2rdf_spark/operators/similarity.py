@@ -101,13 +101,34 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     dim: int = 64,
+    impl: str = "kernel",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector:
+    (query_id, neighbor_id, rank, cos_sim), ties broken by neighbor
+    id. Two result-identical implementations (equality pinned by
+    test, same pattern as :func:`hard_negative_topk`):
 
-    Broadcast-joins the query set against the corpus (one corpus
-    pass, no shuffle of the big side); (query_id, neighbor_id, rank,
-    cos_sim), ties broken by neighbor id.
+    - ``impl="kernel"`` (default): single-bucket vectorized kernel —
+      one q @ c.T int64 matmul per task instead of a ~190-node
+      per-pair cosine expression evaluated row-at-a-time above the
+      non-codegen BroadcastNestedLoopJoin (guide §4.2).
+      ``max_bucket`` engages the completeness-preserving block-pair
+      valve for corpora too big for one task.
+    - ``impl="sql"``: broadcast-join the query set against the
+      corpus (one corpus pass, no shuffle of the big side), cosine
+      in-plan — the oracle-able pure-SQL baseline.
     """
+    if impl == "kernel":
+        import numpy as np
+
+        def assign(q, probes):
+            return np.zeros((q.shape[0], probes), dtype=np.int64)
+
+        return _bucketed_role_topk(
+            vectors, queries, id_col, vec_col, None,
+            k=k, nprobe=1, assign_fn=assign, max_bucket=max_bucket,
+        )
     corpus = _with_qvec(vectors, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("c_vec"),
@@ -319,21 +340,26 @@ def _bucketed_role_topk(
     queries: DataFrame | None,
     id_col: str,
     vec_col: str,
-    label_col: str,
+    label_col: str | None,
     k: int,
     nprobe: int,
     assign_fn,
     max_bucket: int | None = None,
+    metric: str = "cos",
 ) -> DataFrame:
     """Shared assembly for the bucketed hard-negative family
-    (:func:`hard_negative_topk_lsh` / :func:`hard_negative_topk_ivf`):
+    (:func:`hard_negative_topk_lsh` / :func:`hard_negative_topk_ivf`)
+    and the exact scorers' single-bucket kernel path:
     quantize → bucket via ``assign_fn`` → role-aware per-bucket
     kernel → global re-rank. ``assign_fn(q, probes)`` maps an
     (n, dim) int64 matrix to an (n, probes) bucket matrix, column 0
     the primary residency bucket; it must be a plain closure
     (locals + numpy only) so cloudpickle ships the whole featurize
     by value. ``max_bucket`` routes through the completeness-
-    preserving block-pair valve for either variant."""
+    preserving block-pair valve for either variant.
+    ``label_col=None`` turns the different-label mask off (plain
+    nearest-neighbor mining); ``metric`` picks the kernel score
+    (``cos`` float desc / ``l2`` exact-int dist2 asc)."""
     feat_schema = (
         f"{id_col} long, lab string, qvec array<long>, norm2 long, "
         "bucket int, is_corpus boolean, is_query boolean"
@@ -388,11 +414,12 @@ def _bucketed_role_topk(
         return featurize
 
     def prep(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.col(label_col).cast("string").alias("lab"),
-            F.col(vec_col),
+        lab = (
+            F.col(label_col).cast("string")
+            if label_col is not None
+            else F.lit(None).cast("string")
         )
+        return df.select(F.col(id_col), lab.alias("lab"), F.col(vec_col))
 
     if queries is None:
         feat = spread_small_input(prep(vectors), id_col).mapInPandas(
@@ -410,10 +437,22 @@ def _bucketed_role_topk(
     if max_bucket is not None:
         feat = _salt_block_pairs(feat, id_col, max_bucket)
         group_cols = ["bucket", "__salt"]
+    score_type = "dist2 long" if metric == "l2" else "cos double"
     local = feat.groupBy(*group_cols).applyInPandas(
-        _labeled_topk_fn(id_col, k),
-        schema="query_id long, neighbor_id long, cos double",
+        _role_topk_fn(
+            id_col, k, label_aware=label_col is not None, metric=metric
+        ),
+        schema=f"query_id long, neighbor_id long, {score_type}",
     )
+    if metric == "l2":
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist2")
+        )
     return _rank_topk(local, k)
 
 
@@ -523,22 +562,35 @@ def _labeled_topk_fn(id_col: str, k: int):
     return _role_topk_fn(id_col, k, label_aware=True)
 
 
-def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
+def _role_topk_fn(
+    id_col: str, k: int, label_aware: bool = False, metric: str = "cos"
+):
     """Per-bucket role-aware top-k kernel: rows tagged is_corpus are
     the bucket's residents, rows tagged is_query mine against them
     (the two roles separate so the block-pair skew valve can split
     residents while replicating queries); same-id pairs — and, when
     ``label_aware``, SAME-label pairs — are masked out; exact int64
-    dots, deterministic (cos desc, neighbor id asc) ordering.
-    Closure over plain locals so cloudpickle ships it by value."""
+    dots, deterministic (best score first, neighbor id asc) ordering.
+    ``metric="cos"`` emits a float64 ``cos`` column (dot / sqrt of the
+    int64 norm product — the SQL baseline's exact IEEE sequence);
+    ``metric="l2"`` emits an int64 ``dist2`` column (|q|^2 + |c|^2 -
+    2<q,c>, every term exact int64) ordered ascending. Closure over
+    plain locals so cloudpickle ships it by value."""
     import numpy as np
     import pandas as pd
 
+    score_col = "dist2" if metric == "l2" else "cos"
+    score_dtype = "int64" if metric == "l2" else "float64"
+
     def hn_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cos": []}
+            {"query_id": [], "neighbor_id": [], score_col: []}
         ).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                score_col: score_dtype,
+            }
         )
         corpus = pdf[pdf["is_corpus"]]
         qs = pdf[pdf["is_query"]]
@@ -548,13 +600,23 @@ def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
         c = np.vstack(corpus["qvec"].values).astype(np.int64)
         qids = qs[id_col].values.astype(np.int64)
         cids = corpus[id_col].values.astype(np.int64)
-        cos = (q @ c.T) / np.sqrt(
-            np.outer(
-                qs["norm2"].values.astype(np.float64),
-                corpus["norm2"].values.astype(np.float64),
+        if metric == "l2":
+            qn = qs["norm2"].values.astype(np.int64)
+            cn = corpus["norm2"].values.astype(np.int64)
+            score = qn[:, None] + cn[None, :] - 2 * (q @ c.T)
+            # sort key only: float64 is order-exact for |dist2| <
+            # 2^53 (quantized coords keep dist2 far below that);
+            # emitted values stay int64
+            skey = -score.astype(np.float64)
+        else:
+            score = (q @ c.T) / np.sqrt(
+                np.outer(
+                    qs["norm2"].values.astype(np.float64),
+                    corpus["norm2"].values.astype(np.float64),
+                )
             )
-        )
-        cos[qids[:, None] == cids[None, :]] = -np.inf
+            skey = score
+        blocked = qids[:, None] == cids[None, :]
         if label_aware:
             qlab = qs["lab"].values
             clab = corpus["lab"].values
@@ -564,15 +626,16 @@ def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
             # rows are masked on BOTH sides (object-array == alone
             # would keep null-vs-labeled pairs: None == 'x' is
             # False, not unknown)
-            blocked = qlab[:, None] == clab[None, :]
+            blocked |= qlab[:, None] == clab[None, :]
             blocked |= pd.isnull(qlab)[:, None]
             blocked |= pd.isnull(clab)[None, :]
-            cos[blocked] = -np.inf
+        skey = skey.copy()
+        skey[blocked] = -np.inf
         rows = []
         kk = min(k, len(cids))
         for i in range(len(qids)):
-            order = np.lexsort((cids, -cos[i]))[:kk]
-            keep = cos[i][order] > -np.inf
+            order = np.lexsort((cids, -skey[i]))[:kk]
+            keep = skey[i][order] > -np.inf
             if not keep.any():
                 continue
             rows.append(
@@ -580,7 +643,7 @@ def _role_topk_fn(id_col: str, k: int, label_aware: bool = False):
                     {
                         "query_id": qids[i],
                         "neighbor_id": cids[order[keep]],
-                        "cos": cos[i][order[keep]],
+                        score_col: score[i][order[keep]],
                     }
                 )
             )

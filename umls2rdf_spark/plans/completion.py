@@ -775,7 +775,7 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_log_odds,
         unigram_surprisal,
     )
-    from umls2rdf_spark.plans.llm_demos import dedup_minhash, dedup_simhash
+    from umls2rdf_spark.plans.llm_demos import dedup_simhash
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -843,6 +843,23 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared_occ = occ_scope.persist(
         bigram_occurrences(docs, "doc_id", "text")
     )
+    # ONE map-side minhash signature pass feeds the LSH pair section
+    # AND both sides of the incremental near-dup intake (base index +
+    # shard signatures, the latter consumed TWICE inside the
+    # operator): the signature expression is the key's most expensive
+    # per-row projection (md5 per shingle x num_perm permutation
+    # minima), and it is a pure per-row function, so slicing the
+    # persisted full-corpus frame by the shard predicate is
+    # row-identical to signing each slice (sigs(df.where(p)) ==
+    # sigs(df).where(p); pinned by test_incremental_minhash).
+    from umls2rdf_spark.operators.dedup import lsh_candidate_pairs
+    from umls2rdf_spark.plans.llm_demos import _NUM_PERM as _LSH_PERM
+
+    assert _LSH_PERM == _IMH_PERM, "shared signature frame needs one num_perm"
+    sig_scope = op_scope(spark, "ts_minhash_sigs")
+    shared_sigs = sig_scope.persist(
+        minhash_signatures_mapside(docs, "doc_id", "text", num_perm=_IMH_PERM)
+    )
     # ONE q-digest build feeds the node-state AND rank-query
     # sections (the digest is <= 2k·levels rows — persisting it
     # costs nothing and halves the corpus histogram scans)
@@ -872,8 +889,12 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     builders = [
+        # row-identical to dedup_minhash(spark, sf_dir): the same
+        # lsh_candidate_pairs over the same map-side signatures, just
+        # reading the shared persisted signature frame
         lambda: fingerprint_section(
-            dedup_minhash(spark, sf_dir), "minhash_pairs"
+            lsh_candidate_pairs(shared_sigs, "doc_id", rows_per_band=1),
+            "minhash_pairs",
         ),
         lambda: fingerprint_section(simhash_df, "simhash"),
         # banded Hamming near-dup join over those simhashes — the
@@ -920,11 +941,10 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shard, base, "doc_id", "text",
                 num_perm=_IMH_PERM, min_jaccard=_IMH_JACCARD,
                 base_index=band_signatures(
-                    minhash_signatures_mapside(
-                        base, "doc_id", "text", num_perm=_IMH_PERM
-                    ),
+                    shared_sigs.where(F.col("doc_id") % 2 == 0),
                     "doc_id",
                 ),
+                shard_sigs=shared_sigs.where(F.col("doc_id") % 2 == 1),
             ),
             "incremental_minhash",
         ),
