@@ -97,6 +97,14 @@ def main() -> None:
             )
         return out
 
+    warm = "--warm" in keys
+    keys = [k for k in keys if k != "--warm"]
+    if warm:
+        # one full normal construction + execution first, so the
+        # serial attributed build below measures the WARM cost the
+        # bench's repeated calls actually pay
+        for key in keys:
+            qs[key](spark, SF_DIR).count()
     completion.fingerprint_section = fp_wrapper
     completion._build_sections = serial_build
     try:

@@ -442,12 +442,18 @@ def unigram_surprisal(
     counts = scope.persist(
         occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt").alias("total")).collect()[0]["total"]
+    # ONE bounded driver job for both decision inputs (total + the
+    # distinct count values) instead of two — collect_set returns
+    # exactly the distinct-cnt set, and the weight rows are keyed by
+    # cnt, so their order is irrelevant (round 9, build-job count:
+    # every declared-query call pays these jobs at plan-build time)
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.collect_set("cnt").alias("cnts")
+    ).collect()[0]
+    total = stats["total"]
     if not total:
         raise ValueError("corpus has no tokens")
-    distinct_counts = [
-        r["cnt"] for r in counts.select("cnt").distinct().collect()
-    ]
+    distinct_counts = stats["cnts"]
     scale = 1 << quant_bits
     weights = [
         (int(c), int(round((math.log2(total) - math.log2(c)) * scale)))
@@ -721,15 +727,30 @@ def bigram_surprisal(
     scale = 1 << quant_bits
     spark = df.sparkSession
 
-    def wdim(counts_df, col):
-        vals = [r[col] for r in counts_df.select(col).distinct().collect()]
+    # ONE bounded driver job collects BOTH distinct-value sets (the
+    # bigram counts and the context totals) instead of one job each —
+    # the weight tables are keyed dims, so the per-set values and the
+    # rows built from them are identical (round 9, build-job count)
+    vals = (
+        big.select(F.lit(0).alias("__k"), F.col("cb").alias("__v"))
+        .distinct()
+        .unionByName(
+            ctx.select(F.lit(1).alias("__k"), F.col("cc").alias("__v"))
+            .distinct()
+        )
+        .collect()
+    )
+
+    def wdim(which, col):
         rows = [
-            (int(c), int(round(math.log2(c) * scale))) for c in vals
+            (int(r["__v"]), int(round(math.log2(r["__v"]) * scale)))
+            for r in vals
+            if r["__k"] == which
         ]
         return spark.createDataFrame(rows, f"{col} bigint, w bigint")
 
-    wb = wdim(big, "cb").withColumnRenamed("w", "wb")
-    wc = wdim(ctx, "cc").withColumnRenamed("w", "wc")
+    wb = wdim(0, "cb").withColumnRenamed("w", "wb")
+    wc = wdim(1, "cc").withColumnRenamed("w", "wc")
     per = (
         occ.join(big, ["w1", "w2"])
         .join(ctx, "w1")
