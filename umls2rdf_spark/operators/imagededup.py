@@ -136,18 +136,22 @@ def hamming_near_dup_pairs(
         join_keys = ["band", "sig", "__bi", "__bj"]
     else:
         join_keys = ["band", "sig"]
-    cand = (
+    # the hamming test runs BEFORE the cross-band dedup shuffle
+    # (guide §2.3): XOR + bit_count is a map-side codegen expression,
+    # so only pairs that actually pass the threshold reach the
+    # distinct's exchange — the candidate pairs of a hot bucket
+    # (hundreds of times more rows) are dropped in the join stage.
+    # Result-identical: hamming is a pure function of the pair, and
+    # filter/distinct commute row-wise.
+    return (
         a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
