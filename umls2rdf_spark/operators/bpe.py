@@ -122,19 +122,18 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     Single-symbol words contribute no pairs (the ``size >= 2``
     guard; the oracle's parallel slice-unnest yields zero rows for
     them by construction — probed equivalent)."""
-    toks = vocab.withColumn("toks", F.split("seg", " "))
-    pairs = toks.where(F.expr("size(toks) >= 2")).select(
-        "freq",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks)-1), "
-                "i -> struct(element_at(toks, i) AS a, "
-                "element_at(toks, i+1) AS b))"
-            )
-        ).alias("p"),
-    )
+    # selectExpr strings (1 py4j round-trip each) — this graph is
+    # rebuilt once per training round in BOTH bpe and wordpiece
     return (
-        pairs.select("freq", "p.a", "p.b")
+        vocab.selectExpr("freq", "split(seg, ' ') AS toks")
+        .where("size(toks) >= 2")
+        .selectExpr(
+            "freq",
+            "explode(transform(sequence(1, size(toks)-1), "
+            "i -> struct(element_at(toks, i) AS a, "
+            "element_at(toks, i+1) AS b))) AS p",
+        )
+        .selectExpr("freq", "p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.sum("freq").alias("cnt"))
     )

@@ -59,7 +59,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from umls2rdf_spark.operators.bpe import word_freqs, word_freqs_sql
 
@@ -75,29 +75,23 @@ def _lcm_upto(n: int) -> int:
 
 def _candidates(wf: DataFrame, max_len: int) -> DataFrame:
     """(word, freq, s, l, piece): every substring occurrence of every
-    distinct word, length 1..max_len, 1-based start offset s."""
+    distinct word, length 1..max_len, 1-based start offset s.
+
+    selectExpr strings, not Column graphs: this chain is rebuilt per
+    EM round (and per application walk), and each F.* call is a py4j
+    round-trip while a selectExpr of any size is one (the
+    minhash_signatures_mapside discipline). Same operators, same
+    output."""
     return (
-        wf.withColumn("__n", F.length("word").cast("int"))
-        .select(
-            "word",
-            "freq",
-            "__n",
-            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("s"),
-        )
-        .select(
+        wf.selectExpr("word", "freq", "CAST(length(word) AS INT) AS __n")
+        .selectExpr("word", "freq", "__n", "explode(sequence(1, __n)) AS s")
+        .selectExpr(
             "word",
             "freq",
             "s",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(max_len), F.col("__n") - F.col("s") + 1
-                    ),
-                )
-            ).alias("l"),
+            f"explode(sequence(1, least({max_len}, __n - s + 1))) AS l",
         )
-        .withColumn("piece", F.expr("substring(word, s, l)"))
+        .selectExpr("word", "freq", "s", "l", "substring(word, s, l) AS piece")
     )
 
 
@@ -106,22 +100,19 @@ def _with_costs(voc: DataFrame, quant_bits: int) -> DataFrame:
     quantized negative log2 probability (the surprisal/token_log_odds
     quantization convention)."""
     tot = voc.agg(
-        F.sum("cnt").cast("bigint").alias("__t"),
-        F.count(F.lit(1)).cast("bigint").alias("__v"),
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("__t"),
+        F.expr("CAST(COUNT(1) AS BIGINT)").alias("__v"),
     )
     scale = 1 << quant_bits
-    return voc.crossJoin(F.broadcast(tot)).select(
+    return voc.crossJoin(F.broadcast(tot)).selectExpr(
         "piece",
         "cnt",
-        F.round(
-            (
-                F.log2((F.col("__t") + F.col("__v")).cast("double"))
-                - F.log2((F.col("cnt") + 1).cast("double"))
-            )
-            * F.lit(float(scale))
-        )
-        .cast("bigint")
-        .alias("cost_q"),
+        # the scale factor is forced DOUBLE (a bare SQL float literal
+        # is DECIMAL) so the arithmetic is the same double math as the
+        # old F.lit(float(scale)) Column graph
+        "CAST(round((log2(CAST(__t + __v AS DOUBLE))"
+        " - log2(CAST(cnt + 1 AS DOUBLE)))"
+        f" * CAST({scale} AS DOUBLE)) AS BIGINT) AS cost_q",
     )
 
 
@@ -145,72 +136,55 @@ def unigram_segment(
     cand = _candidates(wf, max_piece_len).join(
         F.broadcast(model.select("piece", "cost_q")), "piece"
     )
-    win = Window.partitionBy("word", "s").orderBy(
-        F.expr(f"(cost_q * {mult}) div l").asc(),
-        F.col("l").desc(),
-        F.col("piece").asc(),
-    )
+    # expr strings throughout (one py4j round-trip each — this graph
+    # is rebuilt per EM round and per application walk): same window,
+    # same map, same aggregate-lambda walk as the old Column graph.
     best = (
-        cand.withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") == 1)
+        cand.selectExpr(
+            "word",
+            "s",
+            "l",
+            "piece",
+            "row_number() OVER (PARTITION BY word, s ORDER BY"
+            f" (cost_q * {mult}) div l ASC, l DESC, piece ASC) AS __rn",
+        )
+        .where("__rn = 1")
         .select("word", "s", "l", "piece")
     )
     winners = best.groupBy("word").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("s"),
-                    F.struct(F.col("l"), F.col("piece")),
-                )
-            )
+        F.expr(
+            "map_from_entries(collect_list("
+            "struct(s, struct(l, piece))))"
         ).alias("__m")
     )
-    seg = wf.join(winners, "word").withColumn(
-        "__n", F.length("word").cast("int")
+    seg = wf.join(winners, "word").selectExpr(
+        "*", "CAST(length(word) AS INT) AS __n"
     )
-    walk = F.aggregate(
-        F.sequence(F.lit(1), F.col("__n")),
-        F.struct(
-            F.lit(0).cast("int").alias("pos"),
-            F.expr("CAST(array() AS array<string>)").alias("parts"),
-        ),
-        # stall (keep acc) when done OR when no winner exists at the
-        # next offset — an uncoverable character; the pos == __n
-        # filter below then drops the word, matching the DuckDB
-        # twin's recursive walk stopping at the missing winner row
-        lambda acc, _x: F.when(
-            (acc["pos"] >= F.col("__n"))
-            | F.element_at(F.col("__m"), acc["pos"] + F.lit(1)).isNull(),
-            acc,
-        ).otherwise(
-            F.struct(
-                (
-                    acc["pos"]
-                    + F.element_at(F.col("__m"), acc["pos"] + F.lit(1))[
-                        "l"
-                    ]
-                )
-                .cast("int")
-                .alias("pos"),
-                F.concat(
-                    acc["parts"],
-                    F.array(
-                        F.element_at(
-                            F.col("__m"), acc["pos"] + F.lit(1)
-                        )["piece"]
-                    ),
-                ).alias("parts"),
-            )
-        ),
+    # stall (keep acc) when done OR when no winner exists at the
+    # next offset — an uncoverable character; the pos == __n
+    # filter below then drops the word, matching the DuckDB
+    # twin's recursive walk stopping at the missing winner row
+    walk = (
+        "aggregate(sequence(1, __n), "
+        "struct(CAST(0 AS INT) AS pos,"
+        " CAST(array() AS array<string>) AS parts), "
+        "(acc, _x) -> CASE WHEN acc.pos >= __n"
+        " OR element_at(__m, acc.pos + 1) IS NULL THEN acc "
+        "ELSE struct("
+        "CAST(acc.pos + element_at(__m, acc.pos + 1).l AS INT) AS pos, "
+        "concat(acc.parts,"
+        " array(element_at(__m, acc.pos + 1).piece)) AS parts) END)"
     )
-    return seg.select(
-        "word",
-        "freq",
-        walk.getField("pos").alias("__pos"),
-        walk.getField("parts").alias("parts"),
-        F.col("__n"),
-    ).where(F.col("__pos") == F.col("__n")).select(
-        "word", "freq", "parts"
+    return (
+        seg.selectExpr(
+            "word",
+            "freq",
+            f"({walk}).pos AS __pos",
+            f"({walk}).parts AS parts",
+            "__n",
+        )
+        .where("__pos = __n")
+        .select("word", "freq", "parts")
     )
 
 

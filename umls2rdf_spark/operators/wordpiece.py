@@ -56,7 +56,7 @@ from __future__ import annotations
 
 import heapq
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from umls2rdf_spark.operators.bpe import (
     _SEG_DUCK,
@@ -92,11 +92,9 @@ def _symbol_counts(vocab: DataFrame) -> DataFrame:
     the vocab frame — the unigram denominator of the WordPiece score
     (every position counts, same convention as _pair_counts)."""
     return (
-        vocab.select(
-            "freq", F.explode(F.split("seg", " ")).alias("sym")
-        )
+        vocab.selectExpr("freq", "explode(split(seg, ' ')) AS sym")
         .groupBy("sym")
-        .agg(F.sum("freq").cast("bigint").alias("scnt"))
+        .agg(F.expr("CAST(SUM(freq) AS BIGINT)").alias("scnt"))
     )
 
 
@@ -117,16 +115,14 @@ def _scored_pairs(vocab: DataFrame) -> DataFrame:
     syms = _symbol_counts(vocab)
     return (
         pairs.join(
-            F.broadcast(syms.select(F.col("sym").alias("a"),
-                                    F.col("scnt").alias("cnt_a"))),
+            F.broadcast(syms.selectExpr("sym AS a", "scnt AS cnt_a")),
             "a",
         )
         .join(
-            F.broadcast(syms.select(F.col("sym").alias("b"),
-                                    F.col("scnt").alias("cnt_b"))),
+            F.broadcast(syms.selectExpr("sym AS b", "scnt AS cnt_b")),
             "b",
         )
-        .select("a", "b", "cnt", F.expr(_SCORE_SPARK).alias("score_q"))
+        .selectExpr("a", "b", "cnt", f"{_SCORE_SPARK} AS score_q")
     )
 
 
@@ -159,10 +155,6 @@ def train_wordpiece(
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
         .localCheckpoint(eager=False)
     )
-    merged_expr = F.expr(
-        "concat(substring(pair_a, 1, length(pair_a)-1), "
-        "substring(pair_b, 2))"
-    )
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
         top = (
@@ -173,14 +165,15 @@ def train_wordpiece(
                 F.col("b").asc(),
             )
             .limit(1)
-            .select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("pair_a"),
-                F.col("b").alias("pair_b"),
-                F.col("cnt"),
-                F.col("score_q"),
+            .selectExpr(
+                f"{r} AS round",
+                "a AS pair_a",
+                "b AS pair_b",
+                "cnt",
+                "score_q",
+                "concat(substring(a, 1, length(a)-1), "
+                "substring(b, 2)) AS merged",
             )
-            .withColumn("merged", merged_expr)
             # 1-row eager checkpoint: constant plan depth per round
             # (the bpe/pagerank lineage discipline)
             .localCheckpoint(eager=False)
@@ -190,13 +183,12 @@ def train_wordpiece(
             vocab.crossJoin(
                 F.broadcast(top.select("pair_a", "pair_b", "merged"))
             )
-            .withColumn(
-                "seg",
-                F.expr(
-                    "replace(seg, concat(pair_a, ' ', pair_b), merged)"
-                ),
+            .selectExpr(
+                "word",
+                "freq",
+                "replace(seg, concat(pair_a, ' ', pair_b), merged)"
+                " AS seg",
             )
-            .select("word", "freq", "seg")
             .localCheckpoint(eager=False)
         )
     assert out is not None
@@ -465,17 +457,10 @@ def wordpiece_pieces(vocab: DataFrame) -> DataFrame:
     CONTENT (pipes stripped — the longest-match walk operates on
     hex strings). Vocab-bounded by construction."""
     return (
-        vocab.select(
-            "freq", F.explode(F.split("seg", " ")).alias("sym")
-        )
+        vocab.selectExpr("freq", "explode(split(seg, ' ')) AS sym")
         .groupBy("sym")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        .select(
-            F.replace(F.col("sym"), F.lit("|"), F.lit("")).alias(
-                "piece"
-            ),
-            "cnt",
-        )
+        .agg(F.expr("CAST(SUM(freq) AS BIGINT)").alias("cnt"))
+        .selectExpr("replace(sym, '|', '') AS piece", "cnt")
     )
 
 
@@ -517,83 +502,64 @@ def wordpiece_segment(
         # candidates and every word drops fail-closed regardless
         max_piece_bytes = max(1, int((row["__m"] or 2) // 2))
     wf = word_freqs(df, text_col)
-    hexed = wf.select(
+    # expr strings throughout (the unigram_segment rewrite): one
+    # py4j round-trip per projection instead of per Column op.
+    hexed = wf.selectExpr(
         "word",
         "freq",
-        F.upper(F.hex(F.encode(F.col("word"), "utf-8"))).alias("hx"),
-    ).withColumn("__n", (F.length("hx") / 2).cast("int"))
+        "upper(hex(encode(word, 'utf-8'))) AS hx",
+    ).selectExpr("*", "CAST(length(hx) / 2 AS INT) AS __n")
     # byte-aligned candidates over the hex string: start byte s
     # (1-based), length l bytes -> substring(hx, 2s-1, 2l)
     cand = (
-        hexed.select(
-            "word",
-            "freq",
-            "hx",
-            "__n",
-            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("s"),
+        hexed.selectExpr(
+            "word", "freq", "hx", "__n",
+            "explode(sequence(1, __n)) AS s",
         )
-        .select(
-            "word",
-            "hx",
-            "s",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(max_piece_bytes),
-                        F.col("__n") - F.col("s") + 1,
-                    ),
-                )
-            ).alias("l"),
+        .selectExpr(
+            "word", "hx", "s",
+            f"explode(sequence(1, least({max_piece_bytes},"
+            " __n - s + 1))) AS l",
         )
-        .withColumn(
-            "piece", F.expr("substring(hx, 2*s - 1, 2*l)")
+        .selectExpr(
+            "word", "hx", "s", "l",
+            "substring(hx, 2*s - 1, 2*l) AS piece",
         )
         .join(F.broadcast(pieces.select("piece")), "piece")
     )
-    win = Window.partitionBy("word", "s").orderBy(F.col("l").desc())
     best = (
-        cand.withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") == 1)
+        cand.selectExpr(
+            "word", "s", "l",
+            "row_number() OVER (PARTITION BY word, s"
+            " ORDER BY l DESC) AS __rn",
+        )
+        .where("__rn = 1")
         .select("word", "s", "l")
     )
     winners = best.groupBy("word").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("s"), F.col("l")))
-        ).alias("__m")
+        F.expr("map_from_entries(collect_list(struct(s, l)))").alias(
+            "__m"
+        )
     )
     seg = hexed.join(winners, "word")
-    walk = F.aggregate(
-        F.sequence(F.lit(1), F.col("__n")),
-        F.struct(
-            F.lit(0).cast("int").alias("pos"),
-            F.lit(0).cast("int").alias("cnt"),
-        ),
-        lambda acc, _x: F.when(
-            (acc["pos"] >= F.col("__n"))
-            | F.element_at(F.col("__m"), acc["pos"] + F.lit(1)).isNull(),
-            acc,
-        ).otherwise(
-            F.struct(
-                (
-                    acc["pos"]
-                    + F.element_at(F.col("__m"), acc["pos"] + F.lit(1))
-                )
-                .cast("int")
-                .alias("pos"),
-                (acc["cnt"] + F.lit(1)).cast("int").alias("cnt"),
-            )
-        ),
+    walk = (
+        "aggregate(sequence(1, __n), "
+        "struct(CAST(0 AS INT) AS pos, CAST(0 AS INT) AS cnt), "
+        "(acc, _x) -> CASE WHEN acc.pos >= __n"
+        " OR element_at(__m, acc.pos + 1) IS NULL THEN acc "
+        "ELSE struct("
+        "CAST(acc.pos + element_at(__m, acc.pos + 1) AS INT) AS pos, "
+        "CAST(acc.cnt + 1 AS INT) AS cnt) END)"
     )
     return (
-        seg.select(
+        seg.selectExpr(
             "word",
             "freq",
             "__n",
-            walk.getField("pos").alias("__pos"),
-            walk.getField("cnt").alias("n_subwords"),
+            f"({walk}).pos AS __pos",
+            f"({walk}).cnt AS n_subwords",
         )
-        .where(F.col("__pos") == F.col("__n"))
+        .where("__pos = __n")
         .select("word", "freq", "n_subwords")
     )
 

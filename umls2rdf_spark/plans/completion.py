@@ -63,38 +63,44 @@ def fingerprint_section(
     The reduction is a single map-side-combined aggregation over the
     section's plan — composing N sections into one demo adds no
     shuffle beyond each pipeline's own.
+
+    Built as THREE sql-string expressions (selectExpr/expr), not a
+    per-column Column graph: this wrapper runs once per section (81x
+    in text_scoring alone), and each F.col/cast/coalesce call is a
+    py4j round-trip while an F.expr of any size is one. The SQL is
+    function-for-function the old graph (CAST/FLOOR/COALESCE/
+    concat_ws/md5-conv hash, DECIMAL(38,0) sum, % 2^62): double *
+    1000000.0 is forced DOUBLE (a bare SQL 1000000.0 literal is
+    DECIMAL) so the float canonicalization stays bit-identical.
     """
     parts = []
     for field in df.schema.fields:
-        c = F.col(field.name)
-        if field.name in float_cols:
-            c = F.floor(c * F.lit(1000000.0)).cast("bigint")
-        parts.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
-    h = stable_hash40(F.concat_ws(_SEP, *parts))
+        q = "`" + field.name.replace("`", "``") + "`"
+        e = (
+            f"CAST(FLOOR({q} * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+            if field.name in float_cols
+            else q
+        )
+        parts.append(f"COALESCE(CAST({e} AS STRING), '{_NULL}')")
+    cat = f"concat_ws('{_SEP}', " + ", ".join(parts) + ")"
+    h = f"CAST(conv(substring(md5({cat}), 1, 10), 16, 10) AS BIGINT)"
     # checksum = (Σ 40-bit row hashes) mod 2^62, summed in
     # DECIMAL(38,0) / HUGEINT so the sum itself can NEVER overflow
     # int64 — a 10x-replica pair frame (identical payloads pair
     # across every copy: ~100x rows) pushed Σh past 2^63 and ANSI
     # Spark raised mid-verification. Below 2^62 the modulus is the
     # identity, so every existing section checksum is unchanged.
-    csum = (
-        F.coalesce(
-            F.sum(F.col("__h").cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        )
-        % F.lit(_CHECKSUM_MOD)
-    )
+    sec = section.replace("'", "''")
     return (
-        df.select(h.alias("__h"))
+        df.selectExpr(f"{h} AS __h")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            csum.cast("bigint").alias("checksum"),
+            F.expr("CAST(count(1) AS BIGINT)").alias("n_rows"),
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(__h AS DECIMAL(38,0))), "
+                f"CAST(0 AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT)"
+            ).alias("checksum"),
         )
-        .select(
-            F.lit(section).alias("section"),
-            "n_rows",
-            "checksum",
-        )
+        .selectExpr(f"'{sec}' AS section", "n_rows", "checksum")
     )
 
 
