@@ -385,10 +385,6 @@ def train_bpe(
         .withColumn("seg", F.expr(_SEG_SPARK.format(w="word")))
         .localCheckpoint(eager=False)
     )
-    merged_expr = F.expr(
-        "concat(substring(pair_a, 1, length(pair_a)-1), "
-        "substring(pair_b, 2))"
-    )
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
         top = (
@@ -399,13 +395,14 @@ def train_bpe(
                 F.col("b").asc(),
             )
             .limit(1)
-            .select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("pair_a"),
-                F.col("b").alias("pair_b"),
-                F.col("cnt"),
+            .selectExpr(
+                f"{r} AS round",
+                "a AS pair_a",
+                "b AS pair_b",
+                "cnt",
+                "concat(substring(a, 1, length(a)-1), "
+                "substring(b, 2)) AS merged",
             )
-            .withColumn("merged", merged_expr)
             # 1 row: lazy-checkpointed, so the next round's vocab
             # plan references a literal-sized LogicalRDD, not the
             # previous round's full lineage; materialization rides
@@ -416,13 +413,12 @@ def train_bpe(
         out = top if out is None else out.unionByName(top)
         vocab = (
             vocab.crossJoin(F.broadcast(top.select("pair_a", "pair_b", "merged")))
-            .withColumn(
-                "seg",
-                F.expr(
-                    "replace(seg, concat(pair_a, ' ', pair_b), merged)"
-                ),
+            .selectExpr(
+                "word",
+                "freq",
+                "replace(seg, concat(pair_a, ' ', pair_b), merged)"
+                " AS seg",
             )
-            .select("word", "freq", "seg")
             .localCheckpoint(eager=False)
         )
     assert out is not None

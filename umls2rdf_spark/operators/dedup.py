@@ -251,26 +251,32 @@ def simhash(
     One explode + one groupBy with ``bits`` conditional sums — stays
     entirely in whole-stage codegen, no pairwise work.
     """
-    toks = spread_small_input(df, id_col).select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        ).alias("tok"),
+    # sql-string exprs (one py4j round-trip each) — ``bits``
+    # conditional sums and the assemble chain were ~400 Column calls
+    toks = spread_small_input(df, id_col).selectExpr(
+        id_col,
+        f"explode(filter(split({text_col}, ' '), t -> t <> '')) AS tok",
     )
-    hashed = toks.select(F.col(id_col), stable_hash40(F.col("tok")).alias("h"))
+    hashed = toks.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(tok), 1, 10), 16, 10) AS BIGINT) AS h",
+    )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(bits)
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    fingerprint = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    # same ascending-j left-assoc sum as the old Column chain: bits
+    # 0..30 stay INT (their sum tops out at 2^31 - 1, exactly int32),
+    # the 2^31 term is a BIGINT literal and promotes the total
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return agg.selectExpr(id_col, f"{assemble} AS simhash")
 
 
 def ngram_jaccard_pairs(

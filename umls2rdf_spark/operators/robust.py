@@ -41,18 +41,10 @@ LLM-pipeline surface (SURVEY §2 B45/C67).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
-
-
-def _rank_target(n, q_ppm: int):
-    """1-based rank of the type-1 q-quantile: ⌈n·q⌉, clamped to 1."""
-    return F.greatest(
-        F.lit(1),
-        F.expr(f"(({n}) * {q_ppm} + {PPM - 1}) div {PPM}"),
-    )
 
 
 def quantile_from_counts(
@@ -66,18 +58,22 @@ def quantile_from_counts(
     """(grp..., q_val): exact ⌈n·q⌉-th order statistic per group from
     a (grp, value, cnt) frame. One window pass over distinct values
     per group (cumulative counts), one map-side-combined argmin."""
-    w_ord = Window.partitionBy(*grp_cols).orderBy(val_col)
-    w_all = Window.partitionBy(*grp_cols)
-    cum = counts.select(
+    # sql-string exprs (1 py4j round-trip each — this helper runs
+    # 2x per MAD summary and per winsorize): same windows, same
+    # type-1 rank target as the old Column graph
+    g = ", ".join(grp_cols)
+    cum = counts.selectExpr(
         *grp_cols,
         val_col,
-        F.sum(cnt_col).over(w_ord).alias("__cum"),
-        F.sum(cnt_col).over(w_all).alias("__n"),
+        f"SUM({cnt_col}) OVER (PARTITION BY {g} ORDER BY {val_col})"
+        " AS __cum",
+        f"SUM({cnt_col}) OVER (PARTITION BY {g}) AS __n",
     )
-    r = _rank_target("__n", q_ppm)
     return cum.groupBy(*grp_cols).agg(
-        F.min(
-            F.when(F.col("__cum") >= r, F.col(val_col))
+        F.expr(
+            f"MIN(CASE WHEN __cum >= greatest(1,"
+            f" (__n * {q_ppm} + {PPM - 1}) div {PPM})"
+            f" THEN {val_col} END)"
         ).alias(out_col)
     )
 
@@ -250,40 +246,29 @@ def winsorize(
     )
     # both bounds from ONE cumulative pass (shared window, shared
     # scan) — two quantile_from_counts calls would each re-derive
-    # the counts frame from the source
-    w_ord = Window.partitionBy("g").orderBy("v")
-    w_all = Window.partitionBy("g")
-    cum = counts.select(
+    # the counts frame from the source; sql-string exprs as there
+    cum = counts.selectExpr(
         "g",
         "v",
-        F.sum("cnt").over(w_ord).alias("__cum"),
-        F.sum("cnt").over(w_all).alias("__n"),
+        "SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS __cum",
+        "SUM(cnt) OVER (PARTITION BY g) AS __n",
     )
+
+    def _q(ppm: int, out: str) -> F.Column:
+        return F.expr(
+            f"MIN(CASE WHEN __cum >= greatest(1,"
+            f" (__n * {ppm} + {PPM - 1}) div {PPM})"
+            f" THEN v END)"
+        ).alias(out)
+
     bounds = F.broadcast(
-        cum.groupBy("g").agg(
-            F.min(
-                F.when(
-                    F.col("__cum") >= _rank_target("__n", lo_ppm),
-                    F.col("v"),
-                )
-            ).alias("lo_q"),
-            F.min(
-                F.when(
-                    F.col("__cum") >= _rank_target("__n", hi_ppm),
-                    F.col("v"),
-                )
-            ).alias("hi_q"),
-        )
+        cum.groupBy("g").agg(_q(lo_ppm, "lo_q"), _q(hi_ppm, "hi_q"))
     )
-    return vals.join(bounds, "g").select(
+    return vals.join(bounds, "g").selectExpr(
         id_col,
-        F.col("g").alias(grp_col),
+        f"g AS {grp_col}",
         "v",
-        F.greatest(
-            F.col("lo_q"), F.least(F.col("hi_q"), F.col("v"))
-        )
-        .cast("bigint")
-        .alias("v_clip"),
+        "CAST(greatest(lo_q, least(hi_q, v)) AS BIGINT) AS v_clip",
     )
 
 

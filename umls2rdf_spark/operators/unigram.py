@@ -175,12 +175,15 @@ def unigram_segment(
         "concat(acc.parts,"
         " array(element_at(__m, acc.pos + 1).piece)) AS parts) END)"
     )
+    # project the walk struct ONCE, extract fields in a second
+    # select: CollapseProject keeps a multi-referenced non-cheap
+    # expression un-inlined, so the plan carries ONE copy of the
+    # walk tree instead of two — halves analysis/planning cost of
+    # every round checkpoint (and of the application walks)
     return (
-        seg.selectExpr(
-            "word",
-            "freq",
-            f"({walk}).pos AS __pos",
-            f"({walk}).parts AS parts",
+        seg.selectExpr("word", "freq", "__n", f"{walk} AS __w")
+        .selectExpr(
+            "word", "freq", "__w.pos AS __pos", "__w.parts AS parts",
             "__n",
         )
         .where("__pos = __n")

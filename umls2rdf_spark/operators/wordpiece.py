@@ -551,13 +551,15 @@ def wordpiece_segment(
         "CAST(acc.pos + element_at(__m, acc.pos + 1) AS INT) AS pos, "
         "CAST(acc.cnt + 1 AS INT) AS cnt) END)"
     )
+    # one walk copy in the plan (the unigram_segment discipline):
+    # CollapseProject keeps the multi-referenced aggregate
+    # un-inlined, halving the planned expression tree
     return (
-        seg.selectExpr(
-            "word",
-            "freq",
-            "__n",
-            f"({walk}).pos AS __pos",
-            f"({walk}).cnt AS n_subwords",
+        seg.selectExpr("word", "freq", "__n", f"{walk} AS __w")
+        .selectExpr(
+            "word", "freq", "__n",
+            "__w.pos AS __pos",
+            "__w.cnt AS n_subwords",
         )
         .where("__pos = __n")
         .select("word", "freq", "n_subwords")
