@@ -56,6 +56,8 @@ def main() -> None:
     # one-time init costs.
     qs["q1_pricing_summary"](spark, SF_DIR).count()
 
+    calib_start = _calibration_probe(spark)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES or sorted(qs):
         fn = qs[name]
@@ -122,6 +124,14 @@ def main() -> None:
                 # taken under external load, not a plan regression)
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                # fixed-work probes (pure-codegen sum over range(2^27),
+                # median-of-3, start + end of the sweep): engine-code-
+                # independent, so two artifacts from different host
+                # windows can be speed-normalized (this box drifts up
+                # to ~1.8x between hours; loadavg alone misses slow-
+                # but-idle windows)
+                "calib_start_sec": calib_start,
+                "calib_end_sec": _calibration_probe(spark),
             }
         )
     )
@@ -131,6 +141,20 @@ def main() -> None:
         report_regressions(timings)
     except Exception as exc:  # pragma: no cover
         print(f"bench-diff: skipped ({exc!r})", file=sys.stderr)
+
+
+def _calibration_probe(spark, n: int = 1 << 27) -> float:
+    """Median-of-3 wall of a FIXED pure-codegen job (sum over
+    range(n)) — independent of this engine's code, so the recorded
+    value calibrates the host window an artifact was measured in.
+    Never part of the queries dict: it is measurement metadata, not
+    a benchmarked query."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(n).selectExpr("sum(id * 3 + 1)").collect()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 def _loadavg() -> float | None:
