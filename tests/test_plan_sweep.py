@@ -169,8 +169,17 @@ FULL_SCAN_OK = {
     # boolean query's term predicate applies post-explode, nothing
     # pushes to the scan); +1 more for the rendezvous section (a
     # placement assignment covers every doc id — no predicate
-    # exists)
-    "text_scoring": {"documents.parquet": 57, "embeddings.parquet": 4},
+    # exists). Round-9 session 2: +1 — the shared full-corpus
+    # minhash-signature persist (completion.py ts_minhash_sigs, one
+    # real signature pass replacing four) prints its cached subtree's
+    # (doc_id, text) scan once more per reference in the
+    # pre-execution plan; the signature pass is dedup-over-every-
+    # document by semantics and the incremental intake's mod-2 shard
+    # slices are arithmetic predicates that parquet cannot push
+    # (same audit as incremental_dedupe's shard split). At runtime
+    # the persist materializes the scan ONCE; bisected to 4851a9b,
+    # which REDUCED real scans (4 signature passes -> 1).
+    "text_scoring": {"documents.parquet": 58, "embeddings.parquet": 4},
 }
 
 # key -> exact allowed BroadcastNestedLoopJoin count. Each is a

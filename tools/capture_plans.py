@@ -26,7 +26,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r09",
+    os.environ.get("PLANS_ROUND", "r10"),
 )
 
 
