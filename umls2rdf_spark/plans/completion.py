@@ -146,11 +146,17 @@ def _union(sections: list[DataFrame]) -> DataFrame:
 
 
 #: thread-pool width for composed-demo section construction — bounded
-#: by py4j round-trip latency, not cores (8 measured within ~10% of 16
-#: on the 75-section key); every worker only BUILDS plans / runs the
-#: training loops' driver jobs concurrently, execution parallelism is
-#: still Spark's own
-_BUILD_WORKERS = 8
+#: by py4j round-trip latency, not cores; every worker only BUILDS
+#: plans / runs the training loops' driver jobs concurrently,
+#: execution parallelism is still Spark's own. Round 10 re-measured
+#: the width with the round-9 debug-capture tax gone: 24 workers
+#: build text_scoring ~10% faster than 8 (7.7-8.5s vs 8.6-9.5s warm,
+#: same window; the earlier "16 within 10% of 8" was measured when
+#: every call paid 3 extra round-trips, which serialized the pool on
+#: the GIL). Python-side CPU is ~15% of the build (cProfile), so the
+#: pool is JVM-wait-bound and wider is strictly better until the
+#: longest single builder chain dominates.
+_BUILD_WORKERS = 24
 
 
 def _build_sections(builders) -> list:
