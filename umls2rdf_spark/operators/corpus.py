@@ -669,11 +669,23 @@ def decontaminate_bloom(
     m_bits)^k — the standard trade for an index whose size is capped
     by ``m_bits``, not by the benchmark suite.
 
-    Shape at scale: the corpus probe rows (k per distinct shingle)
+    Shape at scale: the corpus probe rows (k per shingle OCCURRENCE)
     meet the broadcast positions index MAP-SIDE — non-members drop
-    before any shuffle, so the (doc, shingle) count==k aggregation
-    shuffles only candidate hits (true overlaps + the few FPs), a
-    vanishing fraction of the corpus.
+    before any shuffle, so only candidate hits (true overlaps + the
+    few FPs) ever cross an exchange, a vanishing fraction of the
+    corpus. Round 10: the implementation previously deduplicated
+    (doc, shingle) with a full corpus-shingle ``distinct()`` BEFORE
+    probing — the one shuffle the docstring promised not to pay
+    (~5M 30-byte rows at sf0.1; corpus-scale at 100 TB). Probes now
+    carry their salt index and are deduplicated AFTER the broadcast
+    filter: for each distinct (doc, shingle), salt ``i`` survives
+    the join iff bit pos(i, shingle) is set (duplicate occurrences
+    of a shingle collapse in the post-filter distinct; two salts
+    colliding onto one pos stay distinct rows by salt), so
+    count==k <=> all k probes hit — row-identical output, the
+    corpus-sized exchange gone (guide §2.3/§2.4). Map-side cost is
+    k hashes per occurrence instead of per distinct shingle — the
+    standard hash-vs-shuffle trade.
 
     Returns (id, n_hit_ngrams) for flagged documents; anti-join the
     corpus against it to drop them — the same contract as
@@ -683,33 +695,38 @@ def decontaminate_bloom(
         raise ValueError("k must be >= 1")
     cs = shingle_rows(
         spread_small_input(corpus, id_col), id_col, text_col, shingle_n
-    ).distinct()
+    )
     probes = cs.select(
         F.col(id_col),
         F.col("shingle"),
         F.explode(
             F.array(
                 *[
-                    F.pmod(
-                        stable_hash40(
-                            F.concat(F.lit(f"{i}|"), F.col("shingle"))
-                        ),
-                        F.lit(m_bits),
+                    F.struct(
+                        F.lit(i).alias("salt"),
+                        F.pmod(
+                            stable_hash40(
+                                F.concat(F.lit(f"{i}|"), F.col("shingle"))
+                            ),
+                            F.lit(m_bits),
+                        ).alias("pos"),
                     )
                     for i in range(k)
                 ]
             )
-        ).alias("pos"),
-    )
-    # bloom membership = every one of the k probes finds its bit
-    # set. Each salt contributes exactly one probe row per
-    # (doc, shingle) and positions is distinct, so the join matches
-    # each probe at most once and count(*)==k <=> all k probes hit
-    # (two salts colliding onto one pos simply check the same set
-    # bit twice -- both match iff it is set, exactly bitmap
-    # semantics)
+        ).alias("__p"),
+    ).select(id_col, "shingle", "__p.salt", "__p.pos")
+    # bloom membership = every one of the k salted probes finds its
+    # bit set. positions is distinct, so each probe row matches at
+    # most once; the distinct below collapses repeated occurrences
+    # of a shingle within a doc, and counting DISTINCT SALTS that
+    # survived == k <=> all k probes hit (a salt collision onto an
+    # already-set bit is still its own salt row — exactly bitmap
+    # semantics).
     hits = (
         probes.join(F.broadcast(positions), "pos")
+        .select(id_col, "shingle", "salt")
+        .distinct()
         .groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("__nmatch"))
         .where(F.col("__nmatch") == k)

@@ -786,10 +786,14 @@ def incremental_minhash_dedupe(
             shingles=shard_shingles,
         ).select("id_a", "id_b")
 
-    drop = (
-        base_pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(shard_pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no distinct on the drop list: left_anti is set-semantics on the
+    # left side, so duplicate drop ids cannot multiply or reorder the
+    # output — the explicit dedup only added a full extra shuffle of
+    # the same rows the anti-join hashes anyway (guide §2.4,
+    # "a distinct on data that is already unique" — here, data whose
+    # duplicates the consumer ignores)
+    drop = base_pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        shard_pairs.select(F.col("id_b").alias(id_col))
     )
     return new_docs.join(drop, id_col, "left_anti")
 
