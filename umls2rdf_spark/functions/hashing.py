@@ -41,6 +41,18 @@ def stable_hash40_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
 
 
+def stable_hash40_spark_sql(expr: str) -> str:
+    """Spark-SQL-string twin of :func:`stable_hash40` — for builders
+    that assemble ``selectExpr``/``F.expr`` strings (one py4j
+    round-trip regardless of expression size). Kept HERE next to the
+    Column and DuckDB forms so a change to ``HASH_HEX_CHARS`` or the
+    hash shape cannot silently desynchronize the inline copies."""
+    return (
+        f"CAST(conv(substring(md5({expr}), 1, {HASH_HEX_CHARS}), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
 def stable_hash40_py(s: str) -> int:
     """Plain-Python twin of :func:`stable_hash40` — for replica tests
     and driver-side sizing decisions that must agree with the plans."""

@@ -30,6 +30,7 @@ from umls2rdf_spark.functions.hashing import (
     perm_hash,
     perm_params,
     stable_hash40,
+    stable_hash40_spark_sql,
 )
 from umls2rdf_spark.operators.spread import spread_small_input
 
@@ -164,7 +165,7 @@ def minhash_signatures_mapside(
     )
     hashed = (
         f"transform({shingles}, "
-        "s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT))"
+        f"s -> {stable_hash40_spark_sql('s')})"
     )
     seed = "array(" + ", ".join(
         f"CAST({PERM_MODULUS} AS BIGINT)" for _ in params
@@ -252,14 +253,19 @@ def simhash(
     entirely in whole-stage codegen, no pairwise work.
     """
     # sql-string exprs (one py4j round-trip each) — ``bits``
-    # conditional sums and the assemble chain were ~400 Column calls
+    # conditional sums and the assemble chain were ~400 Column calls.
+    # Interpolated identifiers are backtick-quoted (the completion.py
+    # fingerprint pattern) so caller column names with spaces/reserved
+    # words parse exactly as the Column API resolved them.
+    qid = "`" + id_col.replace("`", "``") + "`"
+    qtext = "`" + text_col.replace("`", "``") + "`"
     toks = spread_small_input(df, id_col).selectExpr(
-        id_col,
-        f"explode(filter(split({text_col}, ' '), t -> t <> '')) AS tok",
+        qid,
+        f"explode(filter(split({qtext}, ' '), t -> t <> '')) AS tok",
     )
     hashed = toks.selectExpr(
-        id_col,
-        "CAST(conv(substring(md5(tok), 1, 10), 16, 10) AS BIGINT) AS h",
+        qid,
+        f"{stable_hash40_spark_sql('tok')} AS h",
     )
     bit_sums = [
         F.expr(

@@ -47,6 +47,14 @@ from pyspark.sql import functions as F
 PPM = 1_000_000
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an interpolated identifier (the completion.py
+    fingerprint pattern) so caller-supplied column names containing
+    spaces, hyphens or reserved words parse exactly as the Column API
+    would have resolved them."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def quantile_from_counts(
     counts: DataFrame,
     grp_cols: list[str],
@@ -61,19 +69,20 @@ def quantile_from_counts(
     # sql-string exprs (1 py4j round-trip each — this helper runs
     # 2x per MAD summary and per winsorize): same windows, same
     # type-1 rank target as the old Column graph
-    g = ", ".join(grp_cols)
+    g = ", ".join(_bt(c) for c in grp_cols)
+    v, cnt = _bt(val_col), _bt(cnt_col)
     cum = counts.selectExpr(
-        *grp_cols,
-        val_col,
-        f"SUM({cnt_col}) OVER (PARTITION BY {g} ORDER BY {val_col})"
+        *[_bt(c) for c in grp_cols],
+        v,
+        f"SUM({cnt}) OVER (PARTITION BY {g} ORDER BY {v})"
         " AS __cum",
-        f"SUM({cnt_col}) OVER (PARTITION BY {g}) AS __n",
+        f"SUM({cnt}) OVER (PARTITION BY {g}) AS __n",
     )
     return cum.groupBy(*grp_cols).agg(
         F.expr(
             f"MIN(CASE WHEN __cum >= greatest(1,"
             f" (__n * {q_ppm} + {PPM - 1}) div {PPM})"
-            f" THEN {val_col} END)"
+            f" THEN {v} END)"
         ).alias(out_col)
     )
 
@@ -265,8 +274,8 @@ def winsorize(
         cum.groupBy("g").agg(_q(lo_ppm, "lo_q"), _q(hi_ppm, "hi_q"))
     )
     return vals.join(bounds, "g").selectExpr(
-        id_col,
-        f"g AS {grp_col}",
+        _bt(id_col),
+        f"g AS {_bt(grp_col)}",
         "v",
         "CAST(greatest(lo_q, least(hi_q, v)) AS BIGINT) AS v_clip",
     )

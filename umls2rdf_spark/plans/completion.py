@@ -41,6 +41,7 @@ from umls2rdf_spark.functions.hashing import (
     PERM_MODULUS,
     perm_params,
     stable_hash40,
+    stable_hash40_spark_sql,
     stable_hash40_sql,
 )
 from umls2rdf_spark.plans import curation_demos
@@ -77,13 +78,17 @@ def fingerprint_section(
     for field in df.schema.fields:
         q = "`" + field.name.replace("`", "``") + "`"
         e = (
-            f"CAST(FLOOR({q} * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+            # _FLOAT_SCALE interpolated (not a hardcoded copy) so the
+            # Spark-side canonicalization can never drift from the
+            # DuckDB twin's; the CAST keeps it DOUBLE (a bare SQL
+            # float literal parses as DECIMAL)
+            f"CAST(FLOOR({q} * CAST({_FLOAT_SCALE} AS DOUBLE)) AS BIGINT)"
             if field.name in float_cols
             else q
         )
         parts.append(f"COALESCE(CAST({e} AS STRING), '{_NULL}')")
     cat = f"concat_ws('{_SEP}', " + ", ".join(parts) + ")"
-    h = f"CAST(conv(substring(md5({cat}), 1, 10), 16, 10) AS BIGINT)"
+    h = stable_hash40_spark_sql(cat)
     # checksum = (Σ 40-bit row hashes) mod 2^62, summed in
     # DECIMAL(38,0) / HUGEINT so the sum itself can NEVER overflow
     # int64 — a 10x-replica pair frame (identical payloads pair
