@@ -13,7 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from umls2rdf_spark.functions.hashing import stable_hash40
+from umls2rdf_spark.functions.hashing import (
+    stable_hash40,
+    stable_hash40_spark_sql,
+)
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote an interpolated identifier for the sql-string
+    exprs below (the completion.py fingerprint pattern)."""
+    return "`" + name.replace("`", "``") + "`"
+
 
 
 def select_to_token_budget(
@@ -57,30 +67,35 @@ def select_to_token_budget(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    shard = F.pmod(
-        stable_hash40(F.col(id_col).cast("string")), F.lit(shards)
-    ).cast("int")
-    base = df.withColumn("__shard", shard)
-    w_local = (
-        Window.partitionBy(score_col, "__shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # sql-string exprs, one Dataset per step (each classic DataFrame
+    # construction costs ~4 ms of eager JVM analysis — guide §7.3):
+    # shard + local cumsum fuse into ONE select (the window may
+    # PARTITION BY the shard expression directly), offsets into one
+    # selectExpr over the agg
+    qid, qscore, qntok = _bt(id_col), _bt(score_col), _bt(ntok_col)
+    shard_sql = (
+        f"CAST(pmod({stable_hash40_spark_sql(f'CAST({qid} AS STRING)')},"
+        f" {shards}) AS INT)"
     )
-    local = base.withColumn(
-        "__cum", F.sum(F.col(ntok_col).cast("bigint")).over(w_local)
+    local = df.selectExpr(
+        "*",
+        f"{shard_sql} AS __shard",
+        f"SUM(CAST({qntok} AS BIGINT)) OVER ("
+        f"PARTITION BY {qscore}, {shard_sql} ORDER BY {qid}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum",
     )
-    totals = local.groupBy(score_col, "__shard").agg(
-        F.max("__cum").alias("__tot")
+    offs = (
+        local.groupBy(score_col, "__shard")
+        .agg(F.max("__cum").alias("__tot"))
+        .selectExpr(
+            qscore,
+            "__shard",
+            "COALESCE(SUM(__tot) OVER ("
+            f"ORDER BY {qscore} DESC, __shard ASC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS __off",
+        )
     )
-    # running offset over the bounded (score x shard) frame — score
-    # DESC first (better data first), shard ASC inside a class
-    w_off = (
-        Window.orderBy(F.col(score_col).desc(), F.col("__shard").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select(score_col, "__shard", "__off")
     # The offsets frame is bounded (|distinct scores| x shards — the
     # distinct-count-value argument), so it is collected EAGERLY and
     # shipped back as a literal broadcast frame. The corpus-sized
@@ -447,19 +462,29 @@ def epoch_shuffle(
     if buckets <= 0 or (1 << 40) % buckets != 0:
         raise ValueError("buckets must be a power of two <= 2^40")
     width = (1 << 40) // buckets
-    hkey = stable_hash40(
-        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    # sql-string exprs, fused steps (each classic DataFrame
+    # construction costs ~4 ms of eager JVM analysis — guide §7.3);
+    # identical hash key, bucketing and offset window as the old
+    # Column chain
+    qid = _bt(id_col)
+    hk_sql = stable_hash40_spark_sql(
+        f"concat('{seed}|', CAST({qid} AS STRING))"
     )
-    base = df.withColumn("__hk", hkey).withColumn(
-        "__b", F.expr(f"__hk div {width}").cast("int")
+    base = df.selectExpr(
+        "*",
+        f"{hk_sql} AS __hk",
+        f"CAST(({hk_sql}) div {width} AS INT) AS __b",
     )
-    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = (
-        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .selectExpr(
+            "__b",
+            "COALESCE(SUM(__n) OVER (ORDER BY __b"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS __off",
+        )
     )
-    offs = counts.withColumn(
-        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-    ).select("__b", "__off")
     # <= buckets rows — collected eagerly so the corpus-sized base
     # frame feeds exactly one job and needs no persist (same
     # zero-residency trade as select_to_token_budget: the per-epoch
