@@ -1243,3 +1243,52 @@ def test_ccnet_buckets_matches_oracle_and_thirds(spark, duck):
     # head really is the fluent (low bits-per-bigram) end
     by_bucket = pdf.groupby("bucket")["bpb_q"].mean()
     assert by_bucket["head"] < by_bucket["middle"] < by_bucket["tail"]
+
+
+def test_top1_per_group_agg_matches_window(spark):
+    """The argmin/argmax aggregation form (round 10) is row-identical
+    to the window top-1 on every ordering family the demos use:
+    all-ascending (min_by struct), descending-major with a negated
+    ascending minor (max_by), and a NULL-able max_by leading field
+    (struct comparison puts NULL first = smallest, i.e. the window's
+    DESC NULLS LAST)."""
+    from umls2rdf_spark.operators.ranking import top1_per_group_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5, "a"),
+            (1, 10, 3, "b"),
+            (1, 7, 1, "c"),
+            (2, None, 9, "d"),
+            (2, 4, 2, "e"),
+            (3, None, 1, "f"),
+        ],
+        "g int, rank int, key int, payload string",
+    )
+    # all-ascending: (key asc) under min_by
+    w = top1_per_group(
+        df, ["g"], [F.col("key").asc(), F.col("payload").asc()]
+    )
+    a = top1_per_group_agg(
+        df,
+        ["g"],
+        F.struct(F.col("key").alias("k"), F.col("payload").alias("p")),
+    )
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, a.collect()))
+    # descending-major with negated ascending minor; NULL rank loses
+    # (window: rank DESC NULLS LAST, key ASC)
+    w2 = top1_per_group(
+        df, ["g"], [F.col("rank").desc_nulls_last(), F.col("key").asc()]
+    )
+    a2 = top1_per_group_agg(
+        df,
+        ["g"],
+        F.struct(
+            F.col("rank").alias("r"),
+            (-F.col("key").cast("decimal(20,0)")).alias("nk"),
+        ),
+        use_max=True,
+    )
+    assert sorted(map(tuple, w2.collect())) == sorted(
+        map(tuple, a2.collect())
+    )

@@ -39,6 +39,45 @@ def top1_per_group(
     )
 
 
+def top1_per_group_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ordering: Column,
+    use_max: bool = False,
+) -> DataFrame:
+    """:func:`top1_per_group` as an argmin/argmax AGGREGATION
+    (guide §2.3 — aggregate before the exchange): ``min_by`` (or
+    ``max_by``) of the whole row over a caller-built lexicographic
+    ``ordering`` struct. The window form ships every row of every
+    group through the group exchange and sorts it (WindowGroupLimit
+    trims, but survivors still sort); this form collapses each group
+    to at most one row per partition in the MAP-SIDE partial
+    aggregation, so the exchange carries O(|groups| x partitions)
+    rows — the asof_join_agg shape, applied to the reference's
+    prefLabel selections.
+
+    Ordering semantics: struct comparison is field-wise ascending
+    with NULL fields first — identical to ``ORDER BY ... ASC`` — so
+    an all-ascending order is the struct as-is under ``min_by``. A
+    descending-major order passes ``use_max=True`` with ascending
+    minor fields inverted by the caller (exact negation — numeric
+    non-null minors only; NULL-first ascending minors are not
+    representable under negation, use the window form there).
+
+    Row-identical to :func:`top1_per_group` for total orders — the
+    same caveat both forms share: a non-total order picks an
+    arbitrary group member either way.
+    """
+    pick = F.max_by if use_max else F.min_by
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        pick(payload, ordering).alias("__r")
+    )
+    return g.select(
+        *[F.col(f"__r.{c}").alias(c) for c in df.columns]
+    )
+
+
 def ranked_top1(
     df: DataFrame,
     rank_dim: DataFrame,
@@ -46,6 +85,7 @@ def ranked_top1(
     join_on: str,
     rank_col: str,
     tiebreak: Sequence[Column] = (),
+    tiebreak_agg: Sequence[Column] | None = None,
 ) -> DataFrame:
     """MRRANK-style preferred selection: broadcast-join a small rank
     dimension, take the max-rank row per group.
@@ -56,6 +96,20 @@ def ranked_top1(
     the fact side for it) and selection is a window top-1.
     """
     joined = df.join(F.broadcast(rank_dim), on=join_on, how="left")
+    if tiebreak_agg is not None:
+        # argmax form (top1_per_group_agg): max-rank-wins with a NULL
+        # rank losing every tie is exactly max_by over a struct whose
+        # first field is the rank (struct comparison puts NULL fields
+        # first, i.e. smallest — desc_nulls_last under MAX). The
+        # caller passes tiebreak columns pre-inverted so that LARGER
+        # wins (e.g. price stays, an ascending key is negated).
+        ordering = F.struct(
+            F.col(rank_col).alias("__rk"),
+            *[c.alias(f"__t{i}") for i, c in enumerate(tiebreak_agg)],
+        )
+        return top1_per_group_agg(
+            joined, group_cols, ordering, use_max=True
+        )
     order = [F.col(rank_col).desc_nulls_last(), *tiebreak]
     return top1_per_group(joined, group_cols, order)
 

@@ -22,9 +22,8 @@ from umls2rdf_spark.operators.hierarchy import (
     tree_edges,
 )
 from umls2rdf_spark.operators.ranking import (
-    cascade_order,
     ranked_top1,
-    top1_per_group,
+    top1_per_group_agg,
 )
 from umls2rdf_spark.operators.triples import dedupe_triples, triple_gen
 from umls2rdf_spark.sources.parquet import load_table
@@ -92,7 +91,14 @@ def demo_ranked_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["o_custkey"],
         join_on="o_orderpriority",
         rank_col="rank",
-        tiebreak=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        # argmax form (guide §2.3: map-side partial top-1, no pair
+        # sort): larger price wins, then smaller orderkey (exact
+        # decimal negation); row-identical to the window order
+        # (rank DESC NULLS LAST, price DESC, orderkey ASC)
+        tiebreak_agg=[
+            F.col("o_totalprice"),
+            -F.col("o_orderkey").cast("decimal(20,0)"),
+        ],
     )
     return best.select(
         "o_custkey",
@@ -121,16 +127,20 @@ WHERE rn = 1
 def tiebreak_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per nation pick one customer through a preference cascade."""
     cust = load_table(spark, sf_dir, "customer")
-    chosen = top1_per_group(
+    # all-ascending total order -> straight min_by struct (argmin
+    # form, guide §2.3); the same 0/1 cascade levels cascade_order
+    # builds, as plain value expressions (a struct field cannot be a
+    # SortOrder) — identical to the window cascade
+    chosen = top1_per_group_agg(
         cust,
         ["c_nationkey"],
-        [
-            *cascade_order(
-                F.col("c_mktsegment") == "BUILDING",
-                F.col("c_acctbal") >= 5000,
-            ),
-            F.col("c_custkey").asc(),
-        ],
+        F.struct(
+            F.when(F.col("c_mktsegment") == "BUILDING", 0)
+            .otherwise(1)
+            .alias("__l0"),
+            F.when(F.col("c_acctbal") >= 5000, 0).otherwise(1).alias("__l1"),
+            F.col("c_custkey").alias("__k"),
+        ),
     )
     return chosen.select("c_nationkey", "c_custkey", "c_name")
 
@@ -407,14 +417,17 @@ FROM documents
 # ── A15 first_match_priority (MRSAB CURVER='Y' preference) ─────────
 def first_match_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    first = top1_per_group(
+    # all-ascending total order -> argmin form (guide §2.3)
+    first = top1_per_group_agg(
         orders,
         ["o_custkey"],
-        [
-            F.when(F.col("o_orderstatus") == "O", 0).otherwise(1).asc(),
-            F.col("o_orderdate").asc(),
-            F.col("o_orderkey").asc(),
-        ],
+        F.struct(
+            F.when(F.col("o_orderstatus") == "O", 0)
+            .otherwise(1)
+            .alias("__p"),
+            F.col("o_orderdate").alias("__d"),
+            F.col("o_orderkey").alias("__k"),
+        ),
     )
     return first.select(
         "o_custkey",
