@@ -228,12 +228,13 @@ def decontaminate_lexical(
         cand = candidates.select(
             F.col("id_a").alias(id_col), F.col("id_b").alias("__bid")
         )
-        cs = cs.join(
-            cand.select(id_col).distinct(), id_col, "left_semi"
-        )
-        bs = bs.join(
-            cand.select("__bid").distinct(), "__bid", "left_semi"
-        )
+        # no distinct on the id projections: left_semi is EXISTS
+        # semantics, so duplicate right-side ids cannot multiply the
+        # kept rows — the explicit dedup only added a full extra
+        # shuffle of the rows the semi-join hashes anyway (guide
+        # §2.4)
+        cs = cs.join(cand.select(id_col), id_col, "left_semi")
+        bs = bs.join(cand.select("__bid"), "__bid", "left_semi")
         pair_src = cs.join(bs, "shingle").join(
             cand, [id_col, "__bid"], "left_semi"
         )

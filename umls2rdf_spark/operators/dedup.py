@@ -773,9 +773,12 @@ def incremental_minhash_dedupe(
             spread_small_input(new_docs, id_col), id_col, text_col,
             shingle_n,
         ).distinct()
-        cand_ids = base_pairs.select(
-            F.col("id_b").alias(id_col)
-        ).distinct()
+        # no distinct on the candidate ids: left_semi is EXISTS
+        # semantics, so duplicate right-side ids (one per matching
+        # shard doc) cannot multiply the output — the explicit dedup
+        # only added an extra shuffle of the rows the semi-join
+        # hashes anyway (the drop-list argument below, guide §2.4)
+        cand_ids = base_pairs.select(F.col("id_b").alias(id_col))
         cand_docs = base_docs.join(cand_ids, id_col, "left_semi")
         cand_shingles = shingle_rows(
             spread_small_input(cand_docs, id_col), id_col, text_col, shingle_n

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from umls2rdf_spark.operators.spread import spread_small_input
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to"],
@@ -642,7 +644,16 @@ def bigram_occurrences(
     composed text_scoring demo runs bigram_surprisal AND
     kn_surprisal) persist it ONCE through their own CacheScope and
     pass it to each op's ``occ`` parameter, halving both the scan
-    count and the cache residency vs per-op persists."""
+    count and the cache residency vs per-op persists.
+
+    The input is spread (gated — no-op on any real multi-split
+    layout) before the regex tokenize + explode: a single-file local
+    read arrives as ONE partition, and because callers persist this
+    frame, that single partition is what the cache stores — every
+    downstream consumer's map-side work then runs on one core
+    (measured: the persisted occurrence build was a 3.5 s
+    single-task stage on text_scoring's critical path at sf0.1)."""
+    df = spread_small_input(df, id_col)
     toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
     pairs_expr = (
         f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "

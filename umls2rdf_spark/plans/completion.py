@@ -870,12 +870,22 @@ def text_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-identical to signing each slice (sigs(df.where(p)) ==
     # sigs(df).where(p); pinned by test_incremental_minhash).
     from umls2rdf_spark.operators.dedup import lsh_candidate_pairs
+    from umls2rdf_spark.operators.spread import spread_small_input
     from umls2rdf_spark.plans.llm_demos import _NUM_PERM as _LSH_PERM
 
     assert _LSH_PERM == _IMH_PERM, "shared signature frame needs one num_perm"
     sig_scope = op_scope(spark, "ts_minhash_sigs")
+    # spread (gated; no-op on real multi-split layouts) BEFORE the
+    # signature projection: the persisted frame inherits the input's
+    # partitioning, and a single-file local scan is one partition —
+    # without this the md5-per-shingle × num_perm signature pass (the
+    # key's most expensive per-row projection) materializes on one
+    # core as a ~2 s single-task stage on the union's critical path
     shared_sigs = sig_scope.persist(
-        minhash_signatures_mapside(docs, "doc_id", "text", num_perm=_IMH_PERM)
+        minhash_signatures_mapside(
+            spread_small_input(docs, "doc_id"),
+            "doc_id", "text", num_perm=_IMH_PERM,
+        )
     )
     # ONE q-digest build feeds the node-state AND rank-query
     # sections (the digest is <= 2k·levels rows — persisting it

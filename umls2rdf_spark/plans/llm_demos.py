@@ -82,10 +82,17 @@ GROUP BY 1
 
 # ── C2 dedup_minhash ────────────────────────────────────────────────
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # map-side signature variant: zero shuffles before the band join
-    # (row-identical to minhash_signatures; pinned by test)
+    # map-side signature variant: no shuffle before the band join at
+    # scale (row-identical to minhash_signatures; pinned by test).
+    # The gated spread only fires on a single-split local read, where
+    # the md5×num_perm signature projection would otherwise run on
+    # one core (spread_small_input no-ops on real layouts).
+    from umls2rdf_spark.operators.spread import spread_small_input
+
     sigs = minhash_signatures_mapside(
-        load_table(spark, sf_dir, "documents"),
+        spread_small_input(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        ),
         "doc_id",
         "text",
         num_perm=_NUM_PERM,
@@ -651,9 +658,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates transitively chained 84% of this corpus into one
     mega-cluster. Verification bounds every edge at real similarity
     before the closure."""
+    from umls2rdf_spark.operators.spread import spread_small_input
+
     docs = load_table(spark, sf_dir, "documents")
+    # gated spread (no-op on real layouts): the signature projection
+    # is the pipeline's most expensive per-row pass and a single-file
+    # local scan would run it on one core
     sigs = minhash_signatures_mapside(
-        docs, "doc_id", "text", num_perm=_NUM_PERM
+        spread_small_input(docs, "doc_id"),
+        "doc_id", "text", num_perm=_NUM_PERM,
     )
     cands = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=1)
     pairs = jaccard_verify_pairs(
@@ -860,11 +873,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean, bench, "doc_id", "text", "bench_id", "text",
         shingle_n=_CORPUS_SHINGLE_N,
     )
-    drop = (
-        flagged.where(F.col("doc_id") != F.col("bench_id"))
-        .select("doc_id")
-        .distinct()
-    )
+    # no distinct on the drop list: left_anti is set-semantics on
+    # the left side, so duplicate drop ids cannot multiply or
+    # reorder the output — the explicit dedup only added a full
+    # extra shuffle of the rows the anti-join hashes anyway
+    # (guide §2.4; the incremental_minhash drop-list argument)
+    drop = flagged.where(
+        F.col("doc_id") != F.col("bench_id")
+    ).select("doc_id")
     kept = clean.join(drop, "doc_id", "left_anti")
     sampled = stratified_sample(
         kept, "source", "doc_id", _CORPUS_FRACTIONS,
