@@ -96,4 +96,16 @@ def spread_small_input(
         # choice that can't serialize a single-split local read onto
         # one core.
         return df.repartition(key_col)
-    return df.repartition(key_col)
+    # EXPLICIT partition count, not repartition(key): a keyed
+    # repartition without a count is REPARTITION_BY_COL, which AQE's
+    # partition coalescing is free to (and, for these byte-tiny
+    # frames, always does) collapse back to ONE partition — the
+    # event-log audit showed every spread site's downstream
+    # shingle/hash/explode stage running as a single task behind an
+    # ``AQEShuffleRead coalesced`` node, exactly the serialization
+    # this helper exists to prevent. AQE sizes by bytes and cannot
+    # see per-row CPU density; the explicit count is user intent it
+    # must preserve. Only the gated small-input case ever reaches
+    # this line, so the pinned width never applies to a real
+    # cluster-scale scan.
+    return df.repartition(min_parallelism, key_col)
